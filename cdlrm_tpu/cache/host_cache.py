@@ -1,0 +1,251 @@
+"""Host-authoritative cache controller: occupancy, probe, insert/evict policy.
+
+The reference keeps occupancy tables in host shared memory and probes them on
+the GPU inside forward (/root/reference/model_no_ddp.py:149-212), while all
+mutations happen on rank 0 during refill (``CacheEmbeddings``,
+/root/reference/main_no_ddp.py:148-209). Since the host performs every
+mutation, it always knows the exact cache contents — so here the probe ALSO
+runs on the host, in the input pipeline, producing static-shape step inputs
+(DESIGN.md D1). The device never sees occupancy.
+
+All numpy, vectorized; every routine is a pure function of (occupancy, input)
+except for the documented in-place occupancy updates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cdlrm_tpu.cache.geometry import CacheGeometry
+
+
+@dataclass
+class ProbeResult:
+    """Per-shard, static-shape lookup resolution for one batch.
+
+    slots: [T, B] int32 global cache rows (hits -> way*sets+set within the
+        table block; misses -> packed aux slots, reference
+        model_no_ddp.py:176-185).
+    aux_rows: [T, aux_capacity, D] float32 master rows for misses, packed in
+        miss order; rows beyond the miss count are zero and never read.
+    hit_counts: [T] int64 hits per table (first-class hit-rate metric; the
+        reference computes this but comments it out, model_no_ddp.py:206-207).
+    num_lookups: total lookups probed (for hit-rate denominators).
+    """
+
+    slots: np.ndarray
+    aux_rows: np.ndarray
+    hit_counts: np.ndarray
+    num_lookups: int
+
+
+@dataclass
+class InsertPlan:
+    """Flattened refill plan produced by the insert/evict policy.
+
+    insert_slots: [K] int32 global rows to overwrite with insert_rows [K, D].
+    evict_slots: [E] int32 global rows whose CURRENT device values must be
+        gathered (before the insert scatter!) and written back to the master.
+    evict_tables: [E] int32 owning table of each eviction.
+    evict_idxs: [E] int64 original embedding ids being evicted.
+    """
+
+    insert_slots: np.ndarray
+    insert_rows: np.ndarray
+    evict_slots: np.ndarray
+    evict_tables: np.ndarray
+    evict_idxs: np.ndarray
+
+
+class HostCacheController:
+    def __init__(self, geometry: CacheGeometry, seed: int = 0):
+        self.geo = geometry
+        # [-1]-initialized occupancy, reference model_no_ddp.py:144-147
+        self.occupancy: List[np.ndarray] = [
+            np.full((int(s), geometry.ways), -1, dtype=np.int64) for s in geometry.sets
+        ]
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------ probe
+    def probe(
+        self, ls_i: np.ndarray, master, count_hits: bool = True
+    ) -> ProbeResult:
+        """Resolve one local batch [T, B] of single-index lookups.
+
+        Reference semantics (model_no_ddp.py:163-187): set = idx % sets;
+        hit if idx is in the set's occupancy; misses get consecutive aux slots
+        in batch order and their master rows are staged for the aux region.
+        """
+        geo = self.geo
+        t_count, b = ls_i.shape
+        slots = np.empty((t_count, b), dtype=np.int32)
+        aux_rows = np.zeros((t_count, geo.aux_capacity, geo.dim), dtype=np.float32)
+        hit_counts = np.zeros(t_count, dtype=np.int64)
+        for t in range(t_count):
+            idx = ls_i[t].astype(np.int64)
+            sets_t = geo.sets[t]
+            set_idx = idx % sets_t
+            occ = self.occupancy[t][set_idx]  # [B, ways]
+            eq = occ == idx[:, None]
+            hit = eq.any(axis=1)
+            way = eq.argmax(axis=1)
+            slot = geo.table_offsets[t] + way * sets_t + set_idx
+            miss_pos = np.nonzero(~hit)[0]
+            n_miss = miss_pos.size
+            if n_miss > geo.aux_capacity:
+                raise ValueError(
+                    f"table {t}: {n_miss} misses exceed aux capacity "
+                    f"{geo.aux_capacity}; raise --aux-capacity"
+                )
+            aux_base = geo.aux_base(t)
+            slot[miss_pos] = aux_base + np.arange(n_miss)
+            slots[t] = slot.astype(np.int32)
+            if n_miss:
+                aux_rows[t, :n_miss] = master.gather(t, idx[miss_pos])
+            if count_hits:
+                hit_counts[t] = b - n_miss
+        return ProbeResult(slots, aux_rows, hit_counts, t_count * b)
+
+    # ----------------------------------------------------------------- insert
+    def plan_insert(
+        self,
+        uniques: Sequence[np.ndarray],
+        rows: Sequence[np.ndarray],
+    ) -> InsertPlan:
+        """Insert a lookahead window's unique indices; mutate occupancy.
+
+        Reference policy (CacheEmbeddings, main_no_ddp.py:148-209):
+        1. drop uniques already resident (hits);
+        2. ways holding CURRENT-WINDOW hits are protected; all other ways —
+           free or occupied by older entries — are fair game;
+        3. drop miss uniques whose set has no unprotected way;
+        4. assign each remaining candidate a uniformly-random DISTINCT
+           unprotected way of its set (seeded, reproducible; see the inline
+           note — a deliberate upgrade over the reference's collision-prone
+           independent Categorical samples, main_no_ddp.py:183-185);
+        5. entries already resident in a sampled way are evicted: their
+           original id + live device row go back to the master
+           (writeback happens off this thread, cache/prefetcher.py).
+        Vectorized last-write-wins on duplicate (set, way) targets, matching
+        the reference's vectorized scatter.
+        """
+        geo = self.geo
+        ins_slots, ins_rows = [], []
+        ev_slots, ev_tables, ev_idxs = [], [], []
+        for t in range(geo.num_tables):
+            u = np.asarray(uniques[t], dtype=np.int64)
+            if u.size == 0:
+                continue
+            occ = self.occupancy[t]
+            sets_t = geo.sets[t]
+            set_idx = u % sets_t
+            eq = occ[set_idx] == u[:, None]  # [U, ways]
+            hit = eq.any(axis=1)
+            hit_sets = set_idx[hit]
+            hit_ways = eq[hit].argmax(axis=1)
+
+            # protection mask: True = way may be (re)assigned
+            avail = np.ones(occ.shape, dtype=bool)
+            avail[hit_sets, hit_ways] = False
+
+            miss = ~hit
+            cand_u = u[miss]
+            cand_set = set_idx[miss]
+            cand_rowpos = np.nonzero(miss)[0]  # position in the uniques array
+            if cand_u.size == 0:
+                continue
+
+            # Conflict-free uniform way assignment (intentional upgrade over
+            # the reference: its independent Categorical samples,
+            # main_no_ddp.py:183-185, let two same-set candidates collide on
+            # one way, silently dropping an insert; we assign DISTINCT
+            # available ways — identical distribution when a set has a single
+            # candidate, strictly higher insert yield otherwise):
+            # candidates get a random rank within their set; each set's
+            # available ways are randomly permuted; rank r takes the r-th
+            # permuted way; ranks beyond the available count are dropped.
+            order = np.lexsort((self.rng.random(cand_set.size), cand_set))
+            cand_u = cand_u[order]
+            cand_set = cand_set[order]
+            cand_rowpos = cand_rowpos[order]
+            is_first = np.ones(cand_set.size, dtype=bool)
+            is_first[1:] = cand_set[1:] != cand_set[:-1]
+            group_start = np.flatnonzero(is_first)
+            group_len = np.diff(np.append(group_start, cand_set.size))
+            ranks = np.arange(cand_set.size) - np.repeat(group_start, group_len)
+
+            keys = self.rng.random(avail.shape)
+            keys[~avail] = np.inf
+            perm = np.argsort(keys, axis=1)  # available ways first, random order
+            n_avail = avail.sum(axis=1)
+            keep = ranks < n_avail[cand_set]
+            cand_u = cand_u[keep]
+            cand_set = cand_set[keep]
+            cand_rowpos = cand_rowpos[keep]
+            if cand_u.size == 0:
+                continue
+            ways_assign = perm[cand_set, ranks[keep]]
+
+            # evictions: assigned ways currently holding an older entry
+            old = occ[cand_set, ways_assign]
+            evicting = old != -1
+            if evicting.any():
+                e_set = cand_set[evicting]
+                e_way = ways_assign[evicting]
+                ev_slots.append(
+                    (geo.table_offsets[t] + e_way * sets_t + e_set).astype(np.int32)
+                )
+                ev_tables.append(np.full(e_set.size, t, dtype=np.int32))
+                ev_idxs.append(old[evicting])
+
+            # commit: occupancy + staged insert rows
+            occ[cand_set, ways_assign] = cand_u
+            ins_slots.append(
+                (geo.table_offsets[t] + ways_assign * sets_t + cand_set).astype(np.int32)
+            )
+            ins_rows.append(np.asarray(rows[t], dtype=np.float32)[cand_rowpos])
+
+        def _cat(parts, dtype, width=None):
+            if not parts:
+                shape = (0,) if width is None else (0, width)
+                return np.zeros(shape, dtype=dtype)
+            return np.concatenate(parts).astype(dtype)
+
+        insert_slots = _cat(ins_slots, np.int32)
+        insert_rows = _cat(ins_rows, np.float32, geo.dim)
+        evict_slots = _cat(ev_slots, np.int32)
+        evict_tables = _cat(ev_tables, np.int32)
+        evict_idxs = _cat(ev_idxs, np.int64)
+
+        # Duplicate (set, way) assignments within a window resolve
+        # last-write-wins in the occupancy (numpy fancy assignment above);
+        # the device scatter must agree, and jnp's .at[].set leaves duplicate
+        # order undefined — so dedupe here, keeping the LAST write per slot.
+        if insert_slots.size:
+            _, last = np.unique(insert_slots[::-1], return_index=True)
+            keep = insert_slots.size - 1 - last
+            insert_slots, insert_rows = insert_slots[keep], insert_rows[keep]
+        if evict_slots.size:
+            _, first = np.unique(evict_slots, return_index=True)
+            evict_slots = evict_slots[first]
+            evict_tables = evict_tables[first]
+            evict_idxs = evict_idxs[first]
+
+        return InsertPlan(
+            insert_slots=insert_slots,
+            insert_rows=insert_rows,
+            evict_slots=evict_slots,
+            evict_tables=evict_tables,
+            evict_idxs=evict_idxs,
+        )
+
+    # ---- checkpointing ----
+    def state_dict(self) -> dict:
+        return {f"occ_{t}": o for t, o in enumerate(self.occupancy)}
+
+    def load_state_dict(self, state: dict) -> None:
+        for t in range(len(self.occupancy)):
+            self.occupancy[t][...] = state[f"occ_{t}"]

@@ -1,0 +1,83 @@
+"""Host master embedding tables.
+
+TPU-native equivalent of the reference's shared-memory CPU table group
+(``Embedding_Table_Group`` + ``.share_memory()``,
+/root/reference/model_no_ddp.py:21-98, main_no_ddp.py:621-622): full-size
+per-table float32 arrays in host RAM (optionally mmap-backed for
+larger-than-RAM tables), **frozen** — never trained directly
+(model_no_ddp.py:74); the only mutation is eviction writeback
+(cache_manager.py:48-64). Rows that are never cached are never trained —
+a semantic feature of cDLRM we preserve (SURVEY.md §7 quirk list).
+
+Concurrency: the prefetcher gathers rows while the eviction thread writes
+others back. The reference tolerates this unsynchronized (shared-memory
+tensors, no locks); races only affect staleness of individual rows, which the
+algorithm already tolerates. We keep the same model and document it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class MasterTables:
+    def __init__(
+        self,
+        ln_emb: Sequence[int],
+        dim: int,
+        rng: Optional[np.random.Generator] = None,
+        mmap_dir: Optional[str] = None,
+    ):
+        self.ln_emb = [int(n) for n in ln_emb]
+        self.dim = int(dim)
+        self.tables: List[np.ndarray] = []
+        rng = rng or np.random.default_rng(0)
+        for t, n in enumerate(self.ln_emb):
+            bound = np.sqrt(1.0 / n)
+            if mmap_dir is not None:
+                path = os.path.join(mmap_dir, f"master_table_{t}.npy")
+                arr = np.lib.format.open_memmap(
+                    path, mode="w+", dtype=np.float32, shape=(n, self.dim)
+                )
+                # chunked init to bound peak memory
+                chunk = max(1, (1 << 24) // max(1, self.dim))
+                for s in range(0, n, chunk):
+                    e = min(n, s + chunk)
+                    arr[s:e] = rng.uniform(-bound, bound, size=(e - s, self.dim)).astype(
+                        np.float32
+                    )
+            else:
+                arr = rng.uniform(-bound, bound, size=(n, self.dim)).astype(np.float32)
+            self.tables.append(arr)
+
+    def gather(self, t: int, idxs: np.ndarray) -> np.ndarray:
+        """Row gather (reference fetch_unique_idx_slices,
+        model_no_ddp.py:80-87)."""
+        return np.asarray(self.tables[t][idxs], dtype=np.float32)
+
+    def gather_all(self, idxs_per_table: Sequence[np.ndarray]) -> List[np.ndarray]:
+        return [self.gather(t, idxs) for t, idxs in enumerate(idxs_per_table)]
+
+    def writeback(
+        self, t: int, idxs: np.ndarray, rows: np.ndarray, average: bool = False
+    ) -> None:
+        """Eviction writeback: overwrite or average with the resident rows
+        (reference cache_manager.py:58-62)."""
+        if idxs.size == 0:
+            return
+        if average:
+            self.tables[t][idxs] = (self.tables[t][idxs] + rows) / 2.0
+        else:
+            self.tables[t][idxs] = rows
+
+    # ---- checkpointing (capability upgrade; reference has none) ----
+    def save(self, path: str) -> None:
+        np.savez(path, **{f"table_{t}": arr for t, arr in enumerate(self.tables)})
+
+    def load(self, path: str) -> None:
+        with np.load(path) as data:
+            for t in range(len(self.tables)):
+                self.tables[t][...] = data[f"table_{t}"]

@@ -1,0 +1,186 @@
+"""Lookahead prefetch pipeline and eviction writeback manager.
+
+TPU-native equivalent of the reference's Prefetcher/eviction processes
+(/root/reference/cache_manager.py). The reference shards the lookahead window
+across a ``mp.Pool`` because torch ops hold the GIL; our hot host ops
+(np.unique, master-row fancy-gather) release the GIL, so the default backend
+is a thread pool parallelizing across *tables* — same work partition, no
+pickling/shared-memory overhead. Queues are bounded ``queue.Queue``s: the
+``put`` blocks when the trainer falls behind, reproducing the reference's
+Manager-queue backpressure (main_no_ddp.py:624-625).
+
+Pipeline protocol (one FIFO entry per lookahead window):
+  WindowData(uniques[t], rows[t]) — per-table sorted unique indices of the
+  next ``lookahead`` global batches and their master-table rows, i.e. exactly
+  the reference's (cached_entries, uniques, maps) triple with the inverse map
+  replaced by positional alignment (rows[t][i] belongs to uniques[t][i]).
+
+Eviction writeback: a dedicated thread drains (tables, idxs, rows) tuples and
+writes them into the master tables, overwrite or average
+(cache_manager.py:48-64), exiting after ``timeout`` seconds of silence or on
+the shutdown sentinel.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from cdlrm_tpu.cache.master import MasterTables
+
+_SENTINEL = None
+
+
+@dataclass
+class WindowData:
+    uniques: List[np.ndarray]  # [T] arrays of sorted unique indices
+    rows: List[np.ndarray]  # [T] arrays [U_t, D] of master rows
+    num_batches: int  # batches covered by this window
+
+
+def _pin_current_thread(core: int) -> None:
+    try:
+        os.sched_setaffinity(0, {core % os.cpu_count()})
+    except (AttributeError, OSError):  # non-Linux or restricted
+        pass
+
+
+class EvictionManager(threading.Thread):
+    """Writeback thread (reference Prefetcher.eviction_manager,
+    cache_manager.py:48-64)."""
+
+    def __init__(
+        self,
+        master: MasterTables,
+        fifo: "queue.Queue",
+        average_on_writeback: bool = False,
+        timeout: float = 300.0,
+        pin_core: Optional[int] = None,
+    ):
+        super().__init__(daemon=True, name="eviction-manager")
+        self.master = master
+        self.fifo = fifo
+        self.average = average_on_writeback
+        self.timeout = timeout
+        self.pin_core = pin_core
+        self.rows_written = 0
+
+    def run(self) -> None:
+        if self.pin_core is not None:
+            _pin_current_thread(self.pin_core)
+        while True:
+            try:
+                item = self.fifo.get(timeout=self.timeout if self.timeout > 0 else None)
+            except queue.Empty:
+                return
+            if item is _SENTINEL:
+                return
+            tables, idxs, rows = item
+            for t in np.unique(tables):
+                sel = tables == t
+                self.master.writeback(int(t), idxs[sel], rows[sel], self.average)
+                self.rows_written += int(sel.sum())
+
+
+class LookaheadPrefetcher(threading.Thread):
+    """Streams the upcoming index stream, dedups each lookahead window, and
+    gathers the master rows (reference Prefetcher.run + process_batch_slice,
+    cache_manager.py:28-46,66-115).
+
+    ``cache_stream_fn`` returns a fresh iterator over per-batch sparse index
+    arrays ([T, B] or [T, B, P] (+mask) — the dataset's *cache* stream,
+    reference's cache_ld). Called once per epoch.
+    """
+
+    def __init__(
+        self,
+        cache_stream_fn: Callable[[], Iterator],
+        master: MasterTables,
+        lookahead: int,
+        batch_fifo_size: int = 8,
+        cache_workers: int = 2,
+        nepochs: int = 1,
+        pin_core: Optional[int] = None,
+    ):
+        super().__init__(daemon=True, name="lookahead-prefetcher")
+        self.cache_stream_fn = cache_stream_fn
+        self.master = master
+        self.lookahead = max(1, lookahead)
+        self.fifo: "queue.Queue" = queue.Queue(maxsize=batch_fifo_size)
+        self.cache_workers = max(1, cache_workers)
+        self.nepochs = nepochs
+        self.pin_core = pin_core
+        self.error: Optional[BaseException] = None
+        self._stop_event = threading.Event()
+
+    # -- window processing ---------------------------------------------------
+    def _process_window(self, window: List, pool: ThreadPoolExecutor) -> WindowData:
+        # window entries are ls_i [T, B] or (ls_i [T, B, P], mask)
+        num_tables = (
+            window[0][0].shape[0] if isinstance(window[0], tuple) else window[0].shape[0]
+        )
+
+        def one_table(t: int):
+            parts = []
+            for entry in window:
+                if isinstance(entry, tuple):
+                    ls_i, mask = entry
+                    parts.append(ls_i[t][mask[t]])
+                else:
+                    parts.append(entry[t].reshape(-1))
+            idx = np.concatenate(parts)
+            uniq = np.unique(idx)  # sorted, like torch.unique
+            return uniq, self.master.gather(t, uniq)
+
+        results = list(pool.map(one_table, range(num_tables)))
+        return WindowData(
+            uniques=[r[0] for r in results],
+            rows=[r[1] for r in results],
+            num_batches=len(window),
+        )
+
+    def run(self) -> None:
+        if self.pin_core is not None:
+            _pin_current_thread(self.pin_core)
+        try:
+            with ThreadPoolExecutor(max_workers=self.cache_workers) as pool:
+                for _ in range(self.nepochs):
+                    window: List = []
+                    for ls_i in self.cache_stream_fn():
+                        if self._stop_event.is_set():
+                            return
+                        window.append(ls_i)
+                        if len(window) == self.lookahead:
+                            self.fifo.put(self._process_window(window, pool))
+                            window = []
+                    if window:
+                        self.fifo.put(self._process_window(window, pool))
+        except BaseException as e:  # surfaced by .get_window()
+            self.error = e
+        finally:
+            self.fifo.put(_SENTINEL)
+
+    # -- consumer API ----------------------------------------------------------
+    def get_window(self, timeout: Optional[float] = None) -> Optional[WindowData]:
+        """Blocking pop; None = stream exhausted. Re-raises pipeline errors."""
+        item = self.fifo.get(timeout=timeout)
+        if item is _SENTINEL:
+            if self.error is not None:
+                raise self.error
+            return None
+        return item
+
+    def stop(self) -> None:
+        self._stop_event.set()
+        # drain so a blocked put() wakes up
+        try:
+            while True:
+                self.fifo.get_nowait()
+        except queue.Empty:
+            pass

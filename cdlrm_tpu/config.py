@@ -1,0 +1,219 @@
+"""Configuration: the live flag surface of the reference CLI plus TPU-native
+additions.
+
+Reference: ``ProcessArgs`` (/root/reference/main_no_ddp.py:34-145). Flags the
+reference parses but never uses (--save-model/--load-model/--enable-profiling/
+--inference-only/... — see SURVEY.md §5 "dead flags") are either implemented
+properly here (checkpointing, inference) or intentionally dropped; each case
+is noted on the field.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from cdlrm_tpu.utils.primes import next_prime
+
+
+def _int_list(s: str) -> List[int]:
+    return [int(v) for v in s.split("-") if v != ""]
+
+
+@dataclass
+class Config:
+    # ---- model architecture (main_no_ddp.py:37-44) ----
+    arch_sparse_feature_size: int = 2
+    arch_embedding_size: str = "4-3-2"
+    arch_mlp_bot: str = "4-3-2"
+    arch_mlp_top: str = "4-2-1"
+    arch_interaction_op: str = "dot"
+    arch_interaction_itself: bool = False
+
+    # ---- loss (main_no_ddp.py:47-52) ----
+    loss_function: str = "mse"  # mse | bce | wbce
+    loss_weights: str = "1.0-1.0"
+    loss_threshold: float = 0.0
+    round_targets: bool = False
+
+    # ---- data (main_no_ddp.py:55-70) ----
+    data_size: int = 1
+    num_batches: int = 0
+    data_generation: str = "random"  # random | synthetic | dataset
+    data_trace_file: str = "./input/dist_emb_j.log"
+    data_set: str = "kaggle"  # kaggle | terabyte
+    raw_data_file: str = ""
+    processed_data_file: str = ""
+    data_randomize: str = "total"  # total | day | none
+    data_trace_enable_padding: bool = False
+    max_ind_range: int = -1
+    data_sub_sample_rate: float = 0.0
+    num_indices_per_lookup: int = 10
+    num_indices_per_lookup_fixed: bool = False
+    num_workers: int = 0
+    memory_map: bool = False
+
+    # ---- embedding compression (main_no_ddp.py:73-81) ----
+    md_flag: bool = False
+    md_threshold: int = 200
+    md_temperature: float = 0.3
+    md_round_dims: bool = False
+    qr_flag: bool = False
+    qr_threshold: int = 200
+    qr_operation: str = "mult"
+    qr_collisions: int = 4
+
+    # ---- training (main_no_ddp.py:84-97) ----
+    mini_batch_size: int = 1  # GLOBAL batch (sliced per DP shard)
+    nepochs: int = 1
+    learning_rate: float = 0.1
+    lr_embeds: float = 0.3
+    print_precision: int = 5
+    numpy_rand_seed: int = 123
+    lookahead: int = 2
+    cache_workers: int = 2
+    cache_size: int = 10240
+    num_ways: int = 4
+    average_on_writeback: bool = False
+
+    # ---- debugging / reporting (main_no_ddp.py:100-107) ----
+    print_freq: int = 1
+    test_freq: int = -1
+    test_mini_batch_size: int = -1
+    test_num_workers: int = -1
+    print_time: bool = False
+
+    # ---- checkpointing (reference parses but never implements,
+    #      main_no_ddp.py:111-112; we implement it) ----
+    save_model: str = ""
+    load_model: str = ""
+    checkpoint_freq: int = -1  # steps; <=0 disables periodic checkpoints
+
+    # ---- mlperf (main_no_ddp.py:116-124) ----
+    mlperf_logging: bool = False
+    mlperf_acc_threshold: float = 0.0
+    mlperf_auc_threshold: float = 0.0
+    mlperf_bin_loader: bool = False
+    mlperf_bin_shuffle: bool = False
+    large_batch: bool = False
+
+    # ---- distributed (main_no_ddp.py:127-137) ----
+    world_size: int = 1  # number of DP shards (devices along the 'dp' mesh axis)
+    table_agg_op: str = "mean"  # sum | mean | max
+    table_agg_freq: int = 1
+    batch_fifo_size: int = 8
+    eviction_fifo_size: int = 8
+    eviction_fifo_timeout: int = 300
+
+    # ---- TPU-native additions (no reference equivalent) ----
+    use_cache: bool = True  # False = full tables resident in HBM (small configs)
+    compute_dtype: str = "float32"  # float32 | bfloat16 (MXU-friendly matmuls)
+    refill_broadcast: bool = True  # faithful rank-0 cache broadcast at refill
+    strict_bias_divergence: bool = False  # reproduce reference bias non-sync bug
+    aux_capacity: int = -1  # miss-row slots per table per step; -1 = local batch
+    pin_cores: bool = False  # sched_setaffinity pinning of pipeline threads
+    prefetch_backend: str = "thread"  # thread | process
+
+    # ---- derived (populated by finalize()) ----
+    ln_emb: Optional[np.ndarray] = None
+    ln_bot: Optional[List[int]] = None
+    ln_top: Optional[List[int]] = None
+    m_spa_per_table: Optional[List[int]] = None
+
+    def finalize(self, ln_emb: Optional[np.ndarray] = None, m_den: Optional[int] = None) -> "Config":
+        """Derive architecture dims and run the reference's sanity checks
+        (main_no_ddp.py:514-619). ``ln_emb``/``m_den`` come from the dataset
+        when data_generation == 'dataset'."""
+        from cdlrm_tpu.models.dlrm import derive_top_mlp_input_dim
+        from cdlrm_tpu.models.tricks import md_solver
+
+        if self.test_mini_batch_size < 0:
+            self.test_mini_batch_size = self.mini_batch_size
+        if self.test_num_workers < 0:
+            self.test_num_workers = self.num_workers
+
+        self.ln_bot = _int_list(self.arch_mlp_bot)
+        if ln_emb is None:
+            ln_emb = np.array(_int_list(self.arch_embedding_size), dtype=np.int64)
+        if self.max_ind_range > 0:
+            ln_emb = np.minimum(ln_emb, self.max_ind_range)
+        self.ln_emb = np.asarray(ln_emb, dtype=np.int64)
+        if m_den is not None:
+            self.ln_bot[0] = int(m_den)
+        m_den = self.ln_bot[0]
+
+        m_spa = self.arch_sparse_feature_size
+        m_den_out = self.ln_bot[-1]
+        num_int = derive_top_mlp_input_dim(
+            len(self.ln_emb), m_den_out, self.arch_interaction_op, self.arch_interaction_itself
+        )
+        self.ln_top = [num_int] + _int_list(self.arch_mlp_top)
+
+        # sanity checks (reference main_no_ddp.py:571-609)
+        if self.qr_flag:
+            if self.qr_operation == "concat" and 2 * m_spa != m_den_out:
+                raise ValueError(
+                    f"2*sparse-feature-size {2*m_spa} != bottom MLP out {m_den_out} "
+                    "(concat QR requires bottom out = 2x embedding dim)"
+                )
+            if self.qr_operation != "concat" and m_spa != m_den_out:
+                raise ValueError(f"sparse-feature-size {m_spa} != bottom MLP out {m_den_out}")
+        else:
+            if m_spa != m_den_out:
+                raise ValueError(f"sparse-feature-size {m_spa} != bottom MLP out {m_den_out}")
+
+        if self.md_flag:
+            self.m_spa_per_table = list(
+                md_solver(
+                    self.ln_emb,
+                    self.md_temperature,
+                    d0=m_spa,
+                    round_dim=self.md_round_dims,
+                )
+            )
+        else:
+            self.m_spa_per_table = [m_spa] * len(self.ln_emb)
+        return self
+
+    # convenience accessors -------------------------------------------------
+    @property
+    def m_spa(self) -> int:
+        return self.arch_sparse_feature_size
+
+    @property
+    def local_batch_size(self) -> int:
+        """Per-DP-shard batch (reference main_no_ddp.py:344)."""
+        return math.ceil(self.mini_batch_size / self.world_size)
+
+    @property
+    def loss_weights_list(self) -> List[float]:
+        return [float(v) for v in self.loss_weights.split("-")]
+
+    @property
+    def cache_sets(self) -> int:
+        return next_prime(self.cache_size)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """CLI mirroring the reference's live flags (main_no_ddp.py:34-145)."""
+    p = argparse.ArgumentParser(description="Train DLRM (TPU-native cDLRM)")
+    for f in dataclasses.fields(Config):
+        if f.name in ("ln_emb", "ln_bot", "ln_top", "m_spa_per_table"):
+            continue
+        flag = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(flag, action="store_true", default=f.default)
+        else:
+            typ = type(f.default)
+            p.add_argument(flag, type=typ, default=f.default)
+    return p
+
+
+def config_from_args(argv=None) -> Config:
+    ns = build_arg_parser().parse_args(argv)
+    return Config(**vars(ns))

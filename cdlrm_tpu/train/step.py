@@ -1,0 +1,386 @@
+"""Jitted device steps: cached train/eval, refill, aggregation, full-table.
+
+This is the XLA re-architecture of the reference's per-rank hot loop
+(/root/reference/main_no_ddp.py:386-502). Everything is static-shape and runs
+inside one ``shard_map`` over the 1-D 'dp' mesh axis:
+
+- train: scatter aux miss rows -> one gather from the concatenated cache ->
+  dense fwd/bwd -> manual-vjp sparse SGD on the gathered rows (DESIGN.md D3)
+  -> pmean dense grads (reference aggregate_gradients, main_no_ddp.py:234-247)
+  -> psum metrics (replaces the reference's O(W^2) broadcast handshake,
+  main_no_ddp.py:433-502).
+- refill: gather evicted rows / scatter inserted rows / broadcast replica 0
+  (reference load_caches_and_broadcast, main_no_ddp.py:309-321).
+- aggregate: union-touched-row psum/pmax with sum|mean|max
+  (reference broadcast_and_aggregate, main_no_ddp.py:250-292).
+
+Per-replica divergent state (cache, touched mask) and the dense params all
+carry a leading device axis sharded over 'dp'; params stay bit-identical
+across replicas because their gradients are pmean'd (unless
+``strict_bias_divergence`` reproduces the reference's bias non-sync bug).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cdlrm_tpu.cache.geometry import CacheGeometry
+from cdlrm_tpu.models.dlrm import compute_loss, dlrm_forward
+from cdlrm_tpu.parallel.mesh import DP_AXIS
+
+Params = dict
+
+
+class StepConfig(NamedTuple):
+    """Static configuration baked into the compiled steps."""
+
+    interaction_op: str = "dot"
+    interaction_itself: bool = False
+    loss_function: str = "mse"
+    loss_weights: Tuple[float, ...] = (1.0, 1.0)
+    loss_threshold: float = 0.0
+    table_agg_op: str = "mean"
+    strict_bias_divergence: bool = False
+    refill_broadcast: bool = True
+    compute_dtype: Optional[str] = None  # None/'float32' | 'bfloat16'
+
+    @property
+    def cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+
+def _sgd(tree, grads, lr):
+    return jax.tree_util.tree_map(lambda w, g: w - lr * g, tree, grads)
+
+
+def _sync_dense_grads(grads: Params, strict_bias_divergence: bool) -> Params:
+    """pmean over dp. The reference all-reduces Linear WEIGHTS only, silently
+    letting biases diverge (main_no_ddp.py:237-245); we sync both unless
+    strict parity with that bug is requested (SURVEY.md §7 quirk list)."""
+
+    def sync_mlp(layers):
+        out = []
+        for w, b in layers:
+            w = jax.lax.pmean(w, DP_AXIS)
+            if not strict_bias_divergence:
+                b = jax.lax.pmean(b, DP_AXIS)
+            out.append((w, b))
+        return out
+
+    return {k: sync_mlp(v) for k, v in grads.items()}
+
+
+def replicate_for_mesh(tree, mesh: Mesh):
+    """Add a leading device axis to every leaf and shard it over dp."""
+    n = mesh.devices.size
+    sharding = NamedSharding(mesh, P(DP_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            jnp.broadcast_to(x[None], (n,) + x.shape),
+            NamedSharding(mesh, P(*([DP_AXIS] + [None] * x.ndim))),
+        ),
+        tree,
+    )
+
+
+def unreplicate(tree):
+    """Take replica 0 of a leading-device-axis pytree (host-side)."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x[0])), tree)
+
+
+def _spec_leading():
+    return P(DP_AXIS)
+
+
+# --------------------------------------------------------------------------
+# cached-path steps
+# --------------------------------------------------------------------------
+
+
+def make_cached_train_step(
+    mesh: Mesh, geo: CacheGeometry, cfg: StepConfig
+) -> Callable:
+    """Build the jitted DP train step.
+
+    Inputs (shapes; B = global batch, Bl = B/ndev, T = tables, A = aux cap):
+      params: pytree with leading [ndev] axis
+      cache:   [ndev, R, D]   touched: [ndev, R] bool
+      x:       [B, dense_dim] sharded on batch
+      slots:   [T, B] int32 sharded on batch axis
+      aux:     [ndev, T, A, D]
+      targets: [B, 1]
+      lr, lr_embeds: scalars
+    Returns (params, cache, touched, loss_sum, correct) — metrics are global
+    (psum'd) scalars.
+    """
+    aux_bases = tuple(geo.aux_base(t) for t in range(geo.num_tables))
+    cdtype = cfg.cdtype
+
+    def body(params, cache, touched, x, slots, aux, targets, lr, lr_embeds):
+        params = jax.tree_util.tree_map(lambda v: v[0], params)
+        cache, touched, aux = cache[0], touched[0], aux[0]
+        t_count, b_loc = slots.shape
+        d = cache.shape[-1]
+
+        # stage miss rows into each table's aux region (contiguous updates)
+        for t in range(t_count):
+            cache = jax.lax.dynamic_update_slice(cache, aux[t], (aux_bases[t], 0))
+
+        flat_slots = slots.reshape(-1)
+        rows = jnp.take(cache, flat_slots, axis=0)  # [T*Bl, D]
+
+        def loss_fn(params, rows):
+            ly = rows.reshape(t_count, b_loc, d)
+            p = dlrm_forward(
+                params,
+                x,
+                ly,
+                cfg.interaction_op,
+                cfg.interaction_itself,
+                cfg.loss_threshold,
+                cdtype,
+            )
+            loss = compute_loss(p, targets, cfg.loss_function, cfg.loss_weights)
+            return loss, p
+
+        (loss, p), (dparams, drows) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, rows)
+
+        dparams = _sync_dense_grads(dparams, cfg.strict_bias_divergence)
+        params = _sgd(params, dparams, lr)
+
+        # sparse SGD: scatter-add coalesces duplicate slots like torch's
+        # sparse optimizer (DESIGN.md D3)
+        cache = cache.at[flat_slots].add(-lr_embeds * drows)
+        touched = touched.at[flat_slots].set(True)
+
+        correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
+        loss_sum, correct = jax.lax.psum(
+            (loss * b_loc, correct), DP_AXIS
+        )
+
+        params = jax.tree_util.tree_map(lambda v: v[None], params)
+        return params, cache[None], touched[None], loss_sum, correct
+
+    lead = _spec_leading()
+    shardmapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            lead,  # params
+            lead,  # cache
+            lead,  # touched
+            P(DP_AXIS),  # x
+            P(None, DP_AXIS),  # slots
+            lead,  # aux
+            P(DP_AXIS),  # targets
+            P(),  # lr
+            P(),  # lr_embeds
+        ),
+        out_specs=(lead, lead, lead, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shardmapped, donate_argnums=(1, 2))
+
+
+def make_cached_eval_step(mesh: Mesh, geo: CacheGeometry, cfg: StepConfig) -> Callable:
+    """Forward-only cached step returning scores [B, 1].
+
+    The reference evaluates on rank 0 only with the full test batch
+    (main_no_ddp.py:479-494); we shard eval across replicas — each uses its
+    own cache copy, which is identical right after a refill broadcast and
+    near-identical otherwise (documented deviation; eval never mutates
+    persistent cache state: the aux writes live only inside this step)."""
+    aux_bases = tuple(geo.aux_base(t) for t in range(geo.num_tables))
+    cdtype = cfg.cdtype
+
+    def body(params, cache, x, slots, aux):
+        params = jax.tree_util.tree_map(lambda v: v[0], params)
+        cache, aux = cache[0], aux[0]
+        t_count, b_loc = slots.shape
+        d = cache.shape[-1]
+        for t in range(t_count):
+            cache = jax.lax.dynamic_update_slice(cache, aux[t], (aux_bases[t], 0))
+        rows = jnp.take(cache, slots.reshape(-1), axis=0)
+        ly = rows.reshape(t_count, b_loc, d)
+        p = dlrm_forward(
+            params, x, ly, cfg.interaction_op, cfg.interaction_itself,
+            cfg.loss_threshold, cdtype,
+        )
+        return p
+
+    lead = _spec_leading()
+    shardmapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(lead, lead, P(DP_AXIS), P(None, DP_AXIS), lead),
+        out_specs=P(DP_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(shardmapped)
+
+
+def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
+    """Jitted refill: gather evicted rows (pre-insert values), scatter insert
+    rows, then broadcast replica 0's cache to all replicas (the reference's
+    rank-0 CacheEmbeddings + whole-cache NCCL broadcast,
+    main_no_ddp.py:309-321). Insert/evict slot buffers are host-bucketed to
+    powers of two (DESIGN.md D6); padding targets the trash row.
+
+    Returns (cache, evicted[ndev, E, D]) — caller reads evicted[0]."""
+
+    def body(cache, insert_slots, insert_rows, evict_slots):
+        cache = cache[0]
+        evicted = jnp.take(cache, evict_slots, axis=0)
+        cache = cache.at[insert_slots].set(insert_rows)
+        if cfg.refill_broadcast:
+            idx = jax.lax.axis_index(DP_AXIS)
+            contrib = jnp.where(idx == 0, cache, jnp.zeros_like(cache))
+            cache = jax.lax.psum(contrib, DP_AXIS)
+        return cache[None], evicted[None]
+
+    lead = _spec_leading()
+    shardmapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(lead, P(), P(), P()),
+        out_specs=(lead, lead),
+        check_vma=False,
+    )
+    return jax.jit(shardmapped, donate_argnums=(0,))
+
+
+def make_aggregate_step(mesh: Mesh, cfg: StepConfig) -> Callable:
+    """Periodic touched-row aggregation (reference broadcast_and_aggregate,
+    main_no_ddp.py:250-292): union of rows touched by ANY replica since the
+    last aggregation; every replica contributes its current value; combine
+    with sum | mean (/world) | max; untouched rows keep their local values.
+
+    Round-1 implementation is a dense masked allreduce over the cache array
+    (traffic O(R*D) per call, amortized by table_agg_freq); a padded
+    union-gather variant is the planned optimization."""
+    op = cfg.table_agg_op
+
+    def body(cache, touched):
+        cache, touched = cache[0], touched[0]
+        union = jax.lax.psum(touched.astype(jnp.float32), DP_AXIS) > 0
+        mask = union[:, None]
+        if op == "sum":
+            agg = jax.lax.psum(jnp.where(mask, cache, 0.0), DP_AXIS)
+        elif op == "mean":
+            ndev = jax.lax.axis_size(DP_AXIS)
+            agg = jax.lax.psum(jnp.where(mask, cache, 0.0), DP_AXIS) / ndev
+        elif op == "max":
+            agg = jax.lax.pmax(jnp.where(mask, cache, -jnp.inf), DP_AXIS)
+        else:
+            raise ValueError(f"unsupported table_agg_op: {op}")
+        cache = jnp.where(mask, agg, cache)
+        touched = jnp.zeros_like(touched)
+        return cache[None], touched[None]
+
+    lead = _spec_leading()
+    shardmapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(lead, lead),
+        out_specs=(lead, lead),
+        check_vma=False,
+    )
+    return jax.jit(shardmapped, donate_argnums=(0, 1))
+
+
+# --------------------------------------------------------------------------
+# full-table (uncached) steps — small configs, tests, and the oracle
+# --------------------------------------------------------------------------
+
+
+def make_fulltable_train_step(mesh: Mesh, cfg: StepConfig, pooled: bool = False) -> Callable:
+    """DP train step with device-resident full embedding tables
+    (params['emb'] is the table list from models/embedding.py — plain, QR, or
+    MD entries). Dense and embedding grads both flow through value_and_grad;
+    embedding grads are NOT pmean'd — each replica applies its own sparse
+    update, then... unlike the cached path the reference has no uncached DP
+    mode, so we choose the standard DP semantic: embedding grads are pmean'd
+    too (fully synchronous DP). Used for small configs and as the
+    training-dynamics oracle."""
+    from cdlrm_tpu.models.embedding import embedding_forward
+
+    cdtype = cfg.cdtype
+
+    def body(params, x, ls_i, ls_mask, targets, lr, lr_embeds):
+        params = jax.tree_util.tree_map(lambda v: v[0], params)
+
+        def loss_fn(params):
+            ly = embedding_forward(params["emb"], ls_i, ls_mask if pooled else None)
+            p = dlrm_forward(
+                {"bot": params["bot"], "top": params["top"]},
+                x,
+                ly,
+                cfg.interaction_op,
+                cfg.interaction_itself,
+                cfg.loss_threshold,
+                cdtype,
+            )
+            loss = compute_loss(p, targets, cfg.loss_function, cfg.loss_weights)
+            return loss, p
+
+        (loss, p), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, DP_AXIS), grads)
+        dense = {"bot": params["bot"], "top": params["top"]}
+        dense_g = {"bot": grads["bot"], "top": grads["top"]}
+        dense = _sgd(dense, dense_g, lr)
+        emb = _sgd(params["emb"], grads["emb"], lr_embeds)
+        new_params = {"bot": dense["bot"], "top": dense["top"], "emb": emb}
+
+        b_loc = targets.shape[0]
+        correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
+        loss_sum, correct = jax.lax.psum((loss * b_loc, correct), DP_AXIS)
+        new_params = jax.tree_util.tree_map(lambda v: v[None], new_params)
+        return new_params, loss_sum, correct
+
+    lead = _spec_leading()
+    mask_spec = P(None, DP_AXIS)
+    shardmapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(lead, P(DP_AXIS), P(None, DP_AXIS), mask_spec, P(DP_AXIS), P(), P()),
+        out_specs=(lead, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shardmapped, donate_argnums=(0,))
+
+
+def make_fulltable_eval_step(mesh: Mesh, cfg: StepConfig, pooled: bool = False) -> Callable:
+    from cdlrm_tpu.models.embedding import embedding_forward
+
+    cdtype = cfg.cdtype
+
+    def body(params, x, ls_i, ls_mask):
+        params = jax.tree_util.tree_map(lambda v: v[0], params)
+        ly = embedding_forward(params["emb"], ls_i, ls_mask if pooled else None)
+        return dlrm_forward(
+            {"bot": params["bot"], "top": params["top"]},
+            x,
+            ly,
+            cfg.interaction_op,
+            cfg.interaction_itself,
+            cfg.loss_threshold,
+            cdtype,
+        )
+
+    lead = _spec_leading()
+    shardmapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(lead, P(DP_AXIS), P(None, DP_AXIS), P(None, DP_AXIS)),
+        out_specs=P(DP_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(shardmapped)

@@ -1,0 +1,420 @@
+"""Training orchestration: the single-controller equivalent of the
+reference's launcher + per-rank trainer loop
+(/root/reference/main_no_ddp.py:324-502,505-646).
+
+One Python process drives the whole DP mesh:
+  - the lookahead prefetcher + eviction manager run as host threads
+    (cache/prefetcher.py);
+  - every ``lookahead`` steps the next window is popped, the insert/evict
+    plan computed against the host occupancy, and the jitted refill applied
+    (reference load_caches_and_broadcast, main_no_ddp.py:309-321);
+  - every step the batch is probed per DP shard, assembled into sharded
+    device arrays, and the jitted train step runs;
+  - every ``table_agg_freq`` steps the jitted touched-row aggregation runs
+    (reference main_no_ddp.py:418-423);
+  - rank-0-style windowed metrics (ms/it, caching overhead, loss, accuracy —
+    main_no_ddp.py:458-475) plus first-class cache hit rate and eval AUC.
+
+Host/device overlap: jax dispatch is async, so probing batch j+1 overlaps
+with device compute of batch j; metrics tensors are only materialized at
+print boundaries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import queue
+import time
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cdlrm_tpu.cache.geometry import CacheGeometry
+from cdlrm_tpu.cache.host_cache import HostCacheController, InsertPlan
+from cdlrm_tpu.cache.master import MasterTables
+from cdlrm_tpu.cache.prefetcher import EvictionManager, LookaheadPrefetcher, WindowData
+from cdlrm_tpu.config import Config
+from cdlrm_tpu.data.synthetic import Batch
+from cdlrm_tpu.models.dlrm import init_dlrm
+from cdlrm_tpu.parallel.mesh import DP_AXIS, make_dp_mesh
+from cdlrm_tpu.train import step as step_lib
+from cdlrm_tpu.utils.metrics import StreamingAUC, accuracy_count
+from cdlrm_tpu.utils.padding import pad_to_bucket
+
+
+@dataclass
+class TrainMetrics:
+    steps: int = 0
+    examples: int = 0
+    loss_sum: float = 0.0
+    correct: float = 0.0
+    train_time_s: float = 0.0
+    caching_overhead_s: float = 0.0
+    refills: int = 0
+    hits: int = 0
+    lookups: int = 0
+
+    @property
+    def hit_rate(self) -> float:
+        return self.hits / max(1, self.lookups)
+
+
+class CachedDlrmTrainer:
+    """End-to-end cached-DLRM trainer over a 1-D dp mesh."""
+
+    def __init__(self, cfg: Config, dataset, test_dataset=None, mesh=None):
+        """``dataset`` must expose: batches() -> Iterator[Batch] (restartable),
+        __len__, and attrs m_den, ln_emb. ``test_dataset`` likewise."""
+        assert cfg.ln_emb is not None, "call cfg.finalize() first"
+        self.cfg = cfg
+        self.dataset = dataset
+        self.test_dataset = test_dataset
+        self.mesh = mesh if mesh is not None else make_dp_mesh(cfg.world_size)
+        self.ndev = self.mesh.devices.size
+        assert self.ndev == cfg.world_size, (
+            f"mesh has {self.ndev} devices, config world_size={cfg.world_size}"
+        )
+
+        rng = np.random.default_rng(cfg.numpy_rand_seed)
+        self.host_rng = rng
+
+        b_loc = cfg.local_batch_size
+        test_b_loc = -(-cfg.test_mini_batch_size // self.ndev)
+        aux_cap = cfg.aux_capacity if cfg.aux_capacity > 0 else max(b_loc, test_b_loc)
+        self.geo = CacheGeometry.build(
+            cfg.ln_emb, cfg.m_spa, cfg.cache_size, cfg.num_ways, aux_cap
+        )
+        self.master = MasterTables(cfg.ln_emb, cfg.m_spa, rng)
+        self.controller = HostCacheController(self.geo, seed=cfg.numpy_rand_seed)
+
+        # dense params (replicated with a leading device axis)
+        params = init_dlrm(rng, cfg.ln_bot, cfg.ln_top)
+        self.params = step_lib.replicate_for_mesh(params, self.mesh)
+
+        shard_lead = NamedSharding(self.mesh, P(DP_AXIS))
+        self.cache = jax.device_put(
+            jnp.zeros((self.ndev, self.geo.total_rows, self.geo.dim), jnp.float32),
+            shard_lead,
+        )
+        self.touched = jax.device_put(
+            jnp.zeros((self.ndev, self.geo.total_rows), bool), shard_lead
+        )
+
+        scfg = step_lib.StepConfig(
+            interaction_op=cfg.arch_interaction_op,
+            interaction_itself=cfg.arch_interaction_itself,
+            loss_function=cfg.loss_function,
+            loss_weights=tuple(cfg.loss_weights_list),
+            loss_threshold=cfg.loss_threshold,
+            table_agg_op=cfg.table_agg_op,
+            strict_bias_divergence=cfg.strict_bias_divergence,
+            refill_broadcast=cfg.refill_broadcast,
+            compute_dtype=cfg.compute_dtype,
+        )
+        self.step_cfg = scfg
+        self.train_step = step_lib.make_cached_train_step(self.mesh, self.geo, scfg)
+        self.eval_step = step_lib.make_cached_eval_step(self.mesh, self.geo, scfg)
+        self.refill_step = step_lib.make_refill_step(self.mesh, scfg)
+        self.agg_step = step_lib.make_aggregate_step(self.mesh, scfg)
+
+        self._shardings = {
+            "lead": shard_lead,
+            "batch0": NamedSharding(self.mesh, P(DP_AXIS)),
+            "slots": NamedSharding(self.mesh, P(None, DP_AXIS)),
+            "rep": NamedSharding(self.mesh, P()),
+        }
+
+        # host pipeline
+        self.eviction_fifo: "queue.Queue" = queue.Queue(maxsize=cfg.eviction_fifo_size)
+        self.eviction_manager = EvictionManager(
+            self.master,
+            self.eviction_fifo,
+            average_on_writeback=cfg.average_on_writeback,
+            timeout=cfg.eviction_fifo_timeout,
+        )
+        self.prefetcher = LookaheadPrefetcher(
+            cache_stream_fn=self._cache_stream,
+            master=self.master,
+            lookahead=cfg.lookahead,
+            batch_fifo_size=cfg.batch_fifo_size,
+            cache_workers=cfg.cache_workers,
+            nepochs=cfg.nepochs,
+        )
+        self._pipeline_started = False
+        self.global_step = 0
+        self.metrics = TrainMetrics()
+        self._lr = jnp.float32(cfg.learning_rate)
+        self._lr_emb = jnp.float32(cfg.lr_embeds)
+        self._stop_requested = False
+
+    # ------------------------------------------------------------------ data
+    def _cache_stream(self) -> Iterator[np.ndarray]:
+        """The prefetcher's view of the index stream (reference cache_ld,
+        dlrm_data_pytorch.py:465-483): a second pass over the same batches,
+        dropping the final partial batch exactly as the trainer does."""
+        b = self.cfg.mini_batch_size
+        for batch in self.dataset.batches():
+            if batch.x.shape[0] != b:
+                continue
+            if batch.ls_mask is not None:
+                yield (batch.ls_i, batch.ls_mask)
+            else:
+                yield batch.ls_i
+
+    # ------------------------------------------------------------------ refill
+    def _apply_refill(self, window: WindowData) -> None:
+        t0 = time.perf_counter()
+        plan = self.controller.plan_insert(window.uniques, window.rows)
+        ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
+        ins_rows = pad_to_bucket(plan.insert_rows, 0.0)
+        ev_slots = pad_to_bucket(plan.evict_slots, 0)
+        self.cache, evicted = self.refill_step(
+            self.cache,
+            jnp.asarray(ins_slots),
+            jnp.asarray(ins_rows),
+            jnp.asarray(ev_slots),
+        )
+        n_evict = plan.evict_slots.shape[0]
+        if n_evict:
+            evicted_rows = np.asarray(evicted[0][:n_evict])
+            self.eviction_fifo.put((plan.evict_tables, plan.evict_idxs, evicted_rows))
+        self.metrics.caching_overhead_s += time.perf_counter() - t0
+        self.metrics.refills += 1
+
+    # ------------------------------------------------------------------ batch
+    def _assemble(self, batch: Batch, b_loc: int):
+        """Probe per DP shard and build sharded device arrays."""
+        if batch.ls_mask is not None:
+            raise NotImplementedError(
+                "the cached path currently supports single-index lookups (the "
+                "Criteo layout, one index per table per example); for "
+                "multi-hot synthetic data use the full-table path "
+                "(--use-cache false) or --num-indices-per-lookup 1 "
+                "--num-indices-per-lookup-fixed"
+            )
+        ls_i = batch.ls_i
+        t_count = ls_i.shape[0]
+        slots_shards, aux_shards = [], []
+        for r in range(self.ndev):
+            pr = self.controller.probe(
+                ls_i[:, r * b_loc : (r + 1) * b_loc], self.master
+            )
+            slots_shards.append(pr.slots)
+            aux_shards.append(pr.aux_rows)
+            self.metrics.hits += int(pr.hit_counts.sum())
+            self.metrics.lookups += pr.num_lookups
+        slots = np.concatenate(slots_shards, axis=1)
+        aux = np.stack(aux_shards)
+        sh = self._shardings
+        return (
+            jax.device_put(batch.x, sh["batch0"]),
+            jax.device_put(slots, sh["slots"]),
+            jax.device_put(aux, sh["lead"]),
+            jax.device_put(batch.y, sh["batch0"]),
+        )
+
+    # ------------------------------------------------------------------ train
+    def _start_pipeline(self) -> None:
+        if not self._pipeline_started:
+            self.eviction_manager.start()
+            self.prefetcher.start()
+            self._pipeline_started = True
+
+    def train(self, max_steps: Optional[int] = None, log_fn=print) -> TrainMetrics:
+        cfg = self.cfg
+        self._start_pipeline()
+        b = cfg.mini_batch_size
+        b_loc = cfg.local_batch_size
+        pending: List[Tuple] = []  # (loss_sum, correct, n) device scalars
+
+        def flush_pending():
+            for ls, c, n in pending:
+                self.metrics.loss_sum += float(ls)
+                self.metrics.correct += float(c)
+                self.metrics.examples += n
+                self.metrics.steps += 1
+            pending.clear()
+
+        window_t0 = time.perf_counter()
+        for epoch in range(cfg.nepochs):
+            for j, batch in enumerate(self.dataset.batches()):
+                if batch.x.shape[0] != b:
+                    continue  # drop last partial batch (reference drop_last)
+                if max_steps is not None and self.global_step >= max_steps:
+                    break
+                if self._stop_requested:
+                    break
+                if j % cfg.lookahead == 0:
+                    window = self.prefetcher.get_window()
+                    if window is None:
+                        break
+                    self._apply_refill(window)
+
+                x, slots, aux, tgt = self._assemble(batch, b_loc)
+                (
+                    self.params,
+                    self.cache,
+                    self.touched,
+                    loss_sum,
+                    correct,
+                ) = self.train_step(
+                    self.params, self.cache, self.touched, x, slots, aux, tgt,
+                    self._lr, self._lr_emb,
+                )
+                pending.append((loss_sum, correct, b))
+
+                if j > 0 and j % cfg.table_agg_freq == 0:
+                    self.cache, self.touched = self.agg_step(self.cache, self.touched)
+
+                self.global_step += 1
+
+                if j > 0 and j % cfg.print_freq == 0:
+                    flush_pending()
+                    dt = time.perf_counter() - window_t0
+                    m = self.metrics
+                    ms_it = 1000.0 * dt / max(1, m.steps)
+                    overhead_ms = (
+                        1000.0 * m.caching_overhead_s / max(1, m.steps)
+                    )
+                    log_fn(
+                        f"Epoch {epoch}: {j}/{len(self.dataset)} "
+                        f"{ms_it:.2f} ms/it, caching overhead {overhead_ms:.3f} "
+                        f"ms/it, loss {m.loss_sum / max(1, m.examples):.5f}, "
+                        f"acc {m.correct / max(1, m.examples):.5f}, "
+                        f"hit-rate {m.hit_rate:.4f}"
+                    )
+                    self.metrics.train_time_s += dt
+                    m.steps = 0
+                    m.examples = 0
+                    m.loss_sum = 0.0
+                    m.correct = 0.0
+                    m.caching_overhead_s = 0.0
+                    window_t0 = time.perf_counter()
+
+                if (
+                    self.test_dataset is not None
+                    and cfg.test_freq > 0
+                    and j > 0
+                    and j % cfg.test_freq == 0
+                ):
+                    acc, auc = self.evaluate(log_fn=log_fn)
+                    if (
+                        cfg.mlperf_acc_threshold > 0
+                        and acc >= cfg.mlperf_acc_threshold
+                    ) or (
+                        cfg.mlperf_auc_threshold > 0
+                        and not np.isnan(auc)
+                        and auc >= cfg.mlperf_auc_threshold
+                    ):
+                        log_fn(
+                            f"MLPerf threshold reached (acc={acc:.5f}, auc={auc:.5f}); stopping"
+                        )
+                        self._stop_requested = True
+
+                if cfg.checkpoint_freq > 0 and self.global_step % cfg.checkpoint_freq == 0:
+                    if cfg.save_model:
+                        self.save_checkpoint(cfg.save_model)
+            if (max_steps is not None and self.global_step >= max_steps) or self._stop_requested:
+                break
+        flush_pending()
+        return self.metrics
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self, max_batches: Optional[int] = None, log_fn=print):
+        """Sharded eval over the test stream; returns (accuracy, auc).
+        Reference tests on rank 0 only (main_no_ddp.py:479-494); see
+        make_cached_eval_step for the documented deviation."""
+        cfg = self.cfg
+        tb = cfg.test_mini_batch_size
+        tb_loc = -(-tb // self.ndev)
+        total, correct = 0, 0
+        auc = StreamingAUC()
+        for i, batch in enumerate(self.test_dataset.batches()):
+            if max_batches is not None and i >= max_batches:
+                break
+            n = batch.x.shape[0]
+            batch = _pad_batch(batch, tb_loc * self.ndev)
+            x, slots, aux, tgt = self._assemble(batch, tb_loc)
+            scores = np.asarray(self.eval_step(self.params, self.cache, x, slots, aux))
+            scores = scores[:n]
+            y = batch.y[:n]
+            correct += accuracy_count(scores, y)
+            total += n
+            auc.update(scores, y)
+        acc = correct / max(1, total)
+        auc_v = auc.result()
+        log_fn(f"Test accuracy = {100.0 * acc:.4f}%  AUC = {auc_v:.5f}")
+        return acc, auc_v
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, path: str) -> None:
+        """Full-state checkpoint (capability upgrade; the reference parses
+        --save-model but never implements it, main_no_ddp.py:111-112)."""
+        os.makedirs(path, exist_ok=True)
+        params = step_lib.unreplicate(self.params)
+        leaves, _ = jax.tree_util.tree_flatten(params)
+        np.savez(
+            os.path.join(path, "dense_params.npz"),
+            **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        )
+        np.save(os.path.join(path, "cache.npy"), np.asarray(self.cache[0]))
+        np.savez(os.path.join(path, "occupancy.npz"), **self.controller.state_dict())
+        self.master.save(os.path.join(path, "master.npz"))
+        meta = {
+            "global_step": self.global_step,
+            "rng_state": self.controller.rng.bit_generator.state,
+        }
+        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+
+    def load_checkpoint(self, path: str) -> None:
+        params = step_lib.unreplicate(self.params)
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        with np.load(os.path.join(path, "dense_params.npz")) as data:
+            leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.params = step_lib.replicate_for_mesh(params, self.mesh)
+        cache0 = np.load(os.path.join(path, "cache.npy"))
+        self.cache = jax.device_put(
+            jnp.broadcast_to(jnp.asarray(cache0)[None], (self.ndev,) + cache0.shape),
+            self._shardings["lead"],
+        )
+        with np.load(os.path.join(path, "occupancy.npz")) as data:
+            self.controller.load_state_dict(dict(data))
+        self.master.load(os.path.join(path, "master.npz"))
+        with open(os.path.join(path, "meta.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        self.global_step = meta["global_step"]
+        self.controller.rng.bit_generator.state = meta["rng_state"]
+
+    # ---------------------------------------------------------------- cleanup
+    def close(self) -> None:
+        if self._pipeline_started:
+            self.prefetcher.stop()
+            self.eviction_fifo.put(None)
+
+
+def _pad_batch(batch: Batch, to_size: int) -> Batch:
+    n = batch.x.shape[0]
+    if n == to_size:
+        return batch
+    pad = to_size - n
+    x = np.concatenate([batch.x, np.zeros((pad,) + batch.x.shape[1:], batch.x.dtype)])
+    ls_i = np.concatenate(
+        [batch.ls_i, np.zeros(batch.ls_i.shape[:1] + (pad,) + batch.ls_i.shape[2:],
+                              batch.ls_i.dtype)], axis=1
+    )
+    mask = batch.ls_mask
+    if mask is not None:
+        mask = np.concatenate(
+            [mask, np.zeros(mask.shape[:1] + (pad,) + mask.shape[2:], mask.dtype)],
+            axis=1,
+        )
+    y = np.concatenate([batch.y, np.zeros((pad,) + batch.y.shape[1:], batch.y.dtype)])
+    return Batch(x, ls_i, mask, y)

@@ -1,0 +1,140 @@
+"""Cache semantics: geometry, probe hit/miss resolution, and the insert/evict
+policy — property-tested against a transparent oracle of the reference
+algorithm (CacheEmbeddings, /root/reference/main_no_ddp.py:148-209)."""
+
+import numpy as np
+import pytest
+
+from cdlrm_tpu.cache.geometry import CacheGeometry
+from cdlrm_tpu.cache.host_cache import HostCacheController
+from cdlrm_tpu.cache.master import MasterTables
+
+
+def make_setup(ln_emb=(100, 7), dim=4, cache_size=10, ways=2, aux=8, seed=0):
+    geo = CacheGeometry.build(ln_emb, dim, cache_size, ways, aux)
+    master = MasterTables(ln_emb, dim, np.random.default_rng(seed))
+    ctrl = HostCacheController(geo, seed=seed)
+    return geo, master, ctrl
+
+
+def test_geometry_layout():
+    geo, _, _ = make_setup()
+    # next_prime(10) = 11 sets for the big table; small table (7 rows) is
+    # fully resident with 7 sets (reference model_no_ddp.py:136)
+    assert list(geo.sets) == [11, 7]
+    assert geo.table_offsets[0] == 0
+    assert geo.table_offsets[1] == 2 * 11 + 8
+    assert geo.total_rows == (2 * 11 + 8) + (2 * 7 + 8) + 1
+    assert geo.aux_base(0) == 22
+    assert geo.trash_row == geo.total_rows - 1
+
+
+def test_probe_all_miss_then_hit():
+    geo, master, ctrl = make_setup()
+    ls_i = np.array([[1, 12, 1], [3, 3, 6]])  # table0: 1 and 12 collide (set 1)
+    pr = ctrl.probe(ls_i, master)
+    # empty cache: everything misses, aux slots in batch order
+    assert pr.hit_counts.tolist() == [0, 0]
+    assert pr.slots[0].tolist() == [22, 23, 24]
+    assert pr.slots[1].tolist() == [geo.aux_base(1), geo.aux_base(1) + 1, geo.aux_base(1) + 2]
+    # aux rows are the master rows of the missing indices
+    np.testing.assert_allclose(pr.aux_rows[0][0], master.tables[0][1])
+    np.testing.assert_allclose(pr.aux_rows[0][1], master.tables[0][12])
+
+    # insert idx 1 and 12 (same set, different ways) and re-probe
+    plan = ctrl.plan_insert([np.array([1, 12]), np.array([], np.int64)],
+                            [master.tables[0][[1, 12]], np.zeros((0, 4), np.float32)])
+    assert plan.insert_slots.shape[0] == 2
+    pr2 = ctrl.probe(ls_i, master)
+    assert pr2.hit_counts.tolist() == [3, 0]
+    # both hit slots lie inside table 0's way region
+    assert (pr2.slots[0] < geo.aux_base(0)).all()
+    # and point at distinct ways of set 1
+    assert sorted(pr2.slots[0][[0, 1]] % 11) == [1, 1]
+    assert pr2.slots[0][0] != pr2.slots[0][1]
+    assert pr2.slots[0][2] == pr2.slots[0][0]  # same idx -> same slot
+
+
+def test_insert_respects_way_capacity():
+    # 3 indices map to the same set of a 2-way cache: only 2 can land
+    geo, master, ctrl = make_setup()
+    u = np.array([1, 12, 23])  # all ≡ 1 mod 11
+    plan = ctrl.plan_insert([u, np.array([], np.int64)],
+                            [master.tables[0][u], np.zeros((0, 4), np.float32)])
+    assert plan.insert_slots.shape[0] == 2
+    resident = set(ctrl.occupancy[0][1].tolist())
+    assert -1 not in resident
+    assert resident < set(u.tolist()) | {-1} or len(resident) == 2
+
+
+def test_insert_protects_window_hits_and_evicts_old():
+    geo, master, ctrl = make_setup()
+    # fill set 1 of table 0 with 1 and 12
+    ctrl.plan_insert([np.array([1, 12]), np.array([], np.int64)],
+                     [master.tables[0][[1, 12]], np.zeros((0, 4), np.float32)])
+    # new window: 1 (hit, protected) + 23 (miss, must evict 12)
+    plan = ctrl.plan_insert([np.array([1, 23]), np.array([], np.int64)],
+                            [master.tables[0][[1, 23]], np.zeros((0, 4), np.float32)])
+    assert plan.insert_slots.shape[0] == 1
+    assert plan.evict_idxs.tolist() == [12]
+    assert plan.evict_tables.tolist() == [0]
+    # evict slot is where 12 lived; occupancy now holds 1 and 23
+    assert set(ctrl.occupancy[0][1].tolist()) == {1, 23}
+
+
+def test_insert_rows_alignment():
+    """insert_rows[i] must be the master row of the index now occupying
+    insert_slots[i]."""
+    geo, master, ctrl = make_setup(ln_emb=(1000,), cache_size=50, ways=4)
+    u = np.unique(np.random.default_rng(3).integers(0, 1000, 300))
+    plan = ctrl.plan_insert([u], [master.tables[0][u]])
+    sets0 = geo.sets[0]
+    for slot, row in zip(plan.insert_slots, plan.insert_rows):
+        way, set_idx = divmod(int(slot) - int(geo.table_offsets[0]), int(sets0))
+        idx = ctrl.occupancy[0][set_idx, way]
+        np.testing.assert_allclose(row, master.tables[0][idx])
+
+
+def test_insert_slots_unique():
+    geo, master, ctrl = make_setup(ln_emb=(10000,), cache_size=10, ways=2)
+    u = np.unique(np.random.default_rng(4).integers(0, 10000, 500))
+    plan = ctrl.plan_insert([u], [master.tables[0][u]])
+    assert len(np.unique(plan.insert_slots)) == len(plan.insert_slots)
+    assert len(np.unique(plan.evict_slots)) == len(plan.evict_slots)
+
+
+def test_occupancy_consistency_random_trace():
+    """Long random workload: occupancy always consistent with probe result
+    and never exceeds way capacity."""
+    rng = np.random.default_rng(7)
+    geo, master, ctrl = make_setup(ln_emb=(5000, 64), cache_size=30, ways=4, aux=64)
+    for _ in range(20):
+        window = [np.unique(rng.integers(0, n, 200)) for n in (5000, 64)]
+        rows = master.gather_all(window)
+        ctrl.plan_insert(window, rows)
+        for t, n in enumerate((5000, 64)):
+            occ = ctrl.occupancy[t]
+            live = occ[occ >= 0]
+            assert live.size == np.unique(live).size  # no duplicate residents
+            # every resident maps to its own set
+            sets_t = geo.sets[t]
+            set_of = np.nonzero(occ >= 0)
+            assert ((occ[set_of] % sets_t) == set_of[0]).all()
+        batch = np.stack([rng.integers(0, 5000, 32), rng.integers(0, 64, 32)])
+        pr = ctrl.probe(batch, master)
+        # every resident index must probe as a hit
+        for t in range(2):
+            resident = set(ctrl.occupancy[t][ctrl.occupancy[t] >= 0].tolist())
+            for b, idx in enumerate(batch[t]):
+                is_hit = pr.slots[t][b] < geo.aux_base(t)
+                assert is_hit == (int(idx) in resident)
+
+
+def test_master_writeback_average():
+    master = MasterTables([10], 4, np.random.default_rng(0))
+    before = master.tables[0][[2, 5]].copy()
+    rows = np.ones((2, 4), np.float32)
+    master.writeback(0, np.array([2, 5]), rows, average=False)
+    np.testing.assert_allclose(master.tables[0][[2, 5]], rows)
+    master.writeback(0, np.array([2]), np.zeros((1, 4), np.float32), average=True)
+    np.testing.assert_allclose(master.tables[0][2], 0.5 * np.ones(4))

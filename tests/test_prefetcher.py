@@ -1,0 +1,131 @@
+"""Prefetch pipeline: window dedup correctness, backpressure, eviction
+writeback (reference cache_manager.py semantics)."""
+
+import queue
+import time
+
+import numpy as np
+
+from cdlrm_tpu.cache.master import MasterTables
+from cdlrm_tpu.cache.prefetcher import EvictionManager, LookaheadPrefetcher
+
+
+def make_stream(batches):
+    def fn():
+        return iter(batches)
+
+    return fn
+
+
+def test_window_unique_and_rows(rng):
+    master = MasterTables([100, 40], 4, rng)
+    b1 = np.array([[1, 2, 2], [0, 1, 2]])
+    b2 = np.array([[2, 3, 4], [2, 2, 2]])
+    pf = LookaheadPrefetcher(make_stream([b1, b2]), master, lookahead=2,
+                             batch_fifo_size=4, cache_workers=2)
+    pf.start()
+    w = pf.get_window()
+    assert w is not None
+    assert w.num_batches == 2
+    np.testing.assert_array_equal(w.uniques[0], [1, 2, 3, 4])
+    np.testing.assert_array_equal(w.uniques[1], [0, 1, 2])
+    np.testing.assert_allclose(w.rows[0], master.tables[0][[1, 2, 3, 4]])
+    assert pf.get_window() is None  # stream exhausted
+    pf.join(timeout=5)
+
+
+def test_window_multihot_masked(rng):
+    master = MasterTables([100], 4, rng)
+    ls_i = np.array([[[5, 7, 0], [9, 0, 0]]])  # [T=1, B=2, P=3]
+    mask = np.array([[[True, True, False], [True, False, False]]])
+    pf = LookaheadPrefetcher(make_stream([(ls_i, mask)]), master, lookahead=1)
+    pf.start()
+    w = pf.get_window()
+    np.testing.assert_array_equal(w.uniques[0], [5, 7, 9])  # masked 0s excluded
+    pf.join(timeout=5)
+
+
+def test_partial_final_window(rng):
+    master = MasterTables([100], 4, rng)
+    batches = [np.array([[i]]) for i in range(5)]
+    pf = LookaheadPrefetcher(make_stream(batches), master, lookahead=2)
+    pf.start()
+    sizes = []
+    while True:
+        w = pf.get_window()
+        if w is None:
+            break
+        sizes.append(w.num_batches)
+    assert sizes == [2, 2, 1]
+    pf.join(timeout=5)
+
+
+def test_backpressure(rng):
+    """put() must block once the fifo is full (reference Manager-queue
+    semantics, main_no_ddp.py:624)."""
+    master = MasterTables([100], 4, rng)
+    batches = [np.array([[i]]) for i in range(10)]
+    pf = LookaheadPrefetcher(make_stream(batches), master, lookahead=1,
+                             batch_fifo_size=2)
+    pf.start()
+    time.sleep(0.5)
+    # fifo bounded: at most 2 queued even though 10 windows exist
+    assert pf.fifo.qsize() <= 2
+    drained = 0
+    while pf.get_window() is not None:
+        drained += 1
+    assert drained == 10
+    pf.join(timeout=5)
+
+
+def test_eviction_manager_writeback_and_average(rng):
+    master = MasterTables([10, 10], 4, rng)
+    fifo = queue.Queue()
+    em = EvictionManager(master, fifo, average_on_writeback=False, timeout=2)
+    em.start()
+    rows = np.arange(8, dtype=np.float32).reshape(2, 4)
+    fifo.put((np.array([0, 1]), np.array([3, 7]), rows))
+    fifo.put(None)
+    em.join(timeout=5)
+    np.testing.assert_allclose(master.tables[0][3], rows[0])
+    np.testing.assert_allclose(master.tables[1][7], rows[1])
+    assert em.rows_written == 2
+
+    # averaging mode
+    master2 = MasterTables([10], 4, rng)
+    before = master2.tables[0][2].copy()
+    fifo2 = queue.Queue()
+    em2 = EvictionManager(master2, fifo2, average_on_writeback=True, timeout=2)
+    em2.start()
+    fifo2.put((np.array([0]), np.array([2]), np.zeros((1, 4), np.float32)))
+    fifo2.put(None)
+    em2.join(timeout=5)
+    np.testing.assert_allclose(master2.tables[0][2], before / 2)
+
+
+def test_eviction_manager_timeout_exit(rng):
+    master = MasterTables([10], 4, rng)
+    em = EvictionManager(master, queue.Queue(), timeout=0.2)
+    em.start()
+    em.join(timeout=5)
+    assert not em.is_alive()
+
+
+def test_prefetcher_error_propagates(rng):
+    master = MasterTables([10], 4, rng)
+
+    def bad_stream():
+        def gen():
+            yield np.array([[50]])  # out of range -> gather raises
+
+        return gen()
+
+    pf = LookaheadPrefetcher(bad_stream, master, lookahead=1)
+    pf.start()
+    try:
+        pf.get_window()
+        raised = False
+    except IndexError:
+        raised = True
+    assert raised
+    pf.join(timeout=5)

@@ -1,0 +1,149 @@
+"""End-to-end: cached trainer on synthetic data over the 8-device CPU mesh —
+training progress on a learnable signal, hit-rate accounting, checkpoint
+resume equivalence, config plumbing."""
+
+import numpy as np
+import pytest
+
+from cdlrm_tpu.config import Config, config_from_args
+from cdlrm_tpu.data.synthetic import Batch, SyntheticDataset
+from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+
+class LearnableDataset:
+    """Synthetic stream whose target depends on a dense feature, so loss must
+    decrease under training."""
+
+    def __init__(self, ln_emb, m_den=13, num_batches=40, batch=64, seed=0):
+        self.ln_emb = np.asarray(ln_emb)
+        self.m_den = m_den
+        self.num_batches = num_batches
+        self.batch = batch
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_batches
+
+    def batches(self):
+        rng = np.random.default_rng(self.seed)
+        for _ in range(self.num_batches):
+            x = rng.random((self.batch, self.m_den)).astype(np.float32)
+            ls_i = np.stack(
+                [rng.integers(0, n, self.batch) for n in self.ln_emb]
+            )
+            y = (x[:, 0] > 0.5).astype(np.float32)[:, None]
+            yield Batch(x, ls_i, None, y)
+
+
+def make_cfg(**kw):
+    base = dict(
+        arch_sparse_feature_size=8,
+        arch_mlp_bot="13-16-8",
+        arch_mlp_top="8-1",
+        mini_batch_size=64,
+        world_size=8,
+        cache_size=64,
+        num_ways=4,
+        loss_function="bce",
+        lookahead=4,
+        table_agg_freq=10,
+        print_freq=1000,
+        learning_rate=0.2,
+        lr_embeds=0.2,
+    )
+    base.update(kw)
+    cfg = Config(**base)
+    cfg.finalize(ln_emb=np.array([500, 200, 1000]))
+    return cfg
+
+
+def test_train_loss_decreases_and_hit_rate():
+    cfg = make_cfg()
+    ds = LearnableDataset(cfg.ln_emb, num_batches=80)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=20, log_fn=lambda s: None)
+    early_loss = tr.metrics.loss_sum / tr.metrics.examples
+    tr.metrics.loss_sum = tr.metrics.correct = 0.0
+    tr.metrics.examples = tr.metrics.steps = 0
+    m = tr.train(max_steps=80, log_fn=lambda s: None)
+    tr.close()
+    late_loss = m.loss_sum / m.examples
+    assert tr.global_step == 80
+    # learnable signal: loss must drop from the untrained start
+    assert late_loss < early_loss
+    assert 0.0 < m.hit_rate <= 1.0
+    assert m.refills == 20  # 80 steps / lookahead 4
+
+
+def test_eval_runs_and_returns_auc():
+    cfg = make_cfg(test_freq=-1)
+    ds = LearnableDataset(cfg.ln_emb, num_batches=30)
+    tr = CachedDlrmTrainer(cfg, ds, LearnableDataset(cfg.ln_emb, num_batches=4, seed=9))
+    tr.train(max_steps=30, log_fn=lambda s: None)
+    acc, auc = tr.evaluate(log_fn=lambda s: None)
+    tr.close()
+    assert 0.0 <= acc <= 1.0
+    assert auc > 0.5  # learnable signal
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    cfg = make_cfg()
+    ds = LearnableDataset(cfg.ln_emb, num_batches=40)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=20, log_fn=lambda s: None)
+    ck = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ck)
+    cache_before = np.asarray(tr.cache[0]).copy()
+    occ_before = [o.copy() for o in tr.controller.occupancy]
+    tr.close()
+
+    cfg2 = make_cfg()
+    tr2 = CachedDlrmTrainer(cfg2, ds, ds)
+    tr2.load_checkpoint(ck)
+    np.testing.assert_allclose(np.asarray(tr2.cache[0]), cache_before)
+    for a, b in zip(tr2.controller.occupancy, occ_before):
+        np.testing.assert_array_equal(a, b)
+    assert tr2.global_step == 20
+    # resumed trainer can continue training
+    tr2.train(max_steps=25, log_fn=lambda s: None)
+    tr2.close()
+    assert tr2.global_step >= 25
+
+
+def test_strict_bias_divergence_mode():
+    cfg = make_cfg(strict_bias_divergence=True)
+    ds = LearnableDataset(cfg.ln_emb, num_batches=10)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=10, log_fn=lambda s: None)
+    # weights stay replicated; biases may diverge (the reference bug)
+    w0 = np.asarray(tr.params["bot"][0][0])
+    assert np.allclose(w0[0], w0[1])
+    tr.close()
+
+
+def test_config_cli_roundtrip():
+    cfg = config_from_args(
+        [
+            "--arch-sparse-feature-size", "16",
+            "--arch-mlp-bot", "13-32-16",
+            "--arch-mlp-top", "16-1",
+            "--mini-batch-size", "128",
+            "--cache-size", "1000",
+            "--num-ways", "8",
+            "--loss-function", "bce",
+            "--lookahead", "50",
+            "--average-on-writeback",
+        ]
+    )
+    assert cfg.arch_sparse_feature_size == 16
+    assert cfg.cache_size == 1000
+    assert cfg.average_on_writeback is True
+    cfg.finalize(ln_emb=np.array([100, 200]))
+    assert cfg.ln_top[0] == 3 * 2 // 2 + 16
+    assert cfg.cache_sets == 1009  # next prime
+
+
+def test_config_sanity_check_raises():
+    cfg = Config(arch_sparse_feature_size=8, arch_mlp_bot="13-16", arch_mlp_top="4-1")
+    with pytest.raises(ValueError, match="bottom MLP out"):
+        cfg.finalize(ln_emb=np.array([10]))
