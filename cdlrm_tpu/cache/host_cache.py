@@ -29,14 +29,19 @@ class ProbeResult:
     slots: [T, B] int32 global cache rows (hits -> way*sets+set within the
         table block; misses -> packed aux slots, reference
         model_no_ddp.py:176-185).
-    aux_rows: [T, aux_capacity, D] float32 master rows for misses, packed in
-        miss order; rows beyond the miss count are zero and never read.
+    aux_slots: [K] int32 aux-region rows receiving miss data this step;
+    aux_rows: [K, D] float32 the master rows to scatter there. K is the
+        TOTAL miss count across tables — only actual misses travel
+        host->device (the reference ships exactly the miss rows too,
+        model_no_ddp.py:179; a fixed [T, aux_cap, D] buffer would waste
+        ~hit_rate of the transfer).
     hit_counts: [T] int64 hits per table (first-class hit-rate metric; the
         reference computes this but comments it out, model_no_ddp.py:206-207).
     num_lookups: total lookups probed (for hit-rate denominators).
     """
 
     slots: np.ndarray
+    aux_slots: np.ndarray
     aux_rows: np.ndarray
     hit_counts: np.ndarray
     num_lookups: int
@@ -63,11 +68,15 @@ class InsertPlan:
 class HostCacheController:
     def __init__(self, geometry: CacheGeometry, seed: int = 0):
         self.geo = geometry
-        # [-1]-initialized occupancy, reference model_no_ddp.py:144-147
+        # [-1]-initialized occupancy, reference model_no_ddp.py:144-147.
+        # int32: embedding ids are < 2^31 for every supported dataset and the
+        # probe is host-memory-bandwidth-bound — half the bytes, half the time
         self.occupancy: List[np.ndarray] = [
-            np.full((int(s), geometry.ways), -1, dtype=np.int64) for s in geometry.sets
+            np.full((int(s), geometry.ways), -1, dtype=np.int32) for s in geometry.sets
         ]
-        self.rng = np.random.default_rng(seed)
+        # SFC64: the fastest numpy bit generator; way assignment only needs
+        # statistical uniformity, not PCG64's guarantees
+        self.rng = np.random.Generator(np.random.SFC64(seed))
 
     # ------------------------------------------------------------------ probe
     def probe(
@@ -82,11 +91,11 @@ class HostCacheController:
         geo = self.geo
         t_count, b = ls_i.shape
         slots = np.empty((t_count, b), dtype=np.int32)
-        aux_rows = np.zeros((t_count, geo.aux_capacity, geo.dim), dtype=np.float32)
+        aux_slot_parts, aux_row_parts = [], []
         hit_counts = np.zeros(t_count, dtype=np.int64)
         for t in range(t_count):
-            idx = ls_i[t].astype(np.int64)
-            sets_t = geo.sets[t]
+            idx = ls_i[t].astype(np.int32, copy=False)
+            sets_t = np.int32(geo.sets[t])
             set_idx = idx % sets_t
             occ = self.occupancy[t][set_idx]  # [B, ways]
             eq = occ == idx[:, None]
@@ -104,10 +113,19 @@ class HostCacheController:
             slot[miss_pos] = aux_base + np.arange(n_miss)
             slots[t] = slot.astype(np.int32)
             if n_miss:
-                aux_rows[t, :n_miss] = master.gather(t, idx[miss_pos])
+                aux_slot_parts.append(
+                    (aux_base + np.arange(n_miss)).astype(np.int32)
+                )
+                aux_row_parts.append(master.gather(t, idx[miss_pos]))
             if count_hits:
                 hit_counts[t] = b - n_miss
-        return ProbeResult(slots, aux_rows, hit_counts, t_count * b)
+        if aux_slot_parts:
+            aux_slots = np.concatenate(aux_slot_parts)
+            aux_rows = np.concatenate(aux_row_parts)
+        else:
+            aux_slots = np.zeros(0, dtype=np.int32)
+            aux_rows = np.zeros((0, geo.dim), dtype=np.float32)
+        return ProbeResult(slots, aux_slots, aux_rows, hit_counts, t_count * b)
 
     # ----------------------------------------------------------------- insert
     def plan_insert(
@@ -136,11 +154,11 @@ class HostCacheController:
         ins_slots, ins_rows = [], []
         ev_slots, ev_tables, ev_idxs = [], [], []
         for t in range(geo.num_tables):
-            u = np.asarray(uniques[t], dtype=np.int64)
+            u = np.asarray(uniques[t], dtype=np.int32)
             if u.size == 0:
                 continue
             occ = self.occupancy[t]
-            sets_t = geo.sets[t]
+            sets_t = np.int32(geo.sets[t])
             set_idx = u % sets_t
             eq = occ[set_idx] == u[:, None]  # [U, ways]
             hit = eq.any(axis=1)
@@ -177,17 +195,23 @@ class HostCacheController:
             group_len = np.diff(np.append(group_start, cand_set.size))
             ranks = np.arange(cand_set.size) - np.repeat(group_start, group_len)
 
-            keys = self.rng.random(avail.shape)
-            keys[~avail] = np.inf
+            # random way permutations ONLY for sets that have candidates
+            # (generating keys for all sets is O(sets*ways) RNG per refill)
+            need_sets = cand_set[is_first]  # unique candidate sets, sorted
+            need_avail = avail[need_sets]  # [S, ways]
+            keys = self.rng.random(need_avail.shape)
+            keys[~need_avail] = np.inf
             perm = np.argsort(keys, axis=1)  # available ways first, random order
-            n_avail = avail.sum(axis=1)
-            keep = ranks < n_avail[cand_set]
+            n_avail = need_avail.sum(axis=1)
+            # position of each candidate's set within need_sets
+            set_pos = np.cumsum(is_first) - 1
+            keep = ranks < n_avail[set_pos]
+            if not keep.any():
+                continue
+            ways_assign = perm[set_pos[keep], ranks[keep]]
             cand_u = cand_u[keep]
             cand_set = cand_set[keep]
             cand_rowpos = cand_rowpos[keep]
-            if cand_u.size == 0:
-                continue
-            ways_assign = perm[cand_set, ranks[keep]]
 
             # evictions: assigned ways currently holding an older entry
             old = occ[cand_set, ways_assign]
@@ -212,7 +236,8 @@ class HostCacheController:
             if not parts:
                 shape = (0,) if width is None else (0, width)
                 return np.zeros(shape, dtype=dtype)
-            return np.concatenate(parts).astype(dtype)
+            # single fused copy; no extra astype pass
+            return np.concatenate(parts, dtype=dtype, casting="unsafe")
 
         insert_slots = _cat(ins_slots, np.int32)
         insert_rows = _cat(ins_rows, np.float32, geo.dim)

@@ -30,27 +30,52 @@ class MasterTables:
         dim: int,
         rng: Optional[np.random.Generator] = None,
         mmap_dir: Optional[str] = None,
+        init: str = "uniform",
     ):
+        """init: 'uniform' = exact per-row uniform(-sqrt(1/n), sqrt(1/n))
+        (reference init); 'tile' = one random block tiled across each table —
+        O(block) RNG instead of O(rows), for benchmarking and for hosts where
+        RNG throughput is the bottleneck (values still uniform in the right
+        range; rows repeat with period 65536)."""
         self.ln_emb = [int(n) for n in ln_emb]
         self.dim = int(dim)
         self.tables: List[np.ndarray] = []
         rng = rng or np.random.default_rng(0)
+
+        block = None
+        if init == "tile":
+            fast = np.random.Generator(np.random.SFC64(int(rng.integers(2**31))))
+            block = fast.random((65536, self.dim), dtype=np.float32) * 2.0 - 1.0
+
         for t, n in enumerate(self.ln_emb):
-            bound = np.sqrt(1.0 / n)
+            bound = np.float32(np.sqrt(1.0 / n))
+
+            def fill(out, rows, offset=0):
+                if block is not None:
+                    bs = block.shape[0]
+                    for s in range(0, rows, bs):
+                        e = min(rows, s + bs)
+                        np.multiply(block[: e - s], bound, out=out[s:e])
+                    return
+                # float32-native uniform(-bound, bound): avoids a float64
+                # intermediate (2x memory + time on multi-GB tables)
+                r = rng.random((rows, self.dim), dtype=np.float32)
+                np.multiply(r, 2 * bound, out=r)
+                np.subtract(r, bound, out=r)
+                out[...] = r
+
             if mmap_dir is not None:
                 path = os.path.join(mmap_dir, f"master_table_{t}.npy")
                 arr = np.lib.format.open_memmap(
                     path, mode="w+", dtype=np.float32, shape=(n, self.dim)
                 )
-                # chunked init to bound peak memory
                 chunk = max(1, (1 << 24) // max(1, self.dim))
                 for s in range(0, n, chunk):
                     e = min(n, s + chunk)
-                    arr[s:e] = rng.uniform(-bound, bound, size=(e - s, self.dim)).astype(
-                        np.float32
-                    )
+                    fill(arr[s:e], e - s)
             else:
-                arr = rng.uniform(-bound, bound, size=(n, self.dim)).astype(np.float32)
+                arr = np.empty((n, self.dim), dtype=np.float32)
+                fill(arr, n)
             self.tables.append(arr)
 
     def gather(self, t: int, idxs: np.ndarray) -> np.ndarray:

@@ -118,6 +118,7 @@ class Config:
     aux_capacity: int = -1  # miss-row slots per table per step; -1 = local batch
     pin_cores: bool = False  # sched_setaffinity pinning of pipeline threads
     prefetch_backend: str = "thread"  # thread | process
+    master_init: str = "uniform"  # uniform | tile (see cache/master.py)
 
     # ---- derived (populated by finalize()) ----
     ln_emb: Optional[np.ndarray] = None

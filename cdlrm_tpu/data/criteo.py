@@ -1,0 +1,359 @@
+"""Criteo Kaggle / Terabyte datasets and loaders.
+
+Covers the reference's three loading paths with two implementations (the
+reference's streaming day-file loader C15 (/root/reference/
+data_loader_terabyte.py:19-172) and its memory-map CriteoDataset mode C17
+(/root/reference/dlrm_data_pytorch.py:129-288) produce the same stream — here
+they are ONE streaming dataset):
+
+- CriteoStreamingDataset: iterates <prefix>_<i>_reordered.npz day files,
+  stitching batches across day boundaries; train = given days, test = first
+  half of the last day, val = second half (data_loader_terabyte.py:106-113).
+- CriteoInMemoryDataset: single processed npz with train/val/test index
+  splitting + day/total randomization (dlrm_data_pytorch.py:209-256).
+- CriteoBinDataset: packed int32 binary with O(1) seek access
+  (data_loader_terabyte.py:195-235), plus the numpy->binary converter.
+
+All emit the canonical Batch: X = log(1+dense) f32 [B,13], ls_i int64 [26,B]
+(optionally % max_ind_range), y f32 [B,1] (the reference's
+_transform_features, data_loader_terabyte.py:68-87).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from os import path
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from cdlrm_tpu.data.synthetic import Batch
+
+DEN_FEA = 13
+SPA_FEA = 26
+
+
+def transform_batch(
+    x_int: np.ndarray, x_cat: np.ndarray, y: np.ndarray, max_ind_range: int = -1
+) -> Batch:
+    if max_ind_range > 0:
+        x_cat = x_cat % max_ind_range
+    x = np.log(x_int.astype(np.float32) + 1.0)
+    ls_i = np.ascontiguousarray(x_cat.T.astype(np.int64))
+    t = y.astype(np.float32).reshape(-1, 1)
+    return Batch(x, ls_i, None, t)
+
+
+class CriteoStreamingDataset:
+    """Streaming loader over reordered day files."""
+
+    def __init__(
+        self,
+        npzfile_prefix: str,
+        days: Sequence[int],
+        batch_size: int,
+        split: str = "train",
+        max_ind_range: int = -1,
+        drop_last: bool = False,
+        counts_file: Optional[str] = None,
+    ):
+        self.npzfile_prefix = npzfile_prefix
+        self.days = list(days)
+        self.batch_size = batch_size
+        self.split = split
+        self.max_ind_range = max_ind_range
+        self.drop_last = drop_last
+
+        day_count_file = npzfile_prefix + "_count.npz"
+        if not path.exists(day_count_file):
+            # the reference stores it under <d_prefix>_day_count.npz where
+            # npzfile_prefix == <d_prefix>_day
+            day_count_file = npzfile_prefix + "_day_count.npz"
+        with np.load(day_count_file) as data:
+            per_file = data["total_per_file"][np.asarray(self.days)]
+        self.length = int(np.sum(per_file))
+        if split in ("test", "val"):
+            self.length = int(np.ceil(self.length / 2.0))
+
+        if counts_file is None:
+            base = npzfile_prefix[: -len("_day")] if npzfile_prefix.endswith("_day") else npzfile_prefix
+            counts_file = base + "_fea_count.npz"
+        with np.load(counts_file) as data:
+            self.counts = data["counts"]
+        self.m_den = DEN_FEA
+
+    @property
+    def ln_emb(self) -> np.ndarray:
+        return np.asarray(self.counts, dtype=np.int64)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.length // self.batch_size
+        return math.ceil(self.length / self.batch_size)
+
+    def batches(self) -> Iterator[Batch]:
+        b = self.batch_size
+        carry = None  # (x_int, x_cat, y)
+        for day in self.days:
+            with np.load(f"{self.npzfile_prefix}_{day}_reordered.npz") as data:
+                x_int, x_cat, y = data["X_int"], data["X_cat"], data["y"]
+            n = y.shape[0]
+            start = 0
+            if self.split in ("test", "val"):
+                half = int(np.ceil(n / 2.0))
+                if self.split == "test":
+                    n = half
+                else:
+                    start = n - half
+            while True:
+                need = b - (0 if carry is None else carry[2].shape[0])
+                if start + need > n:
+                    sl = slice(start, n)
+                    piece = (x_int[sl], x_cat[sl], y[sl])
+                    carry = (
+                        piece
+                        if carry is None
+                        else tuple(np.concatenate([c, p]) for c, p in zip(carry, piece))
+                    )
+                    break
+                sl = slice(start, start + need)
+                piece = (x_int[sl], x_cat[sl], y[sl])
+                if carry is not None:
+                    piece = tuple(np.concatenate([c, p]) for c, p in zip(carry, piece))
+                    carry = None
+                start += need
+                yield transform_batch(*piece, self.max_ind_range)
+        if carry is not None and carry[2].shape[0] and not self.drop_last:
+            yield transform_batch(*carry, self.max_ind_range)
+
+
+class CriteoInMemoryDataset:
+    """Single processed-npz dataset with split/randomize index logic."""
+
+    def __init__(
+        self,
+        pro_data: str,
+        batch_size: int,
+        split: str = "train",
+        randomize: str = "total",
+        max_ind_range: int = -1,
+        day_count_file: Optional[str] = None,
+        seed: int = 123,
+        drop_last: bool = False,
+    ):
+        with np.load(pro_data) as data:
+            self.x_int = data["X_int"]
+            self.x_cat = data["X_cat"]
+            self.y = data["y"]
+            self.counts = data["counts"]
+        self.batch_size = batch_size
+        self.max_ind_range = max_ind_range
+        self.m_den = self.x_int.shape[1]
+        self.drop_last = drop_last
+        rng = np.random.default_rng(seed)
+
+        n = len(self.y)
+        indices = np.arange(n)
+        if split == "none":
+            if randomize == "total":
+                indices = rng.permutation(indices)
+            self.indices = indices
+        else:
+            if day_count_file is None or not path.exists(day_count_file):
+                raise FileNotFoundError(
+                    "split != 'none' requires the <prefix>_day_count.npz file "
+                    "to delimit days (reference dlrm_data_pytorch.py:118-127)"
+                )
+            with np.load(day_count_file) as data:
+                per_file = data["total_per_file"]
+            offsets = np.concatenate([[0], np.cumsum(per_file)])
+            day_indices = [
+                indices[offsets[i] : offsets[i + 1]] for i in range(len(per_file))
+            ]
+            if randomize == "day":
+                day_indices = [rng.permutation(d) for d in day_indices[:-1]] + [
+                    day_indices[-1]
+                ]
+            train_idx = np.concatenate(day_indices[:-1])
+            test_idx, val_idx = np.array_split(day_indices[-1], 2)
+            if randomize == "total":
+                train_idx = rng.permutation(train_idx)
+            self.indices = {"train": train_idx, "test": test_idx, "val": val_idx}[split]
+
+    @property
+    def ln_emb(self) -> np.ndarray:
+        return np.asarray(self.counts, dtype=np.int64)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return len(self.indices) // self.batch_size
+        return math.ceil(len(self.indices) / self.batch_size)
+
+    def batches(self) -> Iterator[Batch]:
+        b = self.batch_size
+        n = len(self.indices)
+        end = (n // b) * b if self.drop_last else n
+        for s in range(0, end, b):
+            idx = self.indices[s : s + b]
+            yield transform_batch(
+                self.x_int[idx], self.x_cat[idx], self.y[idx], self.max_ind_range
+            )
+
+
+class CriteoBinDataset:
+    """Packed int32 binary: each sample is [y, 13 dense, 26 sparse] int32;
+    batches are fixed-size contiguous blocks addressed by seek
+    (reference data_loader_terabyte.py:195-235)."""
+
+    TOT_FEA = 1 + DEN_FEA + SPA_FEA
+
+    def __init__(
+        self,
+        data_file: str,
+        counts_file: str,
+        batch_size: int = 1,
+        max_ind_range: int = -1,
+        bytes_per_feature: int = 4,
+    ):
+        self.data_file = data_file
+        self.batch_size = batch_size
+        self.max_ind_range = max_ind_range
+        self.bytes_per_entry = bytes_per_feature * self.TOT_FEA * batch_size
+        self.num_entries = math.ceil(os.path.getsize(data_file) / self.bytes_per_entry)
+        with np.load(counts_file) as data:
+            self.counts = data["counts"]
+        self.m_den = DEN_FEA
+
+    @property
+    def ln_emb(self) -> np.ndarray:
+        return np.asarray(self.counts, dtype=np.int64)
+
+    def __len__(self) -> int:
+        return self.num_entries
+
+    def get_batch(self, idx: int) -> Batch:
+        with open(self.data_file, "rb") as f:
+            f.seek(idx * self.bytes_per_entry, 0)
+            raw = f.read(self.bytes_per_entry)
+        arr = np.frombuffer(raw, dtype=np.int32).reshape(-1, self.TOT_FEA)
+        return transform_batch(
+            arr[:, 1 : 1 + DEN_FEA], arr[:, 1 + DEN_FEA :], arr[:, 0], self.max_ind_range
+        )
+
+    def batches(self) -> Iterator[Batch]:
+        for i in range(self.num_entries):
+            yield self.get_batch(i)
+
+
+def numpy_to_binary(input_files: List[str], output_path: str, split: str = "train") -> None:
+    """Convert reordered/processed npz day files into the packed binary
+    (reference data_loader_terabyte.py:238-275). For test/val, writes the
+    first/second half of the single input day."""
+    with open(output_path, "wb") as out:
+        if split == "train":
+            for f in input_files:
+                with np.load(f) as data:
+                    block = np.concatenate(
+                        [data["y"].reshape(-1, 1), data["X_int"], data["X_cat"]], axis=1
+                    ).astype(np.int32)
+                out.write(block.tobytes())
+        else:
+            assert len(input_files) == 1
+            with np.load(input_files[0]) as data:
+                block = np.concatenate(
+                    [data["y"].reshape(-1, 1), data["X_int"], data["X_cat"]], axis=1
+                ).astype(np.int32)
+            mid = int(np.ceil(block.shape[0] / 2.0))
+            sel = block[:mid] if split == "test" else block[mid:]
+            out.write(sel.tobytes())
+
+
+def make_criteo_datasets(cfg):
+    """Dispatcher equivalent to the reference's make_criteo_data_and_loaders
+    (dlrm_data_pytorch.py:386-547): returns (train_ds, test_ds, cfg) with
+    cfg.finalize(ln_emb, m_den) applied. The prefetcher's cache stream is the
+    trainer's second pass over train_ds (reference cache_ld)."""
+    if cfg.mlperf_bin_loader:
+        d_path = os.path.dirname(cfg.processed_data_file) or "."
+        counts_file = os.path.join(d_path, "day_fea_count.npz")
+        if not path.exists(counts_file):
+            base = cfg.raw_data_file.split("/")[-1].split(".")[0]
+            counts_file = os.path.join(d_path, base + "_fea_count.npz")
+        train = CriteoBinDataset(
+            os.path.join(d_path, "train_data.bin"), counts_file,
+            cfg.mini_batch_size, cfg.max_ind_range,
+        )
+        test = CriteoBinDataset(
+            os.path.join(d_path, "test_data.bin"), counts_file,
+            cfg.test_mini_batch_size, cfg.max_ind_range,
+        )
+        cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
+        return train, test, cfg
+
+    lstr = cfg.raw_data_file.split("/")
+    d_path = "/".join(lstr[0:-1]) + "/"
+    d_file = lstr[-1].split(".")[0] if cfg.data_set == "kaggle" else lstr[-1]
+    npzfile_prefix = d_path + (
+        (d_file + "_day") if cfg.data_set == "kaggle" else d_file
+    )
+    days = 7 if cfg.data_set == "kaggle" else 24
+
+    if cfg.memory_map:
+        # ensure reordered day files exist (runs offline preprocessing if not)
+        from cdlrm_tpu.data.preprocess import get_criteo_ad_data
+
+        if not all(
+            path.exists(f"{npzfile_prefix}_{i}_reordered.npz") for i in range(days)
+        ):
+            get_criteo_ad_data(
+                cfg.raw_data_file,
+                "criteo_processed",
+                max_ind_range=cfg.max_ind_range,
+                sub_sample_rate=cfg.data_sub_sample_rate,
+                days=days,
+                randomize=cfg.data_randomize,
+                criteo_kaggle=cfg.data_set == "kaggle",
+                memory_map=True,
+                seed=cfg.numpy_rand_seed,
+            )
+        train = CriteoStreamingDataset(
+            npzfile_prefix, range(days - 1), cfg.mini_batch_size,
+            split="train", max_ind_range=cfg.max_ind_range, drop_last=True,
+        )
+        test = CriteoStreamingDataset(
+            npzfile_prefix, [days - 1], cfg.test_mini_batch_size,
+            split="test", max_ind_range=cfg.max_ind_range,
+        )
+        cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
+        return train, test, cfg
+
+    # in-memory processed npz
+    pro_data = cfg.processed_data_file
+    if not pro_data or not path.exists(pro_data):
+        from cdlrm_tpu.data.preprocess import get_criteo_ad_data
+
+        pro_data = get_criteo_ad_data(
+            cfg.raw_data_file,
+            (pro_data or d_path + "criteo_processed").split("/")[-1].replace(".npz", ""),
+            max_ind_range=cfg.max_ind_range,
+            sub_sample_rate=cfg.data_sub_sample_rate,
+            days=days,
+            randomize=cfg.data_randomize,
+            criteo_kaggle=cfg.data_set == "kaggle",
+            memory_map=False,
+            seed=cfg.numpy_rand_seed,
+        )
+    day_count = d_path + d_file + "_day_count.npz"
+    train = CriteoInMemoryDataset(
+        pro_data, cfg.mini_batch_size, split="train",
+        randomize=cfg.data_randomize, max_ind_range=cfg.max_ind_range,
+        day_count_file=day_count, seed=cfg.numpy_rand_seed, drop_last=True,
+    )
+    test = CriteoInMemoryDataset(
+        pro_data, cfg.test_mini_batch_size, split="test",
+        randomize=cfg.data_randomize, max_ind_range=cfg.max_ind_range,
+        day_count_file=day_count, seed=cfg.numpy_rand_seed,
+    )
+    cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
+    return train, test, cfg

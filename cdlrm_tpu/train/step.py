@@ -108,29 +108,31 @@ def make_cached_train_step(
 ) -> Callable:
     """Build the jitted DP train step.
 
-    Inputs (shapes; B = global batch, Bl = B/ndev, T = tables, A = aux cap):
+    Inputs (shapes; B = global batch, Bl = B/ndev, T = tables, K = packed
+    miss-bucket size):
       params: pytree with leading [ndev] axis
       cache:   [ndev, R, D]   touched: [ndev, R] bool
       x:       [B, dense_dim] sharded on batch
       slots:   [T, B] int32 sharded on batch axis
-      aux:     [ndev, T, A, D]
+      aux_slots: [ndev, K] int32 (padding -> trash row)
+      aux_rows:  [ndev, K, D] packed miss rows
       targets: [B, 1]
       lr, lr_embeds: scalars
     Returns (params, cache, touched, loss_sum, correct) — metrics are global
     (psum'd) scalars.
     """
-    aux_bases = tuple(geo.aux_base(t) for t in range(geo.num_tables))
     cdtype = cfg.cdtype
 
-    def body(params, cache, touched, x, slots, aux, targets, lr, lr_embeds):
+    def body(params, cache, touched, x, slots, aux_slots, aux_rows, targets, lr, lr_embeds):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
-        cache, touched, aux = cache[0], touched[0], aux[0]
+        cache, touched = cache[0], touched[0]
+        aux_slots, aux_rows = aux_slots[0], aux_rows[0]
         t_count, b_loc = slots.shape
         d = cache.shape[-1]
 
-        # stage miss rows into each table's aux region (contiguous updates)
-        for t in range(t_count):
-            cache = jax.lax.dynamic_update_slice(cache, aux[t], (aux_bases[t], 0))
+        # stage packed miss rows into the aux regions (padding hits the
+        # trash row; slots are distinct by construction)
+        cache = cache.at[aux_slots].set(aux_rows)
 
         flat_slots = slots.reshape(-1)
         rows = jnp.take(cache, flat_slots, axis=0)  # [T*Bl, D]
@@ -179,7 +181,8 @@ def make_cached_train_step(
             lead,  # touched
             P(DP_AXIS),  # x
             P(None, DP_AXIS),  # slots
-            lead,  # aux
+            lead,  # aux_slots
+            lead,  # aux_rows
             P(DP_AXIS),  # targets
             P(),  # lr
             P(),  # lr_embeds
@@ -198,16 +201,15 @@ def make_cached_eval_step(mesh: Mesh, geo: CacheGeometry, cfg: StepConfig) -> Ca
     own cache copy, which is identical right after a refill broadcast and
     near-identical otherwise (documented deviation; eval never mutates
     persistent cache state: the aux writes live only inside this step)."""
-    aux_bases = tuple(geo.aux_base(t) for t in range(geo.num_tables))
     cdtype = cfg.cdtype
 
-    def body(params, cache, x, slots, aux):
+    def body(params, cache, x, slots, aux_slots, aux_rows):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
-        cache, aux = cache[0], aux[0]
+        cache = cache[0]
+        aux_slots, aux_rows = aux_slots[0], aux_rows[0]
         t_count, b_loc = slots.shape
         d = cache.shape[-1]
-        for t in range(t_count):
-            cache = jax.lax.dynamic_update_slice(cache, aux[t], (aux_bases[t], 0))
+        cache = cache.at[aux_slots].set(aux_rows)
         rows = jnp.take(cache, slots.reshape(-1), axis=0)
         ly = rows.reshape(t_count, b_loc, d)
         p = dlrm_forward(
@@ -220,7 +222,7 @@ def make_cached_eval_step(mesh: Mesh, geo: CacheGeometry, cfg: StepConfig) -> Ca
     shardmapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(lead, lead, P(DP_AXIS), P(None, DP_AXIS), lead),
+        in_specs=(lead, lead, P(DP_AXIS), P(None, DP_AXIS), lead, lead),
         out_specs=P(DP_AXIS),
         check_vma=False,
     )

@@ -59,10 +59,20 @@ class TrainMetrics:
     refills: int = 0
     hits: int = 0
     lookups: int = 0
+    # per-table hit accounting: first-class metric the reference computes but
+    # comments out (model_no_ddp.py:206-207)
+    table_hits: Optional[np.ndarray] = None
+    table_lookups: int = 0
 
     @property
     def hit_rate(self) -> float:
         return self.hits / max(1, self.lookups)
+
+    @property
+    def per_table_hit_rates(self) -> Optional[np.ndarray]:
+        if self.table_hits is None or self.table_lookups == 0:
+            return None
+        return self.table_hits / self.table_lookups
 
 
 class CachedDlrmTrainer:
@@ -90,7 +100,7 @@ class CachedDlrmTrainer:
         self.geo = CacheGeometry.build(
             cfg.ln_emb, cfg.m_spa, cfg.cache_size, cfg.num_ways, aux_cap
         )
-        self.master = MasterTables(cfg.ln_emb, cfg.m_spa, rng)
+        self.master = MasterTables(cfg.ln_emb, cfg.m_spa, rng, init=cfg.master_init)
         self.controller = HostCacheController(self.geo, seed=cfg.numpy_rand_seed)
 
         # dense params (replicated with a leading device axis)
@@ -199,23 +209,39 @@ class CachedDlrmTrainer:
                 "--num-indices-per-lookup-fixed"
             )
         ls_i = batch.ls_i
-        t_count = ls_i.shape[0]
-        slots_shards, aux_shards = [], []
+        slots_shards, aux_slot_shards, aux_row_shards = [], [], []
         for r in range(self.ndev):
             pr = self.controller.probe(
                 ls_i[:, r * b_loc : (r + 1) * b_loc], self.master
             )
             slots_shards.append(pr.slots)
-            aux_shards.append(pr.aux_rows)
+            aux_slot_shards.append(pr.aux_slots)
+            aux_row_shards.append(pr.aux_rows)
             self.metrics.hits += int(pr.hit_counts.sum())
             self.metrics.lookups += pr.num_lookups
+            if self.metrics.table_hits is None:
+                self.metrics.table_hits = np.zeros(ls_i.shape[0], dtype=np.int64)
+            self.metrics.table_hits += pr.hit_counts
+            self.metrics.table_lookups += pr.num_lookups // ls_i.shape[0]
         slots = np.concatenate(slots_shards, axis=1)
-        aux = np.stack(aux_shards)
+        # pack misses: pad every shard to a common pow2 bucket so only one
+        # compiled shape per bucket exists (DESIGN.md D6); padding scatters
+        # into the trash row
+        from cdlrm_tpu.utils.padding import pow2_bucket
+
+        k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
+        aux_slots = np.full((self.ndev, k), self.geo.trash_row, dtype=np.int32)
+        aux_rows = np.zeros((self.ndev, k, self.geo.dim), dtype=np.float32)
+        for r in range(self.ndev):
+            n = aux_slot_shards[r].shape[0]
+            aux_slots[r, :n] = aux_slot_shards[r]
+            aux_rows[r, :n] = aux_row_shards[r]
         sh = self._shardings
         return (
             jax.device_put(batch.x, sh["batch0"]),
             jax.device_put(slots, sh["slots"]),
-            jax.device_put(aux, sh["lead"]),
+            jax.device_put(aux_slots, sh["lead"]),
+            jax.device_put(aux_rows, sh["lead"]),
             jax.device_put(batch.y, sh["batch0"]),
         )
 
@@ -256,7 +282,7 @@ class CachedDlrmTrainer:
                         break
                     self._apply_refill(window)
 
-                x, slots, aux, tgt = self._assemble(batch, b_loc)
+                x, slots, aux_slots, aux_rows, tgt = self._assemble(batch, b_loc)
                 (
                     self.params,
                     self.cache,
@@ -264,8 +290,8 @@ class CachedDlrmTrainer:
                     loss_sum,
                     correct,
                 ) = self.train_step(
-                    self.params, self.cache, self.touched, x, slots, aux, tgt,
-                    self._lr, self._lr_emb,
+                    self.params, self.cache, self.touched, x, slots,
+                    aux_slots, aux_rows, tgt, self._lr, self._lr_emb,
                 )
                 pending.append((loss_sum, correct, b))
 
@@ -340,8 +366,10 @@ class CachedDlrmTrainer:
                 break
             n = batch.x.shape[0]
             batch = _pad_batch(batch, tb_loc * self.ndev)
-            x, slots, aux, tgt = self._assemble(batch, tb_loc)
-            scores = np.asarray(self.eval_step(self.params, self.cache, x, slots, aux))
+            x, slots, aux_slots, aux_rows, tgt = self._assemble(batch, tb_loc)
+            scores = np.asarray(
+                self.eval_step(self.params, self.cache, x, slots, aux_slots, aux_rows)
+            )
             scores = scores[:n]
             y = batch.y[:n]
             correct += accuracy_count(scores, y)

@@ -10,10 +10,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def pow2_bucket(n: int, min_size: int = 8) -> int:
+def pow2_bucket(n: int, min_size: int = 8, factor: int = 4) -> int:
+    """Next power-of-``factor`` bucket >= n (coarse buckets keep the number
+    of distinct compiled shapes tiny — each new shape is a full XLA compile,
+    expensive on remote/tunneled TPU backends)."""
     if n <= min_size:
         return min_size
-    return 1 << int(n - 1).bit_length()
+    b = min_size
+    while b < n:
+        b *= factor
+    return b
 
 
 def pad_to_bucket(a: np.ndarray, fill, min_size: int = 8) -> np.ndarray:

@@ -37,9 +37,15 @@ def test_probe_all_miss_then_hit():
     assert pr.hit_counts.tolist() == [0, 0]
     assert pr.slots[0].tolist() == [22, 23, 24]
     assert pr.slots[1].tolist() == [geo.aux_base(1), geo.aux_base(1) + 1, geo.aux_base(1) + 2]
-    # aux rows are the master rows of the missing indices
-    np.testing.assert_allclose(pr.aux_rows[0][0], master.tables[0][1])
-    np.testing.assert_allclose(pr.aux_rows[0][1], master.tables[0][12])
+    # packed aux: slots enumerate each table's aux region in miss order,
+    # rows carry the master values of the missing indices
+    np.testing.assert_array_equal(
+        pr.aux_slots,
+        [22, 23, 24, geo.aux_base(1), geo.aux_base(1) + 1, geo.aux_base(1) + 2],
+    )
+    np.testing.assert_allclose(pr.aux_rows[0], master.tables[0][1])
+    np.testing.assert_allclose(pr.aux_rows[1], master.tables[0][12])
+    np.testing.assert_allclose(pr.aux_rows[2], master.tables[0][1])
 
     # insert idx 1 and 12 (same set, different ways) and re-probe
     plan = ctrl.plan_insert([np.array([1, 12]), np.array([], np.int64)],

@@ -1,0 +1,225 @@
+"""Criteo pipeline: offline preprocessing artifacts, loaders, and the
+binary-vs-npz lockstep equivalence test (the reference's _test_bin pattern,
+/root/reference/data_loader_terabyte.py:297-357)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cdlrm_tpu.data.criteo import (
+    CriteoBinDataset,
+    CriteoInMemoryDataset,
+    CriteoStreamingDataset,
+    numpy_to_binary,
+    transform_batch,
+)
+from cdlrm_tpu.data.preprocess import get_criteo_ad_data
+
+DAYS = 3
+LINES = 120
+
+
+def write_raw_kaggle(path, n=LINES, seed=0):
+    """Fabricate a raw Criteo-format TSV: target, 13 ints, 26 hex cats;
+    sprinkle missing fields."""
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for i in range(n):
+            target = int(rng.random() < 0.3)
+            dense = [str(int(v)) for v in rng.integers(-2, 100, 13)]
+            cats = [format(int(v), "x") for v in rng.integers(0, 5000, 26)]
+            if i % 7 == 0:
+                dense[3] = ""  # missing -> 0
+                cats[5] = ""
+            f.write("\t".join([str(target)] + dense + cats) + "\n")
+
+
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    d = tmp_path_factory.mktemp("criteo")
+    raw = str(d / "train.txt")
+    write_raw_kaggle(raw)
+    out = get_criteo_ad_data(
+        raw, "kaggle_processed", days=DAYS, criteo_kaggle=True, memory_map=True
+    )
+    # also produce the concatenated npz for the in-memory path
+    pro = get_criteo_ad_data(
+        raw, "kaggle_processed", days=DAYS, criteo_kaggle=True, memory_map=False
+    )
+    return d, raw, out, pro
+
+
+def test_artifacts_exist(prepared):
+    d, raw, prefix, pro = prepared
+    assert os.path.exists(str(d / "train_day_count.npz"))
+    assert os.path.exists(str(d / "train_fea_count.npz"))
+    for i in range(DAYS):
+        assert os.path.exists(f"{prefix}_{i}_reordered.npz")
+    assert os.path.exists(pro)
+    with np.load(str(d / "train_day_count.npz")) as data:
+        assert int(np.sum(data["total_per_file"])) == LINES
+
+
+def test_counts_and_remap(prepared):
+    d, raw, prefix, pro = prepared
+    with np.load(str(d / "train_fea_count.npz")) as data:
+        counts = data["counts"]
+    assert counts.shape == (26,)
+    with np.load(pro) as data:
+        x_cat, x_int, y = data["X_cat"], data["X_int"], data["y"]
+        assert (data["counts"] == counts).all()
+    # remapped ids are dense in [0, counts)
+    for j in range(26):
+        assert x_cat[:, j].min() >= 0
+        assert x_cat[:, j].max() < counts[j]
+    # dense negatives clamped
+    assert x_int.min() >= 0
+    assert set(np.unique(y)) <= {0, 1}
+
+
+def test_fyr_preserves_multiset(prepared):
+    """Reordering must be a permutation of the processed data."""
+    d, raw, prefix, pro = prepared
+    orig, reord = [], []
+    for i in range(DAYS):
+        with np.load(f"{prefix}_{i}_processed.npz") as data:
+            orig.append(np.concatenate(
+                [data["y"].reshape(-1, 1), data["X_int"], data["X_cat"]], axis=1))
+        with np.load(f"{prefix}_{i}_reordered.npz") as data:
+            reord.append(np.concatenate(
+                [data["y"].reshape(-1, 1), data["X_int"], data["X_cat"]], axis=1))
+    a = np.concatenate(orig)
+    b = np.concatenate(reord)
+    # last day preserved in place (holds the test/val split)
+    np.testing.assert_array_equal(orig[-1], reord[-1])
+    # global multiset equality via lexicographic sort
+    np.testing.assert_array_equal(
+        a[np.lexsort(a.T[::-1])], b[np.lexsort(b.T[::-1])]
+    )
+    # and it actually shuffled the train days
+    assert not np.array_equal(a, b)
+
+
+def test_streaming_loader_shapes_and_stitching(prepared):
+    d, raw, prefix, pro = prepared
+    bs = 32  # does not divide day size (40) -> forces cross-day stitching
+    ds = CriteoStreamingDataset(prefix, range(DAYS - 1), bs, split="train")
+    batches = list(ds.batches())
+    total = sum(b.x.shape[0] for b in batches)
+    assert total == 80  # days 0+1
+    assert all(b.x.shape == (bs, 13) for b in batches[:-1])
+    b0 = batches[0]
+    assert b0.ls_i.shape == (26, bs) and b0.ls_mask is None
+    assert b0.y.shape == (bs, 1)
+    # log1p transform of non-negative ints
+    assert (b0.x >= 0).all()
+    # second pass identical (restartable for the prefetcher)
+    again = list(ds.batches())
+    np.testing.assert_array_equal(batches[0].ls_i, again[0].ls_i)
+
+
+def test_streaming_test_val_halves(prepared):
+    d, raw, prefix, pro = prepared
+    test = list(CriteoStreamingDataset(prefix, [DAYS - 1], 8, split="test").batches())
+    val = list(CriteoStreamingDataset(prefix, [DAYS - 1], 8, split="val").batches())
+    n_test = sum(b.x.shape[0] for b in test)
+    n_val = sum(b.x.shape[0] for b in val)
+    assert n_test == 20 and n_val == 20  # 40-sample day halved
+    # disjoint halves: test is the first half, val the second
+    with np.load(f"{prefix}_{DAYS-1}_reordered.npz") as data:
+        y = data["y"]
+    np.testing.assert_array_equal(
+        np.concatenate([b.y.ravel() for b in test]), y[:20].astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([b.y.ravel() for b in val]), y[20:].astype(np.float32)
+    )
+
+
+def test_in_memory_splits(prepared):
+    d, raw, prefix, pro = prepared
+    day_count = str(d / "train_day_count.npz")
+    tr = CriteoInMemoryDataset(pro, 16, split="train", day_count_file=day_count)
+    te = CriteoInMemoryDataset(pro, 16, split="test", day_count_file=day_count)
+    va = CriteoInMemoryDataset(pro, 16, split="val", day_count_file=day_count)
+    assert len(tr.indices) == 80
+    assert len(te.indices) + len(va.indices) == 40
+    assert set(tr.indices) | set(te.indices) | set(va.indices) == set(range(120))
+    b = next(iter(tr.batches()))
+    assert b.x.shape == (16, 13) and b.ls_i.shape == (26, 16)
+
+
+def test_max_ind_range_modulo(prepared):
+    d, raw, prefix, pro = prepared
+    ds = CriteoStreamingDataset(prefix, [0], 16, split="train", max_ind_range=7)
+    for b in ds.batches():
+        assert b.ls_i.max() < 7
+
+
+def test_bin_loader_equivalence(prepared, tmp_path):
+    """Lockstep equality between the binary loader and the streaming loader
+    over the same reordered files (reference _test_bin,
+    data_loader_terabyte.py:297-357)."""
+    d, raw, prefix, pro = prepared
+    train_files = [f"{prefix}_{i}_reordered.npz" for i in range(DAYS - 1)]
+    bin_path = str(tmp_path / "train_data.bin")
+    numpy_to_binary(train_files, bin_path, split="train")
+    counts_file = str(d / "train_fea_count.npz")
+    bs = 16
+    bin_ds = CriteoBinDataset(bin_path, counts_file, batch_size=bs)
+    stream_ds = CriteoStreamingDataset(prefix, range(DAYS - 1), bs, split="train")
+    n_checked = 0
+    for old, new in zip(stream_ds.batches(), bin_ds.batches()):
+        np.testing.assert_allclose(old.x, new.x, rtol=1e-6)
+        np.testing.assert_array_equal(old.ls_i, new.ls_i)
+        np.testing.assert_array_equal(old.y, new.y)
+        n_checked += 1
+    assert n_checked == len(bin_ds) == 5  # 80 samples / 16
+
+    # test split = first half of last day
+    test_bin = str(tmp_path / "test_data.bin")
+    numpy_to_binary([f"{prefix}_{DAYS-1}_reordered.npz"], test_bin, split="test")
+    bin_test = CriteoBinDataset(test_bin, counts_file, batch_size=10)
+    stream_test = CriteoStreamingDataset(prefix, [DAYS - 1], 10, split="test")
+    for old, new in zip(stream_test.batches(), bin_test.batches()):
+        np.testing.assert_array_equal(old.ls_i, new.ls_i)
+
+
+def test_sub_sample_rate(tmp_path):
+    raw = str(tmp_path / "train.txt")
+    write_raw_kaggle(raw, n=200, seed=3)
+    get_criteo_ad_data(
+        raw, "sub_processed", days=2, criteo_kaggle=True, memory_map=False,
+        sub_sample_rate=0.9,
+    )
+    with np.load(str(tmp_path / "sub_processed.npz")) as data:
+        y = data["y"]
+    # ~90% of negatives dropped; positives all kept
+    assert y.size < 200
+    assert y.sum() == sum(
+        1 for line in open(raw) if line.split("\t")[0] == "1"
+    )
+
+
+def test_cached_training_on_criteo(prepared):
+    """End-to-end: cached trainer consumes the streaming Criteo dataset."""
+    d, raw, prefix, pro = prepared
+    from cdlrm_tpu.config import Config
+    from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+    train = CriteoStreamingDataset(prefix, range(DAYS - 1), 16, split="train",
+                                   drop_last=True)
+    test = CriteoStreamingDataset(prefix, [DAYS - 1], 16, split="test")
+    cfg = Config(
+        arch_sparse_feature_size=8, arch_mlp_bot="13-16-8", arch_mlp_top="8-1",
+        mini_batch_size=16, world_size=8, cache_size=32, num_ways=2,
+        loss_function="bce", lookahead=2, print_freq=1000, table_agg_freq=3,
+    )
+    cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
+    tr = CachedDlrmTrainer(cfg, train, test)
+    m = tr.train(max_steps=5, log_fn=lambda s: None)
+    acc, auc = tr.evaluate(log_fn=lambda s: None)
+    tr.close()
+    assert m.lookups > 0
+    assert 0 <= acc <= 1

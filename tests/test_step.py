@@ -47,15 +47,18 @@ def make_batch(geo, b, rng_seed=1, ndev=1):
             for t in range(T)
         ]
     )
-    aux = np.zeros((ndev, T, geo.aux_capacity, D), np.float32)
-    return x, slots, aux, tgt
+    aux_slots = np.full((ndev, 8), geo.trash_row, np.int32)
+    aux_rows = np.zeros((ndev, 8, D), np.float32)
+    return x, slots, (aux_slots, aux_rows), tgt
 
 
 def put(mesh, x, slots, aux, tgt):
+    aux_slots, aux_rows = aux
     return (
         jax.device_put(x, NamedSharding(mesh, P("dp"))),
         jax.device_put(slots, NamedSharding(mesh, P(None, "dp"))),
-        jax.device_put(aux, NamedSharding(mesh, P("dp"))),
+        jax.device_put(aux_slots, NamedSharding(mesh, P("dp"))),
+        jax.device_put(aux_rows, NamedSharding(mesh, P("dp"))),
         jax.device_put(tgt, NamedSharding(mesh, P("dp"))),
     )
 
@@ -65,9 +68,9 @@ def test_sparse_update_locality():
     mesh, geo, params, cache, touched, scfg, cache_host = build(1, 8)
     step = step_lib.make_cached_train_step(mesh, geo, scfg)
     x, slots, aux, tgt = make_batch(geo, 8)
-    xd, sd, ad, td = put(mesh, x, slots, aux, tgt)
+    xd, sd, asd, ard, td = put(mesh, x, slots, aux, tgt)
     params, cache, touched, loss, correct = step(
-        params, cache, touched, xd, sd, ad, td, jnp.float32(0.1), jnp.float32(0.3)
+        params, cache, touched, xd, sd, asd, ard, td, jnp.float32(0.1), jnp.float32(0.3)
     )
     new_cache = np.asarray(cache[0])
     touched_np = np.asarray(touched[0])
@@ -77,6 +80,7 @@ def test_sparse_update_locality():
     aux_rows = np.zeros(geo.total_rows, bool)
     for t in range(T):
         aux_rows[geo.aux_base(t) : geo.aux_base(t) + geo.aux_capacity] = True
+    aux_rows[geo.trash_row] = True  # padding scatters land here
     unchanged = ~(expected_touched | aux_rows)
     np.testing.assert_allclose(new_cache[unchanged], cache_host[unchanged])
     # touched rows actually moved
@@ -101,9 +105,9 @@ def test_sparse_update_matches_manual_sgd():
         return compute_loss(p, jnp.asarray(tgt), "bce")
 
     g_cache = np.asarray(jax.grad(oracle_loss)(jnp.asarray(cache_host)))
-    xd, sd, ad, td = put(mesh, x, slots, aux, tgt)
+    xd, sd, asd, ard, td = put(mesh, x, slots, aux, tgt)
     _, cache, _, _, _ = step(
-        params, cache, touched, xd, sd, ad, td, jnp.float32(0.0), jnp.float32(0.3)
+        params, cache, touched, xd, sd, asd, ard, td, jnp.float32(0.0), jnp.float32(0.3)
     )
     new_cache = np.asarray(cache[0])
     delta = new_cache - cache_host
@@ -120,9 +124,9 @@ def test_dp_matches_single_device():
     mesh8, geo, params8, cache8, touched8, scfg, cache_host = build(8, b)
     step8 = step_lib.make_cached_train_step(mesh8, geo, scfg)
     x, slots, aux8, tgt = make_batch(geo, b, ndev=8)
-    xd, sd, ad, td = put(mesh8, x, slots, aux8, tgt)
+    xd, sd, asd, ard, td = put(mesh8, x, slots, aux8, tgt)
     params8, cache8, touched8, loss8, corr8 = step8(
-        params8, cache8, touched8, xd, sd, ad, td, jnp.float32(0.1), jnp.float32(0.3)
+        params8, cache8, touched8, xd, sd, asd, ard, td, jnp.float32(0.1), jnp.float32(0.3)
     )
 
     # oracle: average of per-shard dense grads == grad of mean-of-shard-losses
@@ -135,11 +139,12 @@ def test_dp_matches_single_device():
         xs = x[r * 2 : (r + 1) * 2]
         ss = slots[:, r * 2 : (r + 1) * 2]
         ts = tgt[r * 2 : (r + 1) * 2]
-        aux1 = np.zeros((1, T, geo1.aux_capacity, D), np.float32)
-        xd1, sd1, ad1, td1 = put(mesh1, xs, ss, aux1, ts)
+        aux1 = (np.full((1, 8), geo1.trash_row, np.int32),
+                np.zeros((1, 8, D), np.float32))
+        xd1, sd1, asd1, ard1, td1 = put(mesh1, xs, ss, aux1, ts)
         # cache1/touched1 are donated; thread the returned buffers through
         _, cache1, touched1, l1, c1 = step1(
-            params1, cache1, touched1, xd1, sd1, ad1, td1,
+            params1, cache1, touched1, xd1, sd1, asd1, ard1, td1,
             jnp.float32(0.0), jnp.float32(0.0),
         )
         total += float(l1)
@@ -150,6 +155,7 @@ def test_dp_matches_single_device():
         shard_slots = slots[:, r * 2 : (r + 1) * 2].reshape(-1)
         other = np.ones(geo.total_rows, bool)
         other[shard_slots] = False
+        other[geo.trash_row] = False
         for t in range(T):
             other[geo.aux_base(t) : geo.aux_base(t) + geo.aux_capacity] = False
         np.testing.assert_allclose(
