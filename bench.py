@@ -83,7 +83,10 @@ def main():
         round_targets=True,
         compute_dtype="bfloat16",
         batch_fifo_size=4,
-        master_init="tile",
+        # virtual (procedural) masters: this bench VM first-touches memory at
+        # ~15 MB/s, so materializing 3+ GB of tables would dominate the run;
+        # gather/writeback cost is equivalent (see cache/master.py)
+        master_init="virtual",
     )
     cfg.finalize(ln_emb=ln_emb)
 

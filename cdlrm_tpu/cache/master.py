@@ -106,3 +106,74 @@ class MasterTables:
         with np.load(path) as data:
             for t in range(len(self.tables)):
                 self.tables[t][...] = data[f"table_{t}"]
+
+
+class VirtualMasterTables:
+    """Procedurally-generated master tables with a sparse writeback overlay.
+
+    Same interface as MasterTables, but rows are computed on demand from a
+    small random block instead of materialized: gather(t, idx) returns
+    block[(idx + t*PHI) % block_rows] * bound_t, with written-back rows kept
+    in a per-table sorted overlay. Exists for benchmarking on hosts where
+    materializing / first-touching many GB of table memory costs minutes
+    (e.g. throttled VMs); the gather/writeback cost profile matches the real
+    MasterTables. Not for real training: rows repeat with period block_rows.
+    """
+
+    _PHI = 0x9E3779B1
+
+    def __init__(self, ln_emb, dim, rng=None, block_rows: int = 65536):
+        self.ln_emb = [int(n) for n in ln_emb]
+        self.dim = int(dim)
+        rng = rng or np.random.default_rng(0)
+        fast = np.random.Generator(np.random.SFC64(int(rng.integers(2**31))))
+        self._block = fast.random((block_rows, self.dim), dtype=np.float32) * 2.0 - 1.0
+        self._bounds = [np.float32(np.sqrt(1.0 / n)) for n in self.ln_emb]
+        self._overlay_idx = [np.zeros(0, np.int64) for _ in self.ln_emb]
+        self._overlay_rows = [np.zeros((0, self.dim), np.float32) for _ in self.ln_emb]
+
+    def gather(self, t: int, idxs: np.ndarray) -> np.ndarray:
+        idxs = np.asarray(idxs, dtype=np.int64)
+        pos = (idxs + t * self._PHI) % self._block.shape[0]
+        rows = self._block[pos] * self._bounds[t]
+        o_idx = self._overlay_idx[t]
+        if o_idx.size:
+            loc = np.searchsorted(o_idx, idxs)
+            loc_c = np.minimum(loc, o_idx.size - 1)
+            hit = o_idx[loc_c] == idxs
+            if hit.any():
+                rows[hit] = self._overlay_rows[t][loc_c[hit]]
+        return rows
+
+    def gather_all(self, idxs_per_table):
+        return [self.gather(t, i) for t, i in enumerate(idxs_per_table)]
+
+    def writeback(self, t: int, idxs: np.ndarray, rows: np.ndarray, average: bool = False) -> None:
+        if idxs.size == 0:
+            return
+        idxs = np.asarray(idxs, dtype=np.int64)
+        rows = np.asarray(rows, dtype=np.float32)
+        if average:
+            rows = (self.gather(t, idxs) + rows) / 2.0
+        merged_idx = np.concatenate([self._overlay_idx[t], idxs])
+        merged_rows = np.concatenate([self._overlay_rows[t], rows])
+        # keep the LAST write per index
+        uniq, last_rev = np.unique(merged_idx[::-1], return_index=True)
+        keep = merged_idx.size - 1 - last_rev
+        self._overlay_idx[t] = uniq
+        self._overlay_rows[t] = merged_rows[keep]
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            block=self._block,
+            **{f"oidx_{t}": self._overlay_idx[t] for t in range(len(self.ln_emb))},
+            **{f"orows_{t}": self._overlay_rows[t] for t in range(len(self.ln_emb))},
+        )
+
+    def load(self, path: str) -> None:
+        with np.load(path) as data:
+            self._block = data["block"]
+            for t in range(len(self.ln_emb)):
+                self._overlay_idx[t] = data[f"oidx_{t}"]
+                self._overlay_rows[t] = data[f"orows_{t}"]

@@ -100,7 +100,14 @@ class CachedDlrmTrainer:
         self.geo = CacheGeometry.build(
             cfg.ln_emb, cfg.m_spa, cfg.cache_size, cfg.num_ways, aux_cap
         )
-        self.master = MasterTables(cfg.ln_emb, cfg.m_spa, rng, init=cfg.master_init)
+        if cfg.master_init == "virtual":
+            from cdlrm_tpu.cache.master import VirtualMasterTables
+
+            self.master = VirtualMasterTables(cfg.ln_emb, cfg.m_spa, rng)
+        else:
+            self.master = MasterTables(
+                cfg.ln_emb, cfg.m_spa, rng, init=cfg.master_init
+            )
         self.controller = HostCacheController(self.geo, seed=cfg.numpy_rand_seed)
 
         # dense params (replicated with a leading device axis)
