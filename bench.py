@@ -121,56 +121,37 @@ def main():
     trainer = CachedDlrmTrainer(cfg, ds)
     log(f"trainer ready in {time.perf_counter()-t0:.1f}s")
 
-    trainer._start_pipeline()
-    import jax.numpy as jnp
+    # drive the REAL training loop (pipelined probe/staging overlaps the
+    # device step); first print-window = warmup (compiles + refill),
+    # the rest are the measurement
+    cfg.print_freq = warmup
+    windows = []
 
-    refill_s = 0.0
-    step_wall = []
-    j = 0
-    for batch_data in ds.batches():
-        if j % cfg.lookahead == 0:
-            w = trainer.prefetcher.get_window()
-            t0 = time.perf_counter()
-            trainer._apply_refill(w)
-            jax.block_until_ready(trainer.cache)
-            refill_s += time.perf_counter() - t0
-            log(f"refill covering {w.num_batches} batches took {refill_s:.1f}s")
-        t0 = time.perf_counter()
-        x, slots, aux_slots, aux_rows, tgt = trainer._assemble(
-            batch_data, cfg.local_batch_size
-        )
-        out = trainer.train_step(
-            trainer.params, trainer.cache, trainer.touched, x, slots,
-            aux_slots, aux_rows, tgt, trainer._lr, trainer._lr_emb,
-        )
-        trainer.params, trainer.cache, trainer.touched = out[0], out[1], out[2]
-        # fence each step: on a tunneled backend async dispatch hides nothing
-        # host-side anyway, and fencing gives clean per-step walls
-        out[3].block_until_ready()
-        step_wall.append(time.perf_counter() - t0)
-        j += 1
-        if j == warmup:
-            trainer.metrics.hits = 0
-            trainer.metrics.lookups = 0
-        if j % 10 == 0:
-            log(f"step {j}/{total_batches} ({1000*step_wall[-1]:.0f} ms)")
-        if j == total_batches:
-            break
+    def capture(line):
+        if trainer.last_window is not None:
+            windows.append(dict(trainer.last_window))
+        log(line)
+
+    trainer.train(max_steps=warmup + steps, log_fn=capture)
+    jax.block_until_ready(trainer.cache)
     trainer.close()
 
-    timed = np.asarray(step_wall[warmup:])
-    ms_per_iter = 1000.0 * float(np.mean(timed))
-    examples_per_sec = batch / float(np.mean(timed))
-    hit_rate = trainer.metrics.hit_rate
+    timed = windows[1:] if len(windows) > 1 else windows
+    n_steps = sum(w["steps"] for w in timed)
+    ms_per_iter = sum(w["ms_per_iter"] * w["steps"] for w in timed) / n_steps
+    w = windows[-1]
+    examples_per_sec = 1000.0 * batch / ms_per_iter
     result = {
         "metric": "cached_dlrm_train_examples_per_sec_per_chip",
         "value": round(examples_per_sec, 1),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_sec / NOMINAL_BASELINE_EXAMPLES_PER_SEC, 3),
-        "hit_rate": round(hit_rate, 4),
+        "hit_rate": round(w["hit_rate"], 4),
         "ms_per_iter": round(ms_per_iter, 2),
-        "ms_per_iter_p50": round(1000.0 * float(np.median(timed)), 2),
-        "caching_overhead_ms_per_iter": round(1000.0 * refill_s / total_batches, 2),
+        "caching_overhead_ms_per_iter": round(
+            sum(x["caching_overhead_ms"] * x["steps"] for x in timed) / n_steps, 2
+        ),
+        "timed_steps": n_steps,
         "backend": jax.default_backend(),
         "config": {
             "tables": num_tables, "dim": dim, "batch": batch,

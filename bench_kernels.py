@@ -1,0 +1,95 @@
+"""Kernel microbenchmarks vs HBM roofline (SURVEY.md §7 step 7).
+
+Compares the Pallas explicit-DMA row gather (ops/lookup.py) against XLA's
+native gather (jnp.take) and the HBM roofline for the cached-lookup shape,
+plus the dot-interaction. Run on the real chip; prints one JSON line per
+kernel.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# v5e (16GB) HBM bandwidth; override per generation if needed
+HBM_GBPS = 819.0
+
+
+def timeit(fn, *args, iters=10):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def log(msg):
+    print(f"[bench_kernels] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cdlrm_tpu.ops.lookup import gather_rows
+
+    rng = np.random.Generator(np.random.SFC64(0))
+    rows, d = 1_000_000, 128
+    n = 26 * 4096  # bench lookup volume per step
+    log("staging cache (512MB H2D)...")
+    cache = jnp.asarray(rng.random((rows, d), dtype=np.float32))
+    slots = jnp.asarray(rng.integers(0, rows, n).astype(np.int32))
+    jax.block_until_ready(cache)
+    log("cache staged")
+
+    take = jax.jit(lambda c, s: jnp.take(c, s, axis=0))
+    pallas_gather = jax.jit(lambda c, s: gather_rows(c, s))
+
+    bytes_moved = n * d * 4 * 2  # read + write
+    results = []
+    for name, fn in [("xla_take", take), ("pallas_gather", pallas_gather)]:
+        try:
+            log(f"compiling+timing {name}...")
+            dt = timeit(fn, cache, slots, iters=10)
+            log(f"{name}: {dt*1e6:.0f} us")
+            results.append(
+                {
+                    "kernel": f"lookup_gather/{name}",
+                    "us": round(dt * 1e6, 1),
+                    "gbps": round(bytes_moved / dt / 1e9, 1),
+                    "roofline_frac": round(bytes_moved / dt / 1e9 / HBM_GBPS, 3),
+                }
+            )
+        except Exception as e:
+            results.append({"kernel": f"lookup_gather/{name}", "error": str(e)[:200]})
+
+    # dot interaction at bench shape
+    from cdlrm_tpu.models.dlrm import interact_features
+
+    b, t = 4096, 26
+    x = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    ly = jnp.asarray(rng.normal(size=(t, b, d)).astype(np.float32))
+    inter = jax.jit(
+        lambda x, ly: interact_features(x, ly, "dot", False, jnp.bfloat16)
+    )
+    dt = timeit(inter, x, ly)
+    flops = 2 * b * (t + 1) * (t + 1) * d
+    results.append(
+        {
+            "kernel": "dot_interaction/xla_bf16",
+            "us": round(dt * 1e6, 1),
+            "tflops": round(flops / dt / 1e12, 2),
+        }
+    )
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,9 +80,12 @@ class HostCacheController:
 
     # ------------------------------------------------------------------ probe
     def probe(
-        self, ls_i: np.ndarray, master, count_hits: bool = True
+        self, ls_i: np.ndarray, master, count_hits: bool = True,
+        valid: Optional[np.ndarray] = None,
     ) -> ProbeResult:
-        """Resolve one local batch [T, B] of single-index lookups.
+        """Resolve one local batch [T, N] of lookups (N = B for single-index,
+        B*P for flattened padded multi-hot with ``valid`` marking real
+        positions; invalid positions resolve to the trash row).
 
         Reference semantics (model_no_ddp.py:163-187): set = idx % sets;
         hit if idx is in the set's occupancy; misses get consecutive aux slots
@@ -102,7 +105,10 @@ class HostCacheController:
             hit = eq.any(axis=1)
             way = eq.argmax(axis=1)
             slot = geo.table_offsets[t] + way * sets_t + set_idx
-            miss_pos = np.nonzero(~hit)[0]
+            if valid is not None:
+                miss_pos = np.nonzero(~hit & valid[t])[0]
+            else:
+                miss_pos = np.nonzero(~hit)[0]
             n_miss = miss_pos.size
             if n_miss > geo.aux_capacity:
                 raise ValueError(
@@ -111,6 +117,8 @@ class HostCacheController:
                 )
             aux_base = geo.aux_base(t)
             slot[miss_pos] = aux_base + np.arange(n_miss)
+            if valid is not None:
+                slot[~valid[t]] = geo.trash_row  # masked padding positions
             slots[t] = slot.astype(np.int32)
             if n_miss:
                 aux_slot_parts.append(
@@ -118,14 +126,16 @@ class HostCacheController:
                 )
                 aux_row_parts.append(master.gather(t, idx[miss_pos]))
             if count_hits:
-                hit_counts[t] = b - n_miss
+                n_valid = b if valid is None else int(valid[t].sum())
+                hit_counts[t] = n_valid - n_miss
         if aux_slot_parts:
             aux_slots = np.concatenate(aux_slot_parts)
             aux_rows = np.concatenate(aux_row_parts)
         else:
             aux_slots = np.zeros(0, dtype=np.int32)
             aux_rows = np.zeros((0, geo.dim), dtype=np.float32)
-        return ProbeResult(slots, aux_slots, aux_rows, hit_counts, t_count * b)
+        num_lookups = int(valid.sum()) if valid is not None else t_count * b
+        return ProbeResult(slots, aux_slots, aux_rows, hit_counts, num_lookups)
 
     # ----------------------------------------------------------------- insert
     def plan_insert(

@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Callable, Iterable, Iterator, List, Optional
 
@@ -35,6 +35,22 @@ import numpy as np
 from cdlrm_tpu.cache.master import MasterTables
 
 _SENTINEL = None
+
+# ---- process-backend worker state (reference uses a torch mp.Pool over
+# shared-memory tables, cache_manager.py:77-100; here worker processes mmap
+# the same table files, sharing pages through the OS cache) ----
+_WORKER_TABLES: List[np.ndarray] = []
+
+
+def _process_worker_init(table_paths: List[str]) -> None:
+    global _WORKER_TABLES
+    _WORKER_TABLES = [np.load(p, mmap_mode="r") for p in table_paths]
+
+
+def _process_worker_gather(t: int, idx_parts: List[np.ndarray]):
+    idx = np.concatenate([p.reshape(-1) for p in idx_parts])
+    uniq = np.unique(idx)
+    return uniq, np.asarray(_WORKER_TABLES[t][uniq], dtype=np.float32)
 
 
 @dataclass
@@ -107,7 +123,11 @@ class LookaheadPrefetcher(threading.Thread):
         cache_workers: int = 2,
         nepochs: int = 1,
         pin_core: Optional[int] = None,
+        backend: str = "thread",
     ):
+        """backend: 'thread' (default — numpy gathers release the GIL) or
+        'process' (reference-style mp pool; requires mmap-backed MasterTables
+        whose per-table .npy files the workers re-open read-only)."""
         super().__init__(daemon=True, name="lookahead-prefetcher")
         self.cache_stream_fn = cache_stream_fn
         self.master = master
@@ -116,40 +136,73 @@ class LookaheadPrefetcher(threading.Thread):
         self.cache_workers = max(1, cache_workers)
         self.nepochs = nepochs
         self.pin_core = pin_core
+        self.backend = backend
+        if backend == "process":
+            paths = [
+                getattr(t, "filename", None) for t in getattr(master, "tables", [])
+            ]
+            if not paths or any(p is None for p in paths):
+                raise ValueError(
+                    "prefetch_backend='process' requires mmap-backed master "
+                    "tables (MasterTables(mmap_dir=...)); in-RAM tables are "
+                    "only shareable with the thread backend"
+                )
+            self._table_paths = [str(p) for p in paths]
         self.error: Optional[BaseException] = None
         self._stop_event = threading.Event()
 
     # -- window processing ---------------------------------------------------
-    def _process_window(self, window: List, pool: ThreadPoolExecutor) -> WindowData:
+    @staticmethod
+    def _table_parts(window: List, t: int) -> List[np.ndarray]:
+        parts = []
+        for entry in window:
+            if isinstance(entry, tuple):
+                ls_i, mask = entry
+                parts.append(ls_i[t][mask[t]])
+            else:
+                parts.append(entry[t].reshape(-1))
+        return parts
+
+    def _process_window(self, window: List, pool) -> WindowData:
         # window entries are ls_i [T, B] or (ls_i [T, B, P], mask)
         num_tables = (
             window[0][0].shape[0] if isinstance(window[0], tuple) else window[0].shape[0]
         )
 
-        def one_table(t: int):
-            parts = []
-            for entry in window:
-                if isinstance(entry, tuple):
-                    ls_i, mask = entry
-                    parts.append(ls_i[t][mask[t]])
-                else:
-                    parts.append(entry[t].reshape(-1))
-            idx = np.concatenate(parts)
-            uniq = np.unique(idx)  # sorted, like torch.unique
-            return uniq, self.master.gather(t, uniq)
+        if self.backend == "process":
+            futs = [
+                pool.submit(_process_worker_gather, t, self._table_parts(window, t))
+                for t in range(num_tables)
+            ]
+            results = [f.result() for f in futs]
+        else:
 
-        results = list(pool.map(one_table, range(num_tables)))
+            def one_table(t: int):
+                idx = np.concatenate(self._table_parts(window, t))
+                uniq = np.unique(idx)  # sorted, like torch.unique
+                return uniq, self.master.gather(t, uniq)
+
+            results = list(pool.map(one_table, range(num_tables)))
         return WindowData(
             uniques=[r[0] for r in results],
             rows=[r[1] for r in results],
             num_batches=len(window),
         )
 
+    def _make_pool(self):
+        if self.backend == "process":
+            return ProcessPoolExecutor(
+                max_workers=self.cache_workers,
+                initializer=_process_worker_init,
+                initargs=(self._table_paths,),
+            )
+        return ThreadPoolExecutor(max_workers=self.cache_workers)
+
     def run(self) -> None:
         if self.pin_core is not None:
             _pin_current_thread(self.pin_core)
         try:
-            with ThreadPoolExecutor(max_workers=self.cache_workers) as pool:
+            with self._make_pool() as pool:
                 for _ in range(self.nepochs):
                     window: List = []
                     for ls_i in self.cache_stream_fn():

@@ -118,7 +118,9 @@ class Config:
     aux_capacity: int = -1  # miss-row slots per table per step; -1 = local batch
     pin_cores: bool = False  # sched_setaffinity pinning of pipeline threads
     prefetch_backend: str = "thread"  # thread | process
-    master_init: str = "uniform"  # uniform | tile (see cache/master.py)
+    master_init: str = "uniform"  # uniform | tile | virtual (see cache/master.py)
+    master_mmap_dir: str = ""  # file-back master tables here (enables process prefetch)
+    pipeline_depth: int = 2  # batches probed/staged ahead of the device step
 
     # ---- derived (populated by finalize()) ----
     ln_emb: Optional[np.ndarray] = None

@@ -1,0 +1,115 @@
+"""Background batch-assembly pipeline: overlap the host probe + H2D staging
+of upcoming batches with device execution of the current step.
+
+The reference hides prefetch work in separate processes but probes on the
+GPU inside forward (model_no_ddp.py:149-212); our probe is host-side
+(DESIGN.md D1), so without overlap it serializes with the device step. This
+thread stages up to ``depth`` future batches.
+
+Safety invariant: the probe reads the occupancy tables that ``plan_insert``
+mutates at refill. A batch belonging to lookahead-window k is only probed
+after refill k has been applied. The main loop pops every window-k batch
+before triggering refill k+1, and the pipeline waits for the refill counter
+before probing window k+1 — so probe and insert never run concurrently.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+_SENTINEL = None
+
+# queue marker: the next batches start a new lookahead window — the consumer
+# must apply the refill and call notify_refill_applied() before the pipeline
+# will probe them
+WINDOW_BOUNDARY = object()
+
+
+class AssemblyPipeline(threading.Thread):
+    def __init__(
+        self,
+        trainer,
+        nepochs: int,
+        lookahead: int,
+        depth: int = 2,
+    ):
+        super().__init__(daemon=True, name="assembly-pipeline")
+        self.trainer = trainer
+        self.nepochs = nepochs
+        self.lookahead = max(1, lookahead)
+        self.out: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self.error: Optional[BaseException] = None
+        self._stop_event = threading.Event()
+        self._refill_cv = threading.Condition()
+        self._refills_applied = 0
+
+    # -- main-thread API -----------------------------------------------------
+    def notify_refill_applied(self) -> None:
+        with self._refill_cv:
+            self._refills_applied += 1
+            self._refill_cv.notify_all()
+
+    def get(self):
+        """Pop (batch, device_inputs); None = stream exhausted."""
+        item = self.out.get()
+        if item is _SENTINEL:
+            if self.error is not None:
+                raise self.error
+            return None
+        return item
+
+    def stop(self) -> None:
+        self._stop_event.set()
+        with self._refill_cv:
+            self._refill_cv.notify_all()
+        try:
+            while True:
+                self.out.get_nowait()
+        except queue.Empty:
+            pass
+
+    # -- worker ---------------------------------------------------------------
+    def _wait_for_window(self, window: int) -> bool:
+        with self._refill_cv:
+            while self._refills_applied <= window and not self._stop_event.is_set():
+                self._refill_cv.wait(timeout=0.1)
+        return not self._stop_event.is_set()
+
+    def _put(self, item) -> bool:
+        while not self._stop_event.is_set():
+            try:
+                self.out.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def run(self) -> None:
+        tr = self.trainer
+        b = tr.cfg.mini_batch_size
+        b_loc = tr.cfg.local_batch_size
+        try:
+            win = -1
+            for _ in range(self.nepochs):
+                j = 0  # refill windows are per-epoch (reference j resets)
+                for batch in tr.dataset.batches():
+                    if self._stop_event.is_set():
+                        return
+                    if batch.x.shape[0] != b:
+                        continue  # identical drop-last rule as the main loop
+                    if j % self.lookahead == 0:
+                        win += 1
+                        if not self._put(WINDOW_BOUNDARY):
+                            return
+                    if not self._wait_for_window(win):
+                        return
+                    inputs = tr._assemble(batch, b_loc)
+                    if not self._put((batch, inputs)):
+                        return
+                    j += 1
+        except BaseException as e:
+            self.error = e
+        finally:
+            self._put(_SENTINEL)

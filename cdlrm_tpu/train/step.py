@@ -104,9 +104,15 @@ def _spec_leading():
 
 
 def make_cached_train_step(
-    mesh: Mesh, geo: CacheGeometry, cfg: StepConfig
+    mesh: Mesh, geo: CacheGeometry, cfg: StepConfig, pooled_width: int = 0
 ) -> Callable:
     """Build the jitted DP train step.
+
+    ``pooled_width`` > 0 enables multi-hot bags: slots come flattened
+    [T, B*P], ls_mask [T, B, P] marks real positions, and pooling is a masked
+    sum over P — the static-shape form of EmbeddingBag(mode='sum', offsets)
+    (reference model_no_ddp.py:200-202). Masked positions resolve to the
+    trash row (zero gradient via the mask).
 
     Inputs (shapes; B = global batch, Bl = B/ndev, T = tables, K = packed
     miss-bucket size):
@@ -123,11 +129,13 @@ def make_cached_train_step(
     """
     cdtype = cfg.cdtype
 
-    def body(params, cache, touched, x, slots, aux_slots, aux_rows, targets, lr, lr_embeds):
+    def body(params, cache, touched, x, slots, ls_mask, aux_slots, aux_rows,
+             targets, lr, lr_embeds):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
         cache, touched = cache[0], touched[0]
         aux_slots, aux_rows = aux_slots[0], aux_rows[0]
-        t_count, b_loc = slots.shape
+        t_count = slots.shape[0]
+        b_loc = targets.shape[0]
         d = cache.shape[-1]
 
         # stage packed miss rows into the aux regions (padding hits the
@@ -135,10 +143,14 @@ def make_cached_train_step(
         cache = cache.at[aux_slots].set(aux_rows)
 
         flat_slots = slots.reshape(-1)
-        rows = jnp.take(cache, flat_slots, axis=0)  # [T*Bl, D]
+        rows = jnp.take(cache, flat_slots, axis=0)  # [T*Bl(*P), D]
 
         def loss_fn(params, rows):
-            ly = rows.reshape(t_count, b_loc, d)
+            if pooled_width > 0:
+                r = rows.reshape(t_count, b_loc, pooled_width, d)
+                ly = jnp.sum(r * ls_mask[..., None].astype(r.dtype), axis=2)
+            else:
+                ly = rows.reshape(t_count, b_loc, d)
             p = dlrm_forward(
                 params,
                 x,
@@ -162,6 +174,7 @@ def make_cached_train_step(
         # sparse optimizer (DESIGN.md D3)
         cache = cache.at[flat_slots].add(-lr_embeds * drows)
         touched = touched.at[flat_slots].set(True)
+        touched = touched.at[geo.trash_row].set(False)
 
         correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
         loss_sum, correct = jax.lax.psum(
@@ -181,6 +194,7 @@ def make_cached_train_step(
             lead,  # touched
             P(DP_AXIS),  # x
             P(None, DP_AXIS),  # slots
+            P(None, DP_AXIS),  # ls_mask ([T,B,P] or dummy [T,B])
             lead,  # aux_slots
             lead,  # aux_rows
             P(DP_AXIS),  # targets
@@ -193,7 +207,9 @@ def make_cached_train_step(
     return jax.jit(shardmapped, donate_argnums=(1, 2))
 
 
-def make_cached_eval_step(mesh: Mesh, geo: CacheGeometry, cfg: StepConfig) -> Callable:
+def make_cached_eval_step(
+    mesh: Mesh, geo: CacheGeometry, cfg: StepConfig, pooled_width: int = 0
+) -> Callable:
     """Forward-only cached step returning scores [B, 1].
 
     The reference evaluates on rank 0 only with the full test batch
@@ -203,15 +219,20 @@ def make_cached_eval_step(mesh: Mesh, geo: CacheGeometry, cfg: StepConfig) -> Ca
     persistent cache state: the aux writes live only inside this step)."""
     cdtype = cfg.cdtype
 
-    def body(params, cache, x, slots, aux_slots, aux_rows):
+    def body(params, cache, x, slots, ls_mask, aux_slots, aux_rows):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
         cache = cache[0]
         aux_slots, aux_rows = aux_slots[0], aux_rows[0]
-        t_count, b_loc = slots.shape
+        t_count = slots.shape[0]
+        b_loc = x.shape[0]
         d = cache.shape[-1]
         cache = cache.at[aux_slots].set(aux_rows)
         rows = jnp.take(cache, slots.reshape(-1), axis=0)
-        ly = rows.reshape(t_count, b_loc, d)
+        if pooled_width > 0:
+            r = rows.reshape(t_count, b_loc, pooled_width, d)
+            ly = jnp.sum(r * ls_mask[..., None].astype(r.dtype), axis=2)
+        else:
+            ly = rows.reshape(t_count, b_loc, d)
         p = dlrm_forward(
             params, x, ly, cfg.interaction_op, cfg.interaction_itself,
             cfg.loss_threshold, cdtype,
@@ -222,7 +243,8 @@ def make_cached_eval_step(mesh: Mesh, geo: CacheGeometry, cfg: StepConfig) -> Ca
     shardmapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(lead, lead, P(DP_AXIS), P(None, DP_AXIS), lead, lead),
+        in_specs=(lead, lead, P(DP_AXIS), P(None, DP_AXIS), P(None, DP_AXIS),
+                  lead, lead),
         out_specs=P(DP_AXIS),
         check_vma=False,
     )

@@ -78,9 +78,14 @@ class TrainMetrics:
 class CachedDlrmTrainer:
     """End-to-end cached-DLRM trainer over a 1-D dp mesh."""
 
-    def __init__(self, cfg: Config, dataset, test_dataset=None, mesh=None):
+    def __init__(self, cfg: Config, dataset, test_dataset=None, mesh=None,
+                 pooled_width: Optional[int] = None):
         """``dataset`` must expose: batches() -> Iterator[Batch] (restartable),
-        __len__, and attrs m_den, ln_emb. ``test_dataset`` likewise."""
+        __len__, and attrs m_den, ln_emb. ``test_dataset`` likewise.
+
+        ``pooled_width``: P for padded multi-hot bags ([T, B, P] + mask
+        batches); default infers from the config (Criteo and fixed
+        single-index synthetic streams -> 0)."""
         assert cfg.ln_emb is not None, "call cfg.finalize() first"
         self.cfg = cfg
         self.dataset = dataset
@@ -90,13 +95,22 @@ class CachedDlrmTrainer:
         assert self.ndev == cfg.world_size, (
             f"mesh has {self.ndev} devices, config world_size={cfg.world_size}"
         )
+        if pooled_width is None:
+            single = (
+                cfg.data_generation == "dataset"
+                or (cfg.num_indices_per_lookup_fixed and cfg.num_indices_per_lookup == 1)
+            )
+            pooled_width = 0 if single else cfg.num_indices_per_lookup
+        self.pooled_width = pooled_width
 
         rng = np.random.default_rng(cfg.numpy_rand_seed)
         self.host_rng = rng
 
         b_loc = cfg.local_batch_size
         test_b_loc = -(-cfg.test_mini_batch_size // self.ndev)
-        aux_cap = cfg.aux_capacity if cfg.aux_capacity > 0 else max(b_loc, test_b_loc)
+        aux_cap = cfg.aux_capacity if cfg.aux_capacity > 0 else (
+            max(b_loc, test_b_loc) * max(1, pooled_width)
+        )
         self.geo = CacheGeometry.build(
             cfg.ln_emb, cfg.m_spa, cfg.cache_size, cfg.num_ways, aux_cap
         )
@@ -106,7 +120,8 @@ class CachedDlrmTrainer:
             self.master = VirtualMasterTables(cfg.ln_emb, cfg.m_spa, rng)
         else:
             self.master = MasterTables(
-                cfg.ln_emb, cfg.m_spa, rng, init=cfg.master_init
+                cfg.ln_emb, cfg.m_spa, rng, init=cfg.master_init,
+                mmap_dir=cfg.master_mmap_dir or None,
             )
         self.controller = HostCacheController(self.geo, seed=cfg.numpy_rand_seed)
 
@@ -135,8 +150,12 @@ class CachedDlrmTrainer:
             compute_dtype=cfg.compute_dtype,
         )
         self.step_cfg = scfg
-        self.train_step = step_lib.make_cached_train_step(self.mesh, self.geo, scfg)
-        self.eval_step = step_lib.make_cached_eval_step(self.mesh, self.geo, scfg)
+        self.train_step = step_lib.make_cached_train_step(
+            self.mesh, self.geo, scfg, self.pooled_width
+        )
+        self.eval_step = step_lib.make_cached_eval_step(
+            self.mesh, self.geo, scfg, self.pooled_width
+        )
         self.refill_step = step_lib.make_refill_step(self.mesh, scfg)
         self.agg_step = step_lib.make_aggregate_step(self.mesh, scfg)
 
@@ -162,6 +181,7 @@ class CachedDlrmTrainer:
             batch_fifo_size=cfg.batch_fifo_size,
             cache_workers=cfg.cache_workers,
             nepochs=cfg.nepochs,
+            backend=cfg.prefetch_backend,
         )
         self._pipeline_started = False
         self.global_step = 0
@@ -169,6 +189,7 @@ class CachedDlrmTrainer:
         self._lr = jnp.float32(cfg.learning_rate)
         self._lr_emb = jnp.float32(cfg.lr_embeds)
         self._stop_requested = False
+        self.last_window: Optional[dict] = None  # most recent print-window stats
 
     # ------------------------------------------------------------------ data
     def _cache_stream(self) -> Iterator[np.ndarray]:
@@ -206,21 +227,32 @@ class CachedDlrmTrainer:
 
     # ------------------------------------------------------------------ batch
     def _assemble(self, batch: Batch, b_loc: int):
-        """Probe per DP shard and build sharded device arrays."""
-        if batch.ls_mask is not None:
-            raise NotImplementedError(
-                "the cached path currently supports single-index lookups (the "
-                "Criteo layout, one index per table per example); for "
-                "multi-hot synthetic data use the full-table path "
-                "(--use-cache false) or --num-indices-per-lookup 1 "
-                "--num-indices-per-lookup-fixed"
-            )
+        """Probe per DP shard and build sharded device arrays. Multi-hot
+        batches ([T, B, P] + mask) are probed flattened; masked positions
+        resolve to the trash row."""
         ls_i = batch.ls_i
+        mask = batch.ls_mask
+        if mask is not None:
+            p = ls_i.shape[2]
+            if p != self.pooled_width:
+                raise ValueError(
+                    f"batch pooled width {p} != trainer pooled_width "
+                    f"{self.pooled_width}"
+                )
+        elif self.pooled_width:
+            raise ValueError("trainer built for pooled batches, got single-index")
         slots_shards, aux_slot_shards, aux_row_shards = [], [], []
         for r in range(self.ndev):
-            pr = self.controller.probe(
-                ls_i[:, r * b_loc : (r + 1) * b_loc], self.master
-            )
+            sl = slice(r * b_loc, (r + 1) * b_loc)
+            if mask is None:
+                pr = self.controller.probe(ls_i[:, sl], self.master)
+            else:
+                t_count = ls_i.shape[0]
+                pr = self.controller.probe(
+                    ls_i[:, sl].reshape(t_count, -1),
+                    self.master,
+                    valid=mask[:, sl].reshape(t_count, -1),
+                )
             slots_shards.append(pr.slots)
             aux_slot_shards.append(pr.aux_slots)
             aux_row_shards.append(pr.aux_rows)
@@ -244,9 +276,12 @@ class CachedDlrmTrainer:
             aux_slots[r, :n] = aux_slot_shards[r]
             aux_rows[r, :n] = aux_row_shards[r]
         sh = self._shardings
+        if mask is None:
+            mask = np.zeros(ls_i.shape[:2], dtype=bool)  # unused dummy
         return (
             jax.device_put(batch.x, sh["batch0"]),
             jax.device_put(slots, sh["slots"]),
+            jax.device_put(mask, sh["slots"]),
             jax.device_put(aux_slots, sh["lead"]),
             jax.device_put(aux_rows, sh["lead"]),
             jax.device_put(batch.y, sh["batch0"]),
@@ -260,10 +295,21 @@ class CachedDlrmTrainer:
             self._pipeline_started = True
 
     def train(self, max_steps: Optional[int] = None, log_fn=print) -> TrainMetrics:
+        """Main loop: consumes batches pre-probed by the AssemblyPipeline
+        thread (host probe + H2D staging of batch j+1 overlap device step j,
+        train/pipeline.py), applying refills at the window boundaries it
+        signals. Periodicities (print/test/agg/checkpoint) are on
+        global_step; the reference uses the per-epoch batch index
+        (main_no_ddp.py:418,458,479), identical within an epoch."""
+        from cdlrm_tpu.train.pipeline import WINDOW_BOUNDARY, AssemblyPipeline
+
         cfg = self.cfg
         self._start_pipeline()
         b = cfg.mini_batch_size
-        b_loc = cfg.local_batch_size
+        pipe = AssemblyPipeline(
+            self, cfg.nepochs, cfg.lookahead, max(1, cfg.pipeline_depth)
+        )
+        pipe.start()
         pending: List[Tuple] = []  # (loss_sum, correct, n) device scalars
 
         def flush_pending():
@@ -275,21 +321,24 @@ class CachedDlrmTrainer:
             pending.clear()
 
         window_t0 = time.perf_counter()
-        for epoch in range(cfg.nepochs):
-            for j, batch in enumerate(self.dataset.batches()):
-                if batch.x.shape[0] != b:
-                    continue  # drop last partial batch (reference drop_last)
+        try:
+            while True:
                 if max_steps is not None and self.global_step >= max_steps:
                     break
                 if self._stop_requested:
                     break
-                if j % cfg.lookahead == 0:
+                item = pipe.get()
+                if item is None:
+                    break
+                if item is WINDOW_BOUNDARY:
                     window = self.prefetcher.get_window()
                     if window is None:
                         break
                     self._apply_refill(window)
+                    pipe.notify_refill_applied()
+                    continue
 
-                x, slots, aux_slots, aux_rows, tgt = self._assemble(batch, b_loc)
+                batch, (x, slots, ls_mask, aux_slots, aux_rows, tgt) = item
                 (
                     self.params,
                     self.cache,
@@ -297,28 +346,37 @@ class CachedDlrmTrainer:
                     loss_sum,
                     correct,
                 ) = self.train_step(
-                    self.params, self.cache, self.touched, x, slots,
+                    self.params, self.cache, self.touched, x, slots, ls_mask,
                     aux_slots, aux_rows, tgt, self._lr, self._lr_emb,
                 )
                 pending.append((loss_sum, correct, b))
+                self.global_step += 1
+                j = self.global_step
 
-                if j > 0 and j % cfg.table_agg_freq == 0:
+                if j % cfg.table_agg_freq == 0:
                     self.cache, self.touched = self.agg_step(self.cache, self.touched)
 
-                self.global_step += 1
-
-                if j > 0 and j % cfg.print_freq == 0:
+                if j % cfg.print_freq == 0:
                     flush_pending()
                     dt = time.perf_counter() - window_t0
                     m = self.metrics
-                    ms_it = 1000.0 * dt / max(1, m.steps)
-                    overhead_ms = (
-                        1000.0 * m.caching_overhead_s / max(1, m.steps)
-                    )
+                    # ms/it excludes the amortized refill cost, which is
+                    # reported separately — reference semantics
+                    # (main_no_ddp.py:458-473)
+                    ms_it = 1000.0 * max(0.0, dt - m.caching_overhead_s) / max(1, m.steps)
+                    overhead_ms = 1000.0 * m.caching_overhead_s / max(1, m.steps)
+                    self.last_window = {
+                        "ms_per_iter": ms_it,
+                        "caching_overhead_ms": overhead_ms,
+                        "loss": m.loss_sum / max(1, m.examples),
+                        "accuracy": m.correct / max(1, m.examples),
+                        "hit_rate": m.hit_rate,
+                        "steps": m.steps,
+                    }
                     log_fn(
-                        f"Epoch {epoch}: {j}/{len(self.dataset)} "
-                        f"{ms_it:.2f} ms/it, caching overhead {overhead_ms:.3f} "
-                        f"ms/it, loss {m.loss_sum / max(1, m.examples):.5f}, "
+                        f"Step {j}: {ms_it:.2f} ms/it, caching overhead "
+                        f"{overhead_ms:.3f} ms/it, loss "
+                        f"{m.loss_sum / max(1, m.examples):.5f}, "
                         f"acc {m.correct / max(1, m.examples):.5f}, "
                         f"hit-rate {m.hit_rate:.4f}"
                     )
@@ -333,7 +391,6 @@ class CachedDlrmTrainer:
                 if (
                     self.test_dataset is not None
                     and cfg.test_freq > 0
-                    and j > 0
                     and j % cfg.test_freq == 0
                 ):
                     acc, auc = self.evaluate(log_fn=log_fn)
@@ -346,15 +403,19 @@ class CachedDlrmTrainer:
                         and auc >= cfg.mlperf_auc_threshold
                     ):
                         log_fn(
-                            f"MLPerf threshold reached (acc={acc:.5f}, auc={auc:.5f}); stopping"
+                            f"MLPerf threshold reached (acc={acc:.5f}, "
+                            f"auc={auc:.5f}); stopping"
                         )
                         self._stop_requested = True
 
-                if cfg.checkpoint_freq > 0 and self.global_step % cfg.checkpoint_freq == 0:
-                    if cfg.save_model:
-                        self.save_checkpoint(cfg.save_model)
-            if (max_steps is not None and self.global_step >= max_steps) or self._stop_requested:
-                break
+                if (
+                    cfg.checkpoint_freq > 0
+                    and j % cfg.checkpoint_freq == 0
+                    and cfg.save_model
+                ):
+                    self.save_checkpoint(cfg.save_model)
+        finally:
+            pipe.stop()
         flush_pending()
         return self.metrics
 
@@ -373,9 +434,11 @@ class CachedDlrmTrainer:
                 break
             n = batch.x.shape[0]
             batch = _pad_batch(batch, tb_loc * self.ndev)
-            x, slots, aux_slots, aux_rows, tgt = self._assemble(batch, tb_loc)
+            x, slots, ls_mask, aux_slots, aux_rows, tgt = self._assemble(batch, tb_loc)
             scores = np.asarray(
-                self.eval_step(self.params, self.cache, x, slots, aux_slots, aux_rows)
+                self.eval_step(
+                    self.params, self.cache, x, slots, ls_mask, aux_slots, aux_rows
+                )
             )
             scores = scores[:n]
             y = batch.y[:n]

@@ -1,0 +1,87 @@
+"""CLI surface: reference-style invocations end-to-end (random mode and
+dataset mode with on-the-fly preprocessing of a fabricated Kaggle raw file)."""
+
+import numpy as np
+import pytest
+
+from cdlrm_tpu import cli
+from tests.test_data_criteo import write_raw_kaggle
+
+
+def test_cli_random_cached(capsys):
+    rc = cli.main(
+        [
+            "--data-generation", "random",
+            "--arch-embedding-size", "500-200-800",
+            "--arch-sparse-feature-size", "8",
+            "--arch-mlp-bot", "13-16-8",
+            "--arch-mlp-top", "8-1",
+            "--mini-batch-size", "32",
+            "--num-batches", "12",
+            "--data-size", "384",
+            "--cache-size", "64",
+            "--num-ways", "2",
+            "--loss-function", "bce",
+            "--lookahead", "4",
+            "--world-size", "8",
+            "--print-freq", "5",
+            "--num-indices-per-lookup", "1",
+            "--num-indices-per-lookup-fixed",
+            "--round-targets",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "hit-rate" in out
+    assert "Test accuracy" in out
+
+
+def test_cli_dataset_kaggle_memory_map(tmp_path, capsys):
+    raw = str(tmp_path / "train.txt")
+    write_raw_kaggle(raw, n=120)
+    rc = cli.main(
+        [
+            "--data-generation", "dataset",
+            "--data-set", "kaggle",
+            "--raw-data-file", raw,
+            "--memory-map",
+            "--arch-sparse-feature-size", "8",
+            "--arch-mlp-bot", "13-16-8",
+            "--arch-mlp-top", "8-1",
+            "--mini-batch-size", "16",
+            "--num-batches", "5",
+            "--cache-size", "32",
+            "--num-ways", "2",
+            "--loss-function", "bce",
+            "--lookahead", "2",
+            "--world-size", "8",
+            "--print-freq", "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Test accuracy" in out
+
+
+def test_cli_dataset_checkpoint_roundtrip(tmp_path, capsys):
+    raw = str(tmp_path / "train.txt")
+    write_raw_kaggle(raw, n=120)
+    common = [
+        "--data-generation", "dataset",
+        "--data-set", "kaggle",
+        "--raw-data-file", raw,
+        "--memory-map",
+        "--arch-sparse-feature-size", "8",
+        "--arch-mlp-bot", "13-16-8",
+        "--arch-mlp-top", "8-1",
+        "--mini-batch-size", "16",
+        "--num-batches", "4",
+        "--cache-size", "32",
+        "--num-ways", "2",
+        "--lookahead", "2",
+        "--world-size", "8",
+        "--print-freq", "100",
+    ]
+    ck = str(tmp_path / "ckpt")
+    assert cli.main(common + ["--save-model", ck]) == 0
+    assert cli.main(common + ["--load-model", ck]) == 0

@@ -129,3 +129,29 @@ def test_prefetcher_error_propagates(rng):
         raised = True
     assert raised
     pf.join(timeout=5)
+
+
+def test_process_backend_mmap(rng, tmp_path):
+    """Process-pool backend over mmap-backed master tables (reference-style
+    mp pool, cache_manager.py:77-100)."""
+    master = MasterTables([100, 40], 4, rng, mmap_dir=str(tmp_path))
+    b1 = np.array([[1, 2, 2], [0, 1, 2]])
+    b2 = np.array([[2, 3, 4], [2, 2, 2]])
+    pf = LookaheadPrefetcher(make_stream([b1, b2]), master, lookahead=2,
+                             cache_workers=2, backend="process")
+    pf.start()
+    w = pf.get_window(timeout=120)
+    np.testing.assert_array_equal(w.uniques[0], [1, 2, 3, 4])
+    np.testing.assert_allclose(w.rows[0], np.asarray(master.tables[0][[1, 2, 3, 4]]))
+    assert pf.get_window(timeout=120) is None
+    pf.join(timeout=30)
+
+
+def test_process_backend_requires_mmap(rng):
+    master = MasterTables([10], 4, rng)  # in-RAM
+    try:
+        LookaheadPrefetcher(make_stream([]), master, lookahead=1, backend="process")
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised

@@ -54,9 +54,11 @@ def make_batch(geo, b, rng_seed=1, ndev=1):
 
 def put(mesh, x, slots, aux, tgt):
     aux_slots, aux_rows = aux
+    mask = np.zeros(slots.shape, bool)
     return (
         jax.device_put(x, NamedSharding(mesh, P("dp"))),
         jax.device_put(slots, NamedSharding(mesh, P(None, "dp"))),
+        jax.device_put(mask, NamedSharding(mesh, P(None, "dp"))),
         jax.device_put(aux_slots, NamedSharding(mesh, P("dp"))),
         jax.device_put(aux_rows, NamedSharding(mesh, P("dp"))),
         jax.device_put(tgt, NamedSharding(mesh, P("dp"))),
@@ -68,9 +70,10 @@ def test_sparse_update_locality():
     mesh, geo, params, cache, touched, scfg, cache_host = build(1, 8)
     step = step_lib.make_cached_train_step(mesh, geo, scfg)
     x, slots, aux, tgt = make_batch(geo, 8)
-    xd, sd, asd, ard, td = put(mesh, x, slots, aux, tgt)
+    xd, sd, md, asd, ard, td = put(mesh, x, slots, aux, tgt)
     params, cache, touched, loss, correct = step(
-        params, cache, touched, xd, sd, asd, ard, td, jnp.float32(0.1), jnp.float32(0.3)
+        params, cache, touched, xd, sd, md, asd, ard, td,
+        jnp.float32(0.1), jnp.float32(0.3)
     )
     new_cache = np.asarray(cache[0])
     touched_np = np.asarray(touched[0])
@@ -105,9 +108,10 @@ def test_sparse_update_matches_manual_sgd():
         return compute_loss(p, jnp.asarray(tgt), "bce")
 
     g_cache = np.asarray(jax.grad(oracle_loss)(jnp.asarray(cache_host)))
-    xd, sd, asd, ard, td = put(mesh, x, slots, aux, tgt)
+    xd, sd, md, asd, ard, td = put(mesh, x, slots, aux, tgt)
     _, cache, _, _, _ = step(
-        params, cache, touched, xd, sd, asd, ard, td, jnp.float32(0.0), jnp.float32(0.3)
+        params, cache, touched, xd, sd, md, asd, ard, td,
+        jnp.float32(0.0), jnp.float32(0.3)
     )
     new_cache = np.asarray(cache[0])
     delta = new_cache - cache_host
@@ -124,9 +128,10 @@ def test_dp_matches_single_device():
     mesh8, geo, params8, cache8, touched8, scfg, cache_host = build(8, b)
     step8 = step_lib.make_cached_train_step(mesh8, geo, scfg)
     x, slots, aux8, tgt = make_batch(geo, b, ndev=8)
-    xd, sd, asd, ard, td = put(mesh8, x, slots, aux8, tgt)
+    xd, sd, md, asd, ard, td = put(mesh8, x, slots, aux8, tgt)
     params8, cache8, touched8, loss8, corr8 = step8(
-        params8, cache8, touched8, xd, sd, asd, ard, td, jnp.float32(0.1), jnp.float32(0.3)
+        params8, cache8, touched8, xd, sd, md, asd, ard, td,
+        jnp.float32(0.1), jnp.float32(0.3)
     )
 
     # oracle: average of per-shard dense grads == grad of mean-of-shard-losses
@@ -141,10 +146,10 @@ def test_dp_matches_single_device():
         ts = tgt[r * 2 : (r + 1) * 2]
         aux1 = (np.full((1, 8), geo1.trash_row, np.int32),
                 np.zeros((1, 8, D), np.float32))
-        xd1, sd1, asd1, ard1, td1 = put(mesh1, xs, ss, aux1, ts)
+        xd1, sd1, md1, asd1, ard1, td1 = put(mesh1, xs, ss, aux1, ts)
         # cache1/touched1 are donated; thread the returned buffers through
         _, cache1, touched1, l1, c1 = step1(
-            params1, cache1, touched1, xd1, sd1, asd1, ard1, td1,
+            params1, cache1, touched1, xd1, sd1, md1, asd1, ard1, td1,
             jnp.float32(0.0), jnp.float32(0.0),
         )
         total += float(l1)
