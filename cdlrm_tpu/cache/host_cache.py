@@ -20,6 +20,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from cdlrm_tpu.cache.geometry import CacheGeometry
+from cdlrm_tpu.ops import native
 
 
 @dataclass
@@ -77,6 +78,9 @@ class HostCacheController:
         # SFC64: the fastest numpy bit generator; way assignment only needs
         # statistical uniformity, not PCG64's guarantees
         self.rng = np.random.Generator(np.random.SFC64(seed))
+        self._aux_bases = np.array(
+            [geometry.aux_base(t) for t in range(geometry.num_tables)], np.int64
+        )
 
     # ------------------------------------------------------------------ probe
     def probe(
@@ -90,9 +94,14 @@ class HostCacheController:
         Reference semantics (model_no_ddp.py:163-187): set = idx % sets;
         hit if idx is in the set's occupancy; misses get consecutive aux slots
         in batch order and their master rows are staged for the aux region.
+
+        Fast path: the fused native probe (csrc/host_ops.cpp) — one pass per
+        lookup instead of numpy's ~6; bit-identical outputs (tests/test_native.py).
         """
         geo = self.geo
         t_count, b = ls_i.shape
+        if native.available():
+            return self._probe_native(ls_i, master, valid)
         slots = np.empty((t_count, b), dtype=np.int32)
         aux_slot_parts, aux_row_parts = [], []
         hit_counts = np.zeros(t_count, dtype=np.int64)
@@ -135,6 +144,45 @@ class HostCacheController:
             aux_slots = np.zeros(0, dtype=np.int32)
             aux_rows = np.zeros((0, geo.dim), dtype=np.float32)
         num_lookups = int(valid.sum()) if valid is not None else t_count * b
+        return ProbeResult(slots, aux_slots, aux_rows, hit_counts, num_lookups)
+
+    def _probe_native(
+        self, ls_i: np.ndarray, master, valid: Optional[np.ndarray]
+    ) -> ProbeResult:
+        geo = self.geo
+        t_count, b = ls_i.shape
+        ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
+        slots, miss_pos, miss_counts = native.probe_batch(
+            self.occupancy, ls_i, geo.table_offsets, self._aux_bases,
+            geo.ways, geo.trash_row, valid=valid,
+        )
+        if miss_counts.max(initial=0) > geo.aux_capacity:
+            t = int(np.argmax(miss_counts))
+            raise ValueError(
+                f"table {t}: {int(miss_counts[t])} misses exceed aux capacity "
+                f"{geo.aux_capacity}; raise --aux-capacity"
+            )
+        aux_slot_parts, aux_row_parts = [], []
+        for t in range(t_count):
+            n_miss = int(miss_counts[t])
+            if n_miss:
+                aux_slot_parts.append(
+                    (self._aux_bases[t] + np.arange(n_miss)).astype(np.int32)
+                )
+                aux_row_parts.append(master.gather(t, ls_i[t][miss_pos[t, :n_miss]]))
+        if aux_slot_parts:
+            aux_slots = np.concatenate(aux_slot_parts)
+            aux_rows = np.concatenate(aux_row_parts)
+        else:
+            aux_slots = np.zeros(0, dtype=np.int32)
+            aux_rows = np.zeros((0, geo.dim), dtype=np.float32)
+        if valid is not None:
+            n_valid = valid.sum(axis=1)
+            num_lookups = int(n_valid.sum())
+            hit_counts = (n_valid - miss_counts).astype(np.int64)
+        else:
+            num_lookups = t_count * b
+            hit_counts = (b - miss_counts).astype(np.int64)
         return ProbeResult(slots, aux_slots, aux_rows, hit_counts, num_lookups)
 
     # ----------------------------------------------------------------- insert

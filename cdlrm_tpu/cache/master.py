@@ -22,6 +22,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from cdlrm_tpu.ops import native
+
 
 class MasterTables:
     def __init__(
@@ -80,23 +82,31 @@ class MasterTables:
 
     def gather(self, t: int, idxs: np.ndarray) -> np.ndarray:
         """Row gather (reference fetch_unique_idx_slices,
-        model_no_ddp.py:80-87)."""
-        return np.asarray(self.tables[t][idxs], dtype=np.float32)
+        model_no_ddp.py:80-87). Row-parallel native path when available
+        (numpy fancy indexing is single-threaded)."""
+        tab = self.tables[t]
+        if native.available() and tab.flags["C_CONTIGUOUS"]:
+            return native.gather_f32(tab, np.asarray(idxs))
+        return np.asarray(tab[idxs], dtype=np.float32)
 
     def gather_all(self, idxs_per_table: Sequence[np.ndarray]) -> List[np.ndarray]:
         return [self.gather(t, idxs) for t, idxs in enumerate(idxs_per_table)]
 
     def writeback(
         self, t: int, idxs: np.ndarray, rows: np.ndarray, average: bool = False
-    ) -> None:
+    ) -> int:
         """Eviction writeback: overwrite or average with the resident rows
-        (reference cache_manager.py:58-62)."""
+        (reference cache_manager.py:58-62). Returns rows actually written."""
         if idxs.size == 0:
-            return
-        if average:
-            self.tables[t][idxs] = (self.tables[t][idxs] + rows) / 2.0
+            return 0
+        tab = self.tables[t]
+        if native.available() and tab.flags["C_CONTIGUOUS"]:
+            native.writeback_f32(tab, np.asarray(idxs), rows, average)
+        elif average:
+            tab[idxs] = (tab[idxs] + rows) / 2.0
         else:
-            self.tables[t][idxs] = rows
+            tab[idxs] = rows
+        return int(idxs.size)
 
     # ---- checkpointing (capability upgrade; reference has none) ----
     def save(self, path: str) -> None:
@@ -148,9 +158,9 @@ class VirtualMasterTables:
     def gather_all(self, idxs_per_table):
         return [self.gather(t, i) for t, i in enumerate(idxs_per_table)]
 
-    def writeback(self, t: int, idxs: np.ndarray, rows: np.ndarray, average: bool = False) -> None:
+    def writeback(self, t: int, idxs: np.ndarray, rows: np.ndarray, average: bool = False) -> int:
         if idxs.size == 0:
-            return
+            return 0
         idxs = np.asarray(idxs, dtype=np.int64)
         rows = np.asarray(rows, dtype=np.float32)
         if average:
@@ -162,6 +172,7 @@ class VirtualMasterTables:
         keep = merged_idx.size - 1 - last_rev
         self._overlay_idx[t] = uniq
         self._overlay_rows[t] = merged_rows[keep]
+        return int(idxs.size)
 
     def save(self, path: str) -> None:
         np.savez(

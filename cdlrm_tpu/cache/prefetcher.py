@@ -33,6 +33,7 @@ from typing import Callable, Iterable, Iterator, List, Optional
 import numpy as np
 
 from cdlrm_tpu.cache.master import MasterTables
+from cdlrm_tpu.ops import native
 
 _SENTINEL = None
 
@@ -100,8 +101,9 @@ class EvictionManager(threading.Thread):
             tables, idxs, rows = item
             for t in np.unique(tables):
                 sel = tables == t
-                self.master.writeback(int(t), idxs[sel], rows[sel], self.average)
-                self.rows_written += int(sel.sum())
+                self.rows_written += self.master.writeback(
+                    int(t), idxs[sel], rows[sel], self.average
+                )
 
 
 class LookaheadPrefetcher(threading.Thread):
@@ -179,7 +181,21 @@ class LookaheadPrefetcher(threading.Thread):
 
             def one_table(t: int):
                 idx = np.concatenate(self._table_parts(window, t))
-                uniq = np.unique(idx)  # sorted, like torch.unique
+                # direct-table fast path only for full in-RAM masters (sharded
+                # masters hold owned slices indexed by LOCAL offsets)
+                tab = (
+                    self.master.tables
+                    if isinstance(self.master, MasterTables)
+                    else None
+                )
+                if native.available():
+                    n_rows = int(self.master.ln_emb[t])
+                    if tab is not None and tab[t].flags["C_CONTIGUOUS"]:
+                        # fused sorted-unique + row gather in one native call
+                        return native.unique_gather_f32(idx, tab[t], n_rows)
+                    uniq = native.unique_i64(idx, n_rows)
+                else:
+                    uniq = np.unique(idx)  # sorted, like torch.unique
                 return uniq, self.master.gather(t, uniq)
 
             results = list(pool.map(one_table, range(num_tables)))

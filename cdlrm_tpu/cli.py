@@ -63,6 +63,19 @@ def build_dataset(cfg: Config):
 def main(argv=None) -> int:
     cfg = config_from_args(argv)
     np.set_printoptions(precision=cfg.print_precision)
+
+    if cfg.coordinator_address:
+        # multi-host launch: one process per host (parallel/multihost.py);
+        # the reference is single-node-only (main_no_ddp.py:341)
+        from cdlrm_tpu.parallel.multihost import initialize_distributed
+
+        pid, nproc = initialize_distributed(
+            cfg.coordinator_address,
+            cfg.num_hosts if cfg.num_hosts > 0 else None,
+            cfg.host_id if cfg.host_id >= 0 else None,
+        )
+        print(f"[multihost] process {pid}/{nproc} initialized")
+
     train_ds, test_ds, cfg = build_dataset(cfg)
 
     if cfg.use_cache:

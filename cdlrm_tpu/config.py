@@ -122,6 +122,15 @@ class Config:
     master_mmap_dir: str = ""  # file-back master tables here (enables process prefetch)
     pipeline_depth: int = 2  # batches probed/staged ahead of the device step
 
+    # -- multi-host (parallel/multihost.py; reference is single-node-only,
+    # MASTER_ADDR='localhost' at main_no_ddp.py:341) --
+    coordinator_address: str = ""  # host:port of process 0; "" = single-process
+    num_hosts: int = -1  # jax.distributed process count (-1 = from env)
+    host_id: int = -1  # this process's id (-1 = from env)
+    aux_bucket: int = -1  # fixed packed-miss buffer size for multi-host steps
+    #   (-1 = aux capacity); must be identical on every host — the global
+    #   aux array shape is part of the compiled step
+
     # ---- derived (populated by finalize()) ----
     ln_emb: Optional[np.ndarray] = None
     ln_bot: Optional[List[int]] = None

@@ -58,6 +58,8 @@ class CriteoStreamingDataset:
         drop_last: bool = False,
         counts_file: Optional[str] = None,
     ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.npzfile_prefix = npzfile_prefix
         self.days = list(days)
         self.batch_size = batch_size
@@ -142,6 +144,8 @@ class CriteoInMemoryDataset:
         seed: int = 123,
         drop_last: bool = False,
     ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         with np.load(pro_data) as data:
             self.x_int = data["X_int"]
             self.x_cat = data["X_cat"]
@@ -216,6 +220,8 @@ class CriteoBinDataset:
         max_ind_range: int = -1,
         bytes_per_feature: int = 4,
     ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.data_file = data_file
         self.batch_size = batch_size
         self.max_ind_range = max_ind_range
@@ -274,6 +280,12 @@ def make_criteo_datasets(cfg):
     (dlrm_data_pytorch.py:386-547): returns (train_ds, test_ds, cfg) with
     cfg.finalize(ln_emb, m_den) applied. The prefetcher's cache stream is the
     trainer's second pass over train_ds (reference cache_ld)."""
+    # cfg.finalize() (which defaults test_mini_batch_size to mini_batch_size,
+    # reference main_no_ddp.py:515-517) runs AFTER dataset construction needs
+    # the value — resolve it here; a -1 batch size would otherwise stream
+    # empty batches forever
+    if cfg.test_mini_batch_size <= 0:
+        cfg.test_mini_batch_size = cfg.mini_batch_size
     if cfg.mlperf_bin_loader:
         d_path = os.path.dirname(cfg.processed_data_file) or "."
         counts_file = os.path.join(d_path, "day_fea_count.npz")

@@ -1,0 +1,233 @@
+"""ctypes bindings for the native host-ops library (csrc/host_ops.cpp).
+
+The library is compiled on first use with g++ (cached by source hash next to
+the source tree); every caller degrades gracefully to its numpy path when the
+toolchain is missing or ``CDLRM_NO_NATIVE=1``. See csrc/host_ops.cpp for what
+each kernel replaces in the reference.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "csrc", "host_ops.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "csrc", "build")
+
+_I64 = ctypes.c_int64
+_PI64 = ctypes.POINTER(ctypes.c_int64)
+_PI32 = ctypes.POINTER(ctypes.c_int32)
+_PF32 = ctypes.POINTER(ctypes.c_float)
+_PU8 = ctypes.POINTER(ctypes.c_uint8)
+_PPI32 = ctypes.POINTER(_PI32)
+
+
+def _build() -> Optional[str]:
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(_BUILD_DIR, f"libcdlrm_host_{tag}.so")
+    if os.path.exists(so):
+        return so
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+        "-shared", "-fPIC", "-fopenmp", _SRC, "-o", so + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        # retry without native/openmp flags (portability)
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
+                 "-o", so + ".tmp"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError):
+            return None
+    os.replace(so + ".tmp", so)
+    return so
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("CDLRM_NO_NATIVE"):
+            return None
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.cdlrm_probe_table.restype = _I64
+        lib.cdlrm_probe_table.argtypes = [
+            _PI32, _I64, _I64, _PI64, _I64, _PU8, _I64, _I64, _I64, _PI32, _PI32,
+        ]
+        lib.cdlrm_probe_batch.restype = None
+        lib.cdlrm_probe_batch.argtypes = [
+            _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _PI64, _I64,
+            _PI32, _PI32, _PI64,
+        ]
+        lib.cdlrm_unique_i64.restype = _I64
+        lib.cdlrm_unique_i64.argtypes = [_PI64, _I64, _I64, _PI64]
+        lib.cdlrm_gather_f32.restype = None
+        lib.cdlrm_gather_f32.argtypes = [_PF32, _I64, _PI64, _I64, _PF32]
+        lib.cdlrm_writeback_f32.restype = None
+        lib.cdlrm_writeback_f32.argtypes = [_PF32, _I64, _PI64, _I64, _PF32,
+                                            ctypes.c_int]
+        lib.cdlrm_unique_gather_f32.restype = _I64
+        lib.cdlrm_unique_gather_f32.argtypes = [
+            _PI64, _I64, _I64, _PF32, _I64, _PI64, _PF32,
+        ]
+        lib.cdlrm_num_threads.restype = ctypes.c_int
+        lib.cdlrm_set_num_threads.argtypes = [ctypes.c_int]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def set_num_threads(n: int) -> None:
+    lib = _load()
+    if lib is not None:
+        lib.cdlrm_set_num_threads(int(n))
+
+
+def num_threads() -> int:
+    lib = _load()
+    return int(lib.cdlrm_num_threads()) if lib is not None else 1
+
+
+def _p(arr: np.ndarray, ptype):
+    return arr.ctypes.data_as(ptype)
+
+
+def probe_batch(
+    occupancy: List[np.ndarray],
+    ls_i: np.ndarray,
+    table_offsets: np.ndarray,
+    aux_bases: np.ndarray,
+    ways: int,
+    trash_row: int,
+    valid: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All-tables probe. ls_i [T, N] int64 C-contiguous; valid [T, N] bool or
+    None. Returns (slots [T, N] int32, miss_pos [T, N] int32, miss_counts
+    [T] int64): the first miss_counts[t] entries of miss_pos[t] are the valid
+    miss positions in batch order."""
+    lib = _load()
+    assert lib is not None
+    t_count, n = ls_i.shape
+    ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
+    if ls_i.size and ls_i.min() < 0:
+        raise IndexError("negative lookup index")  # C modulo would go OOB
+    sets = np.ascontiguousarray(
+        np.array([o.shape[0] for o in occupancy], dtype=np.int64)
+    )
+    occ_ptrs = (_PI32 * t_count)(*[_p(o, _PI32) for o in occupancy])
+    offs = np.ascontiguousarray(table_offsets, dtype=np.int64)
+    auxb = np.ascontiguousarray(aux_bases, dtype=np.int64)
+    slots = np.empty((t_count, n), dtype=np.int32)
+    miss_pos = np.empty((t_count, n), dtype=np.int32)
+    miss_counts = np.empty(t_count, dtype=np.int64)
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, dtype=np.uint8)
+        vptr = _p(valid, _PU8)
+    lib.cdlrm_probe_batch(
+        occ_ptrs, _p(sets, _PI64), ways, t_count, _p(ls_i, _PI64), n, vptr,
+        _p(offs, _PI64), _p(auxb, _PI64), trash_row,
+        _p(slots, _PI32), _p(miss_pos, _PI32), _p(miss_counts, _PI64),
+    )
+    return slots, miss_pos, miss_counts
+
+
+def _check_bounds(idx: np.ndarray, n_rows: int) -> None:
+    """The C kernels do raw pointer arithmetic; reject out-of-range ids with
+    the same IndexError numpy fancy indexing raises (tests rely on it to
+    surface malformed streams, tests/test_prefetcher.py)."""
+    if idx.size == 0:
+        return
+    mn, mx = idx.min(), idx.max()
+    if mn < 0 or (n_rows > 0 and mx >= n_rows):
+        raise IndexError(
+            f"index range [{mn}, {mx}] out of bounds for {n_rows} rows"
+        )
+
+
+def unique_i64(idx: np.ndarray, n_rows: int = 0) -> np.ndarray:
+    """Sorted unique (np.unique drop-in for non-negative int64)."""
+    lib = _load()
+    assert lib is not None
+    idx = np.ascontiguousarray(idx.reshape(-1), dtype=np.int64)
+    _check_bounds(idx, n_rows)
+    out = np.empty(idx.size, dtype=np.int64)
+    m = lib.cdlrm_unique_i64(_p(idx, _PI64), idx.size, int(n_rows), _p(out, _PI64))
+    return out[:m].copy()
+
+
+def gather_f32(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Row-parallel table[idx] for float32 C-contiguous 2-D tables."""
+    lib = _load()
+    assert lib is not None
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    _check_bounds(idx, table.shape[0])
+    out = np.empty((idx.size, table.shape[1]), dtype=np.float32)
+    lib.cdlrm_gather_f32(
+        _p(table, _PF32), table.shape[1], _p(idx, _PI64), idx.size, _p(out, _PF32)
+    )
+    return out
+
+
+def writeback_f32(
+    table: np.ndarray, idx: np.ndarray, rows: np.ndarray, average: bool
+) -> None:
+    lib = _load()
+    assert lib is not None
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    _check_bounds(idx, table.shape[0])
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    lib.cdlrm_writeback_f32(
+        _p(table, _PF32), table.shape[1], _p(idx, _PI64), idx.size,
+        _p(rows, _PF32), int(average),
+    )
+
+
+def unique_gather_f32(
+    idx: np.ndarray, table: np.ndarray, n_rows: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused sorted-unique + row gather (one prefetcher window/table)."""
+    lib = _load()
+    assert lib is not None
+    idx = np.ascontiguousarray(idx.reshape(-1), dtype=np.int64)
+    _check_bounds(idx, table.shape[0])
+    d = table.shape[1]
+    out_idx = np.empty(idx.size, dtype=np.int64)
+    out_rows = np.empty((idx.size, d), dtype=np.float32)
+    m = lib.cdlrm_unique_gather_f32(
+        _p(idx, _PI64), idx.size, int(n_rows or table.shape[0]),
+        _p(table, _PF32), d, _p(out_idx, _PI64), _p(out_rows, _PF32),
+    )
+    return out_idx[:m].copy(), out_rows[:m].copy()

@@ -31,6 +31,42 @@ def make_dp_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DP_AXIS,))
 
 
+def put_global(local_np: np.ndarray, sharding: NamedSharding, global_shape=None):
+    """Build a (possibly multi-host) global array from this process's local
+    portion. Single-process: a plain device_put of the full value (local ==
+    global). Multi-process: ``jax.make_array_from_process_local_data`` — each
+    process supplies the rows its addressable mesh devices own."""
+    if jax.process_count() == 1:
+        return jax.device_put(local_np, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(local_np), global_shape
+    )
+
+
+def local_shard(arr) -> np.ndarray:
+    """First addressable shard of a global array (multihost-safe replacement
+    for ``arr[0]`` on leading-device-axis arrays whose shards this process
+    needs; content must be replica-identical or explicitly per-host)."""
+    return np.asarray(arr.addressable_shards[0].data)
+
+
+def local_batch_rows(arr) -> np.ndarray:
+    """Concatenate this process's addressable shards of a batch-sharded
+    (leading-axis P('dp')) global array, in global row order."""
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: (s.index[0].start or 0)
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def local_replica_ids(mesh: Mesh) -> list:
+    """Global dp-axis positions of this process's addressable devices, in
+    mesh order (== which global batch shards this host feeds)."""
+    me = jax.process_index()
+    flat = list(mesh.devices.ravel())
+    return [i for i, d in enumerate(flat) if d.process_index == me]
+
+
 def batch_sharding(mesh: Mesh, axis: int, ndim: int) -> NamedSharding:
     """Shard dimension ``axis`` of an ndim-array over the dp axis."""
     spec = [None] * ndim

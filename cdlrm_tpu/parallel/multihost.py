@@ -1,36 +1,50 @@
-"""Multi-host scaffolding (SURVEY.md §7 step 6 — the north-star extension).
+"""Multi-host execution: row-sharded master tables + window-row exchange.
 
 The reference is single-node by construction (MASTER_ADDR='localhost',
-/root/reference/main_no_ddp.py:341); scaling cDLRM across hosts replaces its
-"one shared host copy of the master tables" with row-sharded masters and a
-cross-host exchange of cached rows. This module provides the runtime entry
-points that exist today; the exchange itself is tracked as round-2+ work
-(PARITY.md "Known gaps").
+/root/reference/main_no_ddp.py:341) with ONE shared host-memory copy of the
+master embedding tables per node (main_no_ddp.py:621-622). Scaling cDLRM
+across hosts replaces that with row-sharded masters — each host owns a
+contiguous row range of every table — plus one exchange per lookahead window
+so every host still sees the full window's rows. This is the north-star
+extension from SURVEY.md §2 ("Parallelism strategies").
 
-Design (documented for implementation):
-- jax.distributed.initialize() per host; global 1-D dp mesh over all chips.
-- Master tables row-sharded by contiguous range per host
-  (ShardedMasterRange below): host h owns rows [h*n/H, (h+1)*n/H) of each
-  table. The lookahead window's unique indices are partitioned by owner;
-  each host gathers its owned rows.
-- The refill insert buffer becomes a device-side all_gather over the dp
-  axis of fixed-size padded (slot, row) buffers — each host contributes the
-  rows it owns, every replica applies the union. Eviction writeback routes
-  rows back to their owner the same way (reverse direction), tolerating the
-  same staleness window as the single-host design.
-- The step function is unchanged: probe stays host-local because occupancy
-  updates are deterministic and identical on every host (same windows, same
-  seeds) — each host maintains a full occupancy MIRROR while owning only a
-  row range of the master VALUES.
+Architecture (multi-controller JAX; every host runs the same trainer):
+
+- ``jax.distributed.initialize`` per host; one global 1-D dp mesh over all
+  chips (parallel/mesh.py).
+- **Determinism invariant**: every host streams the SAME global index stream
+  (indices are tiny next to rows), so per-window uniques, occupancy updates,
+  and insert/evict plans are bit-identical everywhere — no coordination is
+  ever needed for cache *metadata*. Only row *values* move between hosts.
+- ``ShardedMasterTables``: host h owns rows [h*n/H, (h+1)*n/H) of each table.
+  The prefetcher gathers owned rows only; ``exchange_window_rows`` (one
+  ``process_allgather`` per window, amortized over ``lookahead`` steps)
+  reassembles the full per-window row set on every host.
+- Train-step misses are served from the exchanged window (``WindowRowStore``)
+  — every train index is in the current window by construction (the window IS
+  the next ``lookahead`` batches). Same staleness envelope as the single-host
+  design (DESIGN.md D1).
+- Eviction writeback: evicted rows are broadcast from global replica 0 inside
+  the refill step (train/step.py), so every host holds identical values and
+  writes back only the rows it owns — reference rank-0 writeback semantics
+  (main_no_ddp.py:148-209) with zero extra host traffic.
+- Eval misses can reference rows outside any window; ``GlobalRowExchange``
+  resolves them with two fixed collectives per eval batch.
+
+Master-table init is procedural (seeded block hash, uniform(-1/sqrt n, 1/sqrt n)
+like the reference init at model_no_ddp.py:35-38) so any host count
+materializes bit-identical values for the rows it owns.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
+
+from cdlrm_tpu.ops import native
 
 
 def initialize_distributed(
@@ -50,8 +64,8 @@ def initialize_distributed(
 
 
 @dataclass(frozen=True)
-class ShardedMasterRange:
-    """Row-range ownership of the master tables for one host."""
+class RowShard:
+    """Contiguous row-range ownership of the master tables for one host."""
 
     host_id: int
     num_hosts: int
@@ -66,8 +80,265 @@ class ShardedMasterRange:
         per = -(-n_rows // self.num_hosts)
         return np.minimum(idx // per, self.num_hosts - 1)
 
-    def partition_by_owner(self, idx: np.ndarray, n_rows: int):
-        """Split a sorted unique index array into per-owner slices."""
-        owners = self.owner_of(idx, n_rows)
-        bounds = np.searchsorted(owners, np.arange(self.num_hosts + 1))
-        return [idx[bounds[h] : bounds[h + 1]] for h in range(self.num_hosts)]
+    def bounds(self, sorted_idx: np.ndarray, n_rows: int) -> np.ndarray:
+        """[H+1] positions splitting a sorted id array by owner (ownership is
+        range-based, so owner slices are contiguous in sorted order)."""
+        per = -(-n_rows // self.num_hosts)
+        edges = np.arange(self.num_hosts + 1, dtype=np.int64) * per
+        return np.searchsorted(sorted_idx, edges)
+
+
+_PHI = np.int64(0x9E3779B1)
+
+
+class ShardedMasterTables:
+    """Row-sharded master tables: this host materializes only its owned row
+    range of each table; values are procedurally seeded so every host count
+    yields identical rows (block hash, uniform(-bound, bound) — reference
+    init distribution, model_no_ddp.py:35-38, block-tiled like
+    MasterTables(init='tile')).
+
+    ``gather(t, sorted_unique_ids)`` (the prefetcher contract,
+    cache/prefetcher.py) returns rows for the OWNED slice only — the caller
+    reassembles full windows with :func:`exchange_window_rows`. ``writeback``
+    silently drops rows this host doesn't own (their owner performs the same
+    write from the replica-0-broadcast evicted values)."""
+
+    def __init__(
+        self,
+        ln_emb: Sequence[int],
+        dim: int,
+        shard: RowShard,
+        rng: Optional[np.random.Generator] = None,
+        block_rows: int = 65536,
+    ):
+        self.ln_emb = [int(n) for n in ln_emb]
+        self.dim = int(dim)
+        self.shard = shard
+        # block derivation bit-matches VirtualMasterTables (cache/master.py)
+        # so a single-host master_init='virtual' run and any multi-host run
+        # materialize IDENTICAL master values — the basis of the cross-host
+        # equivalence test (tests/test_multihost.py)
+        rng = rng or np.random.default_rng(0)
+        fast = np.random.Generator(np.random.SFC64(int(rng.integers(2**31))))
+        self._block = fast.random((block_rows, dim), dtype=np.float32) * 2.0 - 1.0
+        self.tables: List[np.ndarray] = []
+        self.ranges: List[Tuple[int, int]] = []
+        for t, n in enumerate(self.ln_emb):
+            lo, hi = shard.owned_range(n)
+            self.ranges.append((lo, hi))
+            bound = np.float32(np.sqrt(1.0 / n))
+            ids = np.arange(lo, hi, dtype=np.int64)
+            pos = (ids + t * _PHI) % block_rows
+            self.tables.append(
+                np.ascontiguousarray(self._block[pos] * bound)
+            )
+
+    def owned_mask(self, t: int, ids: np.ndarray) -> np.ndarray:
+        lo, hi = self.ranges[t]
+        return (ids >= lo) & (ids < hi)
+
+    def gather(self, t: int, sorted_ids: np.ndarray) -> np.ndarray:
+        """Rows for the owned slice of a SORTED id array (prefetcher path)."""
+        lo, hi = self.ranges[t]
+        a, b = np.searchsorted(sorted_ids, [lo, hi])
+        local = np.asarray(sorted_ids[a:b], dtype=np.int64) - lo
+        tab = self.tables[t]
+        if native.available() and local.size:
+            return native.gather_f32(tab, local)
+        return np.asarray(tab[local], dtype=np.float32)
+
+    def gather_owned_of(self, t: int, ids: np.ndarray) -> np.ndarray:
+        """Rows for EVERY position of ``ids`` (any order); un-owned positions
+        are zero-filled (summed across hosts by GlobalRowExchange)."""
+        lo, hi = self.ranges[t]
+        own = self.owned_mask(t, ids)
+        out = np.zeros((ids.size, self.dim), np.float32)
+        if own.any():
+            out[own] = self.tables[t][np.asarray(ids[own], np.int64) - lo]
+        return out
+
+    def writeback(
+        self, t: int, idxs: np.ndarray, rows: np.ndarray, average: bool = False
+    ) -> int:
+        """Write back the OWNED subset; un-owned rows are silently dropped
+        (their owner performs the same write). Returns rows written."""
+        if idxs.size == 0:
+            return 0
+        own = self.owned_mask(t, idxs)
+        if not own.any():
+            return 0
+        lo, _ = self.ranges[t]
+        local = np.asarray(idxs[own], dtype=np.int64) - lo
+        sel = np.ascontiguousarray(rows[own])
+        tab = self.tables[t]
+        if native.available():
+            native.writeback_f32(tab, local, sel, average)
+        elif average:
+            tab[local] = (tab[local] + sel) / 2.0
+        else:
+            tab[local] = sel
+        return int(local.size)
+
+    # ---- checkpointing: each host saves/loads its owned shard ----
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            host_id=self.shard.host_id,
+            num_hosts=self.shard.num_hosts,
+            **{f"table_{t}": arr for t, arr in enumerate(self.tables)},
+        )
+
+    def load(self, path: str) -> None:
+        with np.load(path) as data:
+            assert int(data["num_hosts"]) == self.shard.num_hosts, (
+                "checkpoint host count mismatch; re-shard offline"
+            )
+            for t in range(len(self.tables)):
+                self.tables[t][...] = data[f"table_{t}"]
+
+
+class WindowRowStore:
+    """Full (exchanged) rows of the current lookahead window, servable by id.
+
+    Serves train-step misses in multi-host mode: every train index of window
+    k is in window k's uniques by construction, so ``gather`` is a
+    searchsorted into the sorted unique array. Matches the master-direct miss
+    fetch of the single-host path up to the already-documented staleness
+    window (DESIGN.md D1: miss rows are as fresh as window-gather time)."""
+
+    def __init__(self, uniques: Sequence[np.ndarray], rows: Sequence[np.ndarray]):
+        self.uniques = uniques
+        self.rows = rows
+
+    def gather(self, t: int, ids: np.ndarray) -> np.ndarray:
+        u = self.uniques[t]
+        pos = np.searchsorted(u, ids)
+        bad = (pos >= u.size) | (u[np.minimum(pos, u.size - 1)] != ids)
+        if bad.any():
+            raise KeyError(
+                f"table {t}: ids {ids[bad][:5]} not in current lookahead window "
+                "(train batches must align with prefetch windows)"
+            )
+        return self.rows[t][pos]
+
+
+def exchange_window_rows(
+    master: ShardedMasterTables,
+    uniques: Sequence[np.ndarray],
+    owned_rows: Sequence[np.ndarray],
+) -> List[np.ndarray]:
+    """Reassemble full window rows from per-host owned slices.
+
+    Each host holds rows for its owned contiguous slice of every table's
+    sorted uniques; the slice boundaries are computable on every host from
+    (uniques, ownership) alone — so a single fixed-shape
+    ``process_allgather`` of the packed owned rows suffices, with zero
+    metadata exchange. Transfer per host: (H-1)/H of the window's rows —
+    the replication cost inherent to cDLRM's replicated-cache design."""
+    from jax.experimental import multihost_utils
+
+    H = master.shard.num_hosts
+    if H == 1:
+        return [r for r in owned_rows]
+    dim = master.dim
+    nt = len(uniques)
+    # per-host per-table slice boundaries (identical on every host)
+    bounds = [master.shard.bounds(uniques[t], master.ln_emb[t]) for t in range(nt)]
+    per_host_total = np.array(
+        [sum(int(bounds[t][h + 1] - bounds[t][h]) for t in range(nt)) for h in range(H)],
+        dtype=np.int64,
+    )
+    pad_to = int(per_host_total.max())
+    me = master.shard.host_id
+    packed = np.zeros((pad_to, dim), np.float32)
+    mine = [owned_rows[t] for t in range(nt) if owned_rows[t].shape[0]]
+    if mine:
+        cat = np.concatenate(mine)
+        assert cat.shape[0] == per_host_total[me]
+        packed[: cat.shape[0]] = cat
+    gathered = np.asarray(
+        multihost_utils.process_allgather(packed)
+    )  # [H, pad_to, dim]
+    full: List[np.ndarray] = []
+    cursors = np.zeros(H, dtype=np.int64)
+    for t in range(nt):
+        parts = []
+        for h in range(H):
+            n = int(bounds[t][h + 1] - bounds[t][h])
+            parts.append(gathered[h, cursors[h] : cursors[h] + n])
+            cursors[h] += n
+        full.append(
+            np.concatenate(parts) if parts else np.zeros((0, dim), np.float32)
+        )
+    return full
+
+
+class GlobalRowExchange:
+    """Cross-host row fetch for ids outside the current window (eval misses).
+
+    Two fixed-shape collectives per call regardless of content, so every
+    host's collective sequence stays aligned: (1) allgather everyone's
+    request ids, (2) allgather per-host contributions (zeros for un-owned
+    positions) and sum. O(H^2 * cap * dim) transfer — eval-only; a
+    request-routed exchange is the known optimization."""
+
+    def __init__(self, master: ShardedMasterTables, capacity: int):
+        self.master = master
+        self.capacity = int(capacity)
+
+    def fetch(self, requests: List[Tuple[int, np.ndarray]]) -> List[np.ndarray]:
+        """requests: [(table, ids)] with sum(len(ids)) <= capacity. Returns
+        rows aligned with each request."""
+        from jax.experimental import multihost_utils
+
+        H = self.master.shard.num_hosts
+        dim = self.master.dim
+        counts = [ids.size for _, ids in requests]
+        total = int(np.sum(counts)) if counts else 0
+        if total > self.capacity:
+            raise ValueError(f"{total} eval miss rows exceed exchange capacity "
+                             f"{self.capacity}")
+        # pack (table, id) into one id-space so one allgather carries both
+        tbl = np.zeros(self.capacity, np.int64)
+        ids = np.zeros(self.capacity, np.int64)
+        n = 0
+        for t, i in requests:
+            tbl[n : n + i.size] = t
+            ids[n : n + i.size] = i
+            n += i.size
+        payload = np.stack([tbl, ids, np.full_like(tbl, n)])  # [3, cap]
+        all_req = np.asarray(multihost_utils.process_allgather(payload))  # [H,3,cap]
+        contrib = np.zeros((H, self.capacity, dim), np.float32)
+        for h in range(H):
+            h_n = int(all_req[h, 2, 0])
+            h_tbl, h_ids = all_req[h, 0, :h_n], all_req[h, 1, :h_n]
+            for t in np.unique(h_tbl):
+                sel = h_tbl == t
+                contrib[h, :h_n][sel] = self.master.gather_owned_of(
+                    int(t), h_ids[sel]
+                )
+        summed = np.asarray(
+            multihost_utils.process_allgather(contrib)
+        ).sum(axis=0)  # [H, cap, dim]
+        mine = summed[self.master.shard.host_id]
+        out, n = [], 0
+        for t, i in requests:
+            out.append(mine[n : n + i.size])
+            n += i.size
+        return out
+
+
+class CollectingMaster:
+    """Probe-time master stand-in that records miss requests instead of
+    gathering (multi-host eval path): the trainer later resolves all
+    recorded requests with one GlobalRowExchange.fetch and patches the
+    aux_rows buffer positionally."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.requests: List[Tuple[int, np.ndarray]] = []
+
+    def gather(self, t: int, ids: np.ndarray) -> np.ndarray:
+        self.requests.append((t, np.asarray(ids, np.int64).copy()))
+        return np.zeros((ids.size, self.dim), np.float32)

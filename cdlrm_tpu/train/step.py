@@ -77,21 +77,28 @@ def _sync_dense_grads(grads: Params, strict_bias_divergence: bool) -> Params:
 
 
 def replicate_for_mesh(tree, mesh: Mesh):
-    """Add a leading device axis to every leaf and shard it over dp."""
+    """Add a leading device axis to every leaf and shard it over dp
+    (multihost-safe: each process materializes only its local shards)."""
+    from cdlrm_tpu.parallel.mesh import local_replica_ids, put_global
+
     n = mesh.devices.size
-    sharding = NamedSharding(mesh, P(DP_AXIS))
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(
-            jnp.broadcast_to(x[None], (n,) + x.shape),
-            NamedSharding(mesh, P(*([DP_AXIS] + [None] * x.ndim))),
-        ),
-        tree,
-    )
+    n_local = len(local_replica_ids(mesh))
+
+    def put(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P(*([DP_AXIS] + [None] * x.ndim)))
+        local = np.broadcast_to(x[None], (n_local,) + x.shape)
+        return put_global(np.ascontiguousarray(local), sharding, (n,) + x.shape)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def unreplicate(tree):
-    """Take replica 0 of a leading-device-axis pytree (host-side)."""
-    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x[0])), tree)
+    """Take one replica of a leading-device-axis pytree (host-side;
+    multihost-safe — reads this process's first addressable shard)."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x.addressable_shards[0].data)[0], tree
+    )
 
 
 def _spec_leading():
@@ -258,11 +265,20 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
     main_no_ddp.py:309-321). Insert/evict slot buffers are host-bucketed to
     powers of two (DESIGN.md D6); padding targets the trash row.
 
-    Returns (cache, evicted[ndev, E, D]) — caller reads evicted[0]."""
+    Returns (cache, evicted[ndev, E, D]). Evicted rows are broadcast from
+    global replica 0 (the reference gathers them on rank 0,
+    main_no_ddp.py:196-199), so every host's local shard holds identical
+    values — multi-host writeback needs no extra exchange
+    (parallel/multihost.py)."""
 
     def body(cache, insert_slots, insert_rows, evict_slots):
         cache = cache[0]
         evicted = jnp.take(cache, evict_slots, axis=0)
+        if cfg.refill_broadcast:
+            idx = jax.lax.axis_index(DP_AXIS)
+            evicted = jax.lax.psum(
+                jnp.where(idx == 0, evicted, jnp.zeros_like(evicted)), DP_AXIS
+            )
         cache = cache.at[insert_slots].set(insert_rows)
         if cfg.refill_broadcast:
             idx = jax.lax.axis_index(DP_AXIS)

@@ -42,7 +42,13 @@ from cdlrm_tpu.cache.prefetcher import EvictionManager, LookaheadPrefetcher, Win
 from cdlrm_tpu.config import Config
 from cdlrm_tpu.data.synthetic import Batch
 from cdlrm_tpu.models.dlrm import init_dlrm
-from cdlrm_tpu.parallel.mesh import DP_AXIS, make_dp_mesh
+from cdlrm_tpu.parallel.mesh import (
+    DP_AXIS, local_replica_ids, local_shard, make_dp_mesh, put_global,
+)
+from cdlrm_tpu.parallel.multihost import (
+    CollectingMaster, GlobalRowExchange, RowShard, ShardedMasterTables,
+    WindowRowStore, exchange_window_rows,
+)
 from cdlrm_tpu.train import step as step_lib
 from cdlrm_tpu.utils.metrics import StreamingAUC, accuracy_count
 from cdlrm_tpu.utils.padding import pad_to_bucket
@@ -95,12 +101,22 @@ class CachedDlrmTrainer:
         assert self.ndev == cfg.world_size, (
             f"mesh has {self.ndev} devices, config world_size={cfg.world_size}"
         )
+        # multi-host: this process feeds only its addressable replicas
+        # (parallel/multihost.py module doc); replica ids are contiguous in
+        # the process-major device order of jax.devices()
+        self.multihost = jax.process_count() > 1
+        self.local_ids = local_replica_ids(self.mesh)
+        self.n_local = len(self.local_ids)
+        if self.multihost:
+            assert self.local_ids == list(
+                range(self.local_ids[0], self.local_ids[0] + self.n_local)
+            ), "mesh devices must be process-contiguous along dp"
         if pooled_width is None:
-            single = (
-                cfg.data_generation == "dataset"
-                or (cfg.num_indices_per_lookup_fixed and cfg.num_indices_per_lookup == 1)
-            )
-            pooled_width = 0 if single else cfg.num_indices_per_lookup
+            # data-driven inference: datasets are restartable by contract
+            # (see class docstring), so peek the first batch — single-index
+            # streams carry ls_mask=None, padded multi-hot carries [T, B, P]
+            first = next(iter(dataset.batches()))
+            pooled_width = 0 if first.ls_mask is None else first.ls_i.shape[2]
         self.pooled_width = pooled_width
 
         rng = np.random.default_rng(cfg.numpy_rand_seed)
@@ -114,7 +130,15 @@ class CachedDlrmTrainer:
         self.geo = CacheGeometry.build(
             cfg.ln_emb, cfg.m_spa, cfg.cache_size, cfg.num_ways, aux_cap
         )
-        if cfg.master_init == "virtual":
+        if self.multihost:
+            # row-sharded masters with procedural (seeded, host-count-
+            # independent) values; master_init is ignored by design
+            self.master = ShardedMasterTables(
+                cfg.ln_emb, cfg.m_spa,
+                RowShard(jax.process_index(), jax.process_count()),
+                rng,
+            )
+        elif cfg.master_init == "virtual":
             from cdlrm_tpu.cache.master import VirtualMasterTables
 
             self.master = VirtualMasterTables(cfg.ln_emb, cfg.m_spa, rng)
@@ -130,12 +154,15 @@ class CachedDlrmTrainer:
         self.params = step_lib.replicate_for_mesh(params, self.mesh)
 
         shard_lead = NamedSharding(self.mesh, P(DP_AXIS))
-        self.cache = jax.device_put(
-            jnp.zeros((self.ndev, self.geo.total_rows, self.geo.dim), jnp.float32),
+        self.cache = put_global(
+            np.zeros((self.n_local, self.geo.total_rows, self.geo.dim), np.float32),
             shard_lead,
+            (self.ndev, self.geo.total_rows, self.geo.dim),
         )
-        self.touched = jax.device_put(
-            jnp.zeros((self.ndev, self.geo.total_rows), bool), shard_lead
+        self.touched = put_global(
+            np.zeros((self.n_local, self.geo.total_rows), bool),
+            shard_lead,
+            (self.ndev, self.geo.total_rows),
         )
 
         scfg = step_lib.StepConfig(
@@ -183,6 +210,28 @@ class CachedDlrmTrainer:
             nepochs=cfg.nepochs,
             backend=cfg.prefetch_backend,
         )
+        # multi-host state: exchanged-window miss store + eval row exchange.
+        # The packed-miss bucket is part of the compiled GLOBAL array shape,
+        # so it must be host-count-invariant: default to the worst case
+        # (every table misses every lookup — cold start); tune down with
+        # --aux-bucket once steady-state hit rates are known.
+        self._window_store: Optional[WindowRowStore] = None
+        self._aux_bucket = (
+            cfg.aux_bucket if cfg.aux_bucket > 0
+            else len(cfg.ln_emb) * self.geo.aux_capacity
+        )
+        self._row_exchange = (
+            GlobalRowExchange(
+                self.master,
+                capacity=(
+                    len(cfg.ln_emb) * test_b_loc * max(1, pooled_width)
+                    * self.n_local
+                ),
+            )
+            if self.multihost
+            else None
+        )
+
         self._pipeline_started = False
         self.global_step = 0
         self.metrics = TrainMetrics()
@@ -208,7 +257,14 @@ class CachedDlrmTrainer:
     # ------------------------------------------------------------------ refill
     def _apply_refill(self, window: WindowData) -> None:
         t0 = time.perf_counter()
-        plan = self.controller.plan_insert(window.uniques, window.rows)
+        rows = window.rows
+        if self.multihost:
+            # reassemble the full window from per-host owned slices (one
+            # fixed-shape allgather; parallel/multihost.py), then serve this
+            # window's train misses from it
+            rows = exchange_window_rows(self.master, window.uniques, rows)
+            self._window_store = WindowRowStore(window.uniques, rows)
+        plan = self.controller.plan_insert(window.uniques, rows)
         ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
         ins_rows = pad_to_bucket(plan.insert_rows, 0.0)
         ev_slots = pad_to_bucket(plan.evict_slots, 0)
@@ -220,18 +276,26 @@ class CachedDlrmTrainer:
         )
         n_evict = plan.evict_slots.shape[0]
         if n_evict:
-            evicted_rows = np.asarray(evicted[0][:n_evict])
+            # replica-0-broadcast values (train/step.py make_refill_step):
+            # identical on every host; sharded masters keep owned rows only
+            evicted_rows = local_shard(evicted)[0][:n_evict]
             self.eviction_fifo.put((plan.evict_tables, plan.evict_idxs, evicted_rows))
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
 
     # ------------------------------------------------------------------ batch
-    def _assemble(self, batch: Batch, b_loc: int):
-        """Probe per DP shard and build sharded device arrays. Multi-hot
-        batches ([T, B, P] + mask) are probed flattened; masked positions
-        resolve to the trash row."""
+    def _assemble(self, batch: Batch, b_loc: int, for_eval: bool = False):
+        """Probe this process's DP shards and build (global) sharded device
+        arrays. Multi-hot batches ([T, B, P] + mask) are probed flattened;
+        masked positions resolve to the trash row.
+
+        Multi-host: every host sees the full batch but probes/stages only its
+        local replicas. Train misses are served from the exchanged window
+        store; eval misses are collected and resolved with one fixed
+        GlobalRowExchange round (parallel/multihost.py)."""
         ls_i = batch.ls_i
         mask = batch.ls_mask
+        t_count = ls_i.shape[0]
         if mask is not None:
             p = ls_i.shape[2]
             if p != self.pooled_width:
@@ -241,16 +305,24 @@ class CachedDlrmTrainer:
                 )
         elif self.pooled_width:
             raise ValueError("trainer built for pooled batches, got single-index")
+
+        if not self.multihost:
+            probe_masters = [self.master] * self.n_local
+        elif for_eval:
+            probe_masters = [CollectingMaster(self.geo.dim) for _ in self.local_ids]
+        else:
+            assert self._window_store is not None, "probe before first refill"
+            probe_masters = [self._window_store] * self.n_local
+
         slots_shards, aux_slot_shards, aux_row_shards = [], [], []
-        for r in range(self.ndev):
+        for k_loc, r in enumerate(self.local_ids):
             sl = slice(r * b_loc, (r + 1) * b_loc)
             if mask is None:
-                pr = self.controller.probe(ls_i[:, sl], self.master)
+                pr = self.controller.probe(ls_i[:, sl], probe_masters[k_loc])
             else:
-                t_count = ls_i.shape[0]
                 pr = self.controller.probe(
                     ls_i[:, sl].reshape(t_count, -1),
-                    self.master,
+                    probe_masters[k_loc],
                     valid=mask[:, sl].reshape(t_count, -1),
                 )
             slots_shards.append(pr.slots)
@@ -259,32 +331,61 @@ class CachedDlrmTrainer:
             self.metrics.hits += int(pr.hit_counts.sum())
             self.metrics.lookups += pr.num_lookups
             if self.metrics.table_hits is None:
-                self.metrics.table_hits = np.zeros(ls_i.shape[0], dtype=np.int64)
+                self.metrics.table_hits = np.zeros(t_count, dtype=np.int64)
             self.metrics.table_hits += pr.hit_counts
-            self.metrics.table_lookups += pr.num_lookups // ls_i.shape[0]
+            self.metrics.table_lookups += pr.num_lookups // t_count
+
+        if self.multihost and for_eval:
+            # ONE exchange per eval batch on every host (collective alignment
+            # requires the call even with zero local misses)
+            requests = [rq for m in probe_masters for rq in m.requests]
+            fetched = self._row_exchange.fetch(requests)
+            pos = 0
+            for k_loc, m in enumerate(probe_masters):
+                parts = fetched[pos : pos + len(m.requests)]
+                pos += len(m.requests)
+                if parts:
+                    aux_row_shards[k_loc] = np.concatenate(parts)
+
         slots = np.concatenate(slots_shards, axis=1)
         # pack misses: pad every shard to a common pow2 bucket so only one
         # compiled shape per bucket exists (DESIGN.md D6); padding scatters
-        # into the trash row
+        # into the trash row. Multi-host: the bucket is part of the GLOBAL
+        # array shape, so it is fixed (cfg.aux_bucket) rather than negotiated.
         from cdlrm_tpu.utils.padding import pow2_bucket
 
-        k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
-        aux_slots = np.full((self.ndev, k), self.geo.trash_row, dtype=np.int32)
-        aux_rows = np.zeros((self.ndev, k, self.geo.dim), dtype=np.float32)
-        for r in range(self.ndev):
-            n = aux_slot_shards[r].shape[0]
-            aux_slots[r, :n] = aux_slot_shards[r]
-            aux_rows[r, :n] = aux_row_shards[r]
+        if self.multihost:
+            k = self._aux_bucket
+        else:
+            k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
+        aux_slots = np.full((self.n_local, k), self.geo.trash_row, dtype=np.int32)
+        aux_rows = np.zeros((self.n_local, k, self.geo.dim), dtype=np.float32)
+        for k_loc in range(self.n_local):
+            n = aux_slot_shards[k_loc].shape[0]
+            if n > k:
+                raise ValueError(
+                    f"{n} packed miss rows exceed aux bucket {k}; raise "
+                    "--aux-bucket"
+                )
+            aux_slots[k_loc, :n] = aux_slot_shards[k_loc]
+            aux_rows[k_loc, :n] = aux_row_shards[k_loc]
+
         sh = self._shardings
+        b_glob = self.ndev * b_loc
+        lo, hi = self.local_ids[0] * b_loc, (self.local_ids[-1] + 1) * b_loc
         if mask is None:
-            mask = np.zeros(ls_i.shape[:2], dtype=bool)  # unused dummy
+            mask_local = np.zeros((t_count, hi - lo), dtype=bool)  # unused dummy
+            mask_glob = (t_count, b_glob)
+        else:
+            mask_local = mask[:, lo:hi]
+            mask_glob = (t_count, b_glob) + mask.shape[2:]
         return (
-            jax.device_put(batch.x, sh["batch0"]),
-            jax.device_put(slots, sh["slots"]),
-            jax.device_put(mask, sh["slots"]),
-            jax.device_put(aux_slots, sh["lead"]),
-            jax.device_put(aux_rows, sh["lead"]),
-            jax.device_put(batch.y, sh["batch0"]),
+            put_global(batch.x[lo:hi], sh["batch0"], (b_glob,) + batch.x.shape[1:]),
+            put_global(slots, sh["slots"], (t_count, slots.shape[1] * self.ndev // self.n_local)),
+            put_global(mask_local, sh["slots"], mask_glob),
+            put_global(aux_slots, sh["lead"], (self.ndev, k)),
+            put_global(aux_rows, sh["lead"], (self.ndev, k, self.geo.dim)),
+            put_global(batch.y[lo:hi], sh["batch0"], (b_glob,) + batch.y.shape[1:]),
         )
 
     # ------------------------------------------------------------------ train
@@ -434,12 +535,25 @@ class CachedDlrmTrainer:
                 break
             n = batch.x.shape[0]
             batch = _pad_batch(batch, tb_loc * self.ndev)
-            x, slots, ls_mask, aux_slots, aux_rows, tgt = self._assemble(batch, tb_loc)
-            scores = np.asarray(
-                self.eval_step(
-                    self.params, self.cache, x, slots, ls_mask, aux_slots, aux_rows
-                )
+            x, slots, ls_mask, aux_slots, aux_rows, tgt = self._assemble(
+                batch, tb_loc, for_eval=True
             )
+            scores_arr = self.eval_step(
+                self.params, self.cache, x, slots, ls_mask, aux_slots, aux_rows
+            )
+            if self.multihost:
+                # reassemble the globally-sharded scores: local shards +
+                # one allgather (process-major order == batch order)
+                from jax.experimental import multihost_utils
+
+                from cdlrm_tpu.parallel.mesh import local_batch_rows
+
+                local = local_batch_rows(scores_arr)
+                scores = np.asarray(
+                    multihost_utils.process_allgather(local)
+                ).reshape(-1, local.shape[-1])
+            else:
+                scores = np.asarray(scores_arr)
             scores = scores[:n]
             y = batch.y[:n]
             correct += accuracy_count(scores, y)
@@ -455,15 +569,24 @@ class CachedDlrmTrainer:
         """Full-state checkpoint (capability upgrade; the reference parses
         --save-model but never implements it, main_no_ddp.py:111-112)."""
         os.makedirs(path, exist_ok=True)
+        # multi-host: every host saves its owned master shard; host 0 saves
+        # the (replica-identical) dense params, cache, occupancy, and meta
+        if self.multihost:
+            self.master.save(
+                os.path.join(path, f"master.h{jax.process_index()}.npz")
+            )
+            if jax.process_index() != 0:
+                return
+        else:
+            self.master.save(os.path.join(path, "master.npz"))
         params = step_lib.unreplicate(self.params)
         leaves, _ = jax.tree_util.tree_flatten(params)
         np.savez(
             os.path.join(path, "dense_params.npz"),
             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
         )
-        np.save(os.path.join(path, "cache.npy"), np.asarray(self.cache[0]))
+        np.save(os.path.join(path, "cache.npy"), local_shard(self.cache)[0])
         np.savez(os.path.join(path, "occupancy.npz"), **self.controller.state_dict())
-        self.master.save(os.path.join(path, "master.npz"))
         meta = {
             "global_step": self.global_step,
             "rng_state": self.controller.rng.bit_generator.state,
@@ -479,13 +602,19 @@ class CachedDlrmTrainer:
         params = jax.tree_util.tree_unflatten(treedef, leaves)
         self.params = step_lib.replicate_for_mesh(params, self.mesh)
         cache0 = np.load(os.path.join(path, "cache.npy"))
-        self.cache = jax.device_put(
-            jnp.broadcast_to(jnp.asarray(cache0)[None], (self.ndev,) + cache0.shape),
+        self.cache = put_global(
+            np.broadcast_to(cache0[None], (self.n_local,) + cache0.shape),
             self._shardings["lead"],
+            (self.ndev,) + cache0.shape,
         )
         with np.load(os.path.join(path, "occupancy.npz")) as data:
             self.controller.load_state_dict(dict(data))
-        self.master.load(os.path.join(path, "master.npz"))
+        if self.multihost:
+            self.master.load(
+                os.path.join(path, f"master.h{jax.process_index()}.npz")
+            )
+        else:
+            self.master.load(os.path.join(path, "master.npz"))
         with open(os.path.join(path, "meta.pkl"), "rb") as f:
             meta = pickle.load(f)
         self.global_step = meta["global_step"]

@@ -1,0 +1,245 @@
+// Native host-path kernels for cdlrm_tpu.
+//
+// The reference (lkp411/cDLRM) runs its host hot path in numpy/torch across
+// a taskset-pinned mp.Pool (/root/reference/cache_manager.py:20-46,77-100).
+// Our single-controller design keeps the same three host hot spots, rebuilt
+// as fused C++ loops instead of multi-pass numpy:
+//
+//   1. set-associative probe  (reference model_no_ddp.py:163-187: idx % sets,
+//      occupancy compare, hit/miss partition, aux-slot assignment) — numpy
+//      needs ~6 full passes + temporaries; here one pass per lookup.
+//   2. lookahead-window dedup (reference torch.unique per table,
+//      cache_manager.py:32-34) — bitmap (O(n)) when the id space is dense
+//      enough, LSD radix sort (O(n * live_bytes)) otherwise; both return
+//      sorted uniques like np.unique.
+//   3. master-row gather / eviction writeback (reference
+//      fetch_unique_idx_slices, model_no_ddp.py:80-87; writeback
+//      cache_manager.py:58-62) — OpenMP row-parallel memcpy.
+//
+// All entry points are extern "C" and called through ctypes
+// (cdlrm_tpu/ops/native.py). Thread counts come from OpenMP's runtime
+// default (the deployment host is many-core; CI may be 1-core — the loops
+// are written to win single-threaded too).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// threading controls
+// ---------------------------------------------------------------------------
+
+int cdlrm_num_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+void cdlrm_set_num_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+#else
+  (void)n;
+#endif
+}
+
+// ---------------------------------------------------------------------------
+// 1. set-associative probe
+// ---------------------------------------------------------------------------
+
+// Probe one table's lookups against its occupancy.
+//   occ:     [sets * ways] int32, row-major [set][way], -1 = empty
+//   idx:     [n] int64 lookup ids (all < 2^31 by dataset contract)
+//   valid:   [n] uint8 or nullptr; invalid positions resolve to trash_row
+//   slots:   [n] int32 out — global cache rows
+//   miss_pos:[n] int32 out — positions (in batch order) of valid misses;
+//            the k-th miss gets aux slot aux_base + k
+// Returns the miss count.
+//
+// Semantics mirror HostCacheController.probe (cache/host_cache.py) and the
+// reference probe (model_no_ddp.py:163-187): hit slot =
+// table_offset + way * sets + set; misses take consecutive aux slots in
+// batch order; masked positions go to trash_row even when they'd hit.
+int64_t cdlrm_probe_table(const int32_t* occ, int64_t sets, int64_t ways,
+                          const int64_t* idx, int64_t n, const uint8_t* valid,
+                          int64_t table_offset, int64_t aux_base,
+                          int64_t trash_row, int32_t* slots,
+                          int32_t* miss_pos) {
+  int64_t n_miss = 0;
+  const int32_t sets32 = (int32_t)sets;
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid && !valid[i]) {
+      slots[i] = (int32_t)trash_row;
+      continue;
+    }
+    const int32_t v = (int32_t)idx[i];
+    const int32_t s = v % sets32;
+    const int32_t* row = occ + (int64_t)s * ways;
+    int32_t w = -1;
+    for (int64_t k = 0; k < ways; ++k) {
+      if (row[k] == v) {
+        w = (int32_t)k;
+        break;
+      }
+    }
+    if (w >= 0) {
+      slots[i] = (int32_t)(table_offset + (int64_t)w * sets + s);
+    } else {
+      miss_pos[n_miss] = (int32_t)i;
+      slots[i] = (int32_t)(aux_base + n_miss);
+      ++n_miss;
+    }
+  }
+  return n_miss;
+}
+
+// Batch probe: all tables in one call, OpenMP-parallel over tables.
+//   occ_ptrs:  [t_count] pointers to each table's occupancy
+//   sets:      [t_count] per-table set counts
+//   idx:       [t_count * n] int64, table-major
+//   valid:     [t_count * n] uint8 or nullptr
+//   table_offsets/aux_bases: [t_count]
+//   slots:     [t_count * n] int32 out
+//   miss_pos:  [t_count * n] int32 out (per-table block t*n..)
+//   miss_counts: [t_count] int64 out
+void cdlrm_probe_batch(const int32_t* const* occ_ptrs, const int64_t* sets,
+                       int64_t ways, int64_t t_count, const int64_t* idx,
+                       int64_t n, const uint8_t* valid,
+                       const int64_t* table_offsets, const int64_t* aux_bases,
+                       int64_t trash_row, int32_t* slots, int32_t* miss_pos,
+                       int64_t* miss_counts) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t t = 0; t < t_count; ++t) {
+    miss_counts[t] = cdlrm_probe_table(
+        occ_ptrs[t], sets[t], ways, idx + t * n, n,
+        valid ? valid + t * n : nullptr, table_offsets[t], aux_bases[t],
+        trash_row, slots + t * n, miss_pos + t * n);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// 2. sorted unique (window dedup)
+// ---------------------------------------------------------------------------
+
+// Bitmap unique: O(n + n_rows/64). Wins when the id space is dense relative
+// to the window (Criteo: 24.6M-index windows over <=40M-row tables).
+static int64_t unique_bitmap(const int64_t* in, int64_t n, int64_t n_rows,
+                             int64_t* out) {
+  const int64_t words = (n_rows + 63) >> 6;
+  uint64_t* bits = (uint64_t*)calloc((size_t)words, sizeof(uint64_t));
+  if (!bits) return -1;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t v = (uint64_t)in[i];
+    // atomic OR: different threads may touch the same word
+    __atomic_fetch_or(&bits[v >> 6], 1ULL << (v & 63), __ATOMIC_RELAXED);
+  }
+  int64_t m = 0;
+  for (int64_t w = 0; w < words; ++w) {
+    uint64_t x = bits[w];
+    const int64_t base = w << 6;
+    while (x) {
+      const int b = __builtin_ctzll(x);
+      out[m++] = base + b;
+      x &= x - 1;
+    }
+  }
+  free(bits);
+  return m;
+}
+
+// LSD radix sort unique for sparse id spaces. Skips dead bytes.
+static int64_t unique_radix(const int64_t* in, int64_t n, int64_t* out) {
+  if (n == 0) return 0;
+  std::vector<uint64_t> a((size_t)n), b((size_t)n);
+  uint64_t maxv = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    a[(size_t)i] = (uint64_t)in[i];
+    if (a[(size_t)i] > maxv) maxv = a[(size_t)i];
+  }
+  uint64_t* src = a.data();
+  uint64_t* dst = b.data();
+  for (int shift = 0; shift < 64 && (maxv >> shift); shift += 8) {
+    int64_t count[256] = {0};
+    for (int64_t i = 0; i < n; ++i) ++count[(src[i] >> shift) & 0xFF];
+    if (count[(src[0] >> shift) & 0xFF] == n) continue;  // dead byte
+    int64_t pos[256];
+    int64_t acc = 0;
+    for (int v = 0; v < 256; ++v) {
+      pos[v] = acc;
+      acc += count[v];
+    }
+    for (int64_t i = 0; i < n; ++i) dst[pos[(src[i] >> shift) & 0xFF]++] = src[i];
+    std::swap(src, dst);
+  }
+  int64_t m = 0;
+  out[m++] = (int64_t)src[0];
+  for (int64_t i = 1; i < n; ++i)
+    if (src[i] != src[i - 1]) out[m++] = (int64_t)src[i];
+  return m;
+}
+
+// Sorted unique of in[0..n) into out (caller-sized >= n). n_rows > 0 enables
+// the bitmap strategy when dense enough. Returns the unique count.
+int64_t cdlrm_unique_i64(const int64_t* in, int64_t n, int64_t n_rows,
+                         int64_t* out) {
+  if (n == 0) return 0;
+  // bitmap wins when scanning n_rows/64 words is cheap next to the input:
+  // words <= 2n covers every realistic cDLRM window (and allocs <= 16B/elem)
+  if (n_rows > 0 && (n_rows >> 6) <= 2 * n) {
+    int64_t m = unique_bitmap(in, n, n_rows, out);
+    if (m >= 0) return m;
+  }
+  return unique_radix(in, n, out);
+}
+
+// ---------------------------------------------------------------------------
+// 3. master-row gather / writeback
+// ---------------------------------------------------------------------------
+
+void cdlrm_gather_f32(const float* table, int64_t d, const int64_t* idx,
+                      int64_t n, float* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    memcpy(out + i * d, table + idx[i] * d, (size_t)d * sizeof(float));
+}
+
+// Writeback evicted rows (reference cache_manager.py:58-62). average=1
+// halves with the resident row. Duplicate idx entries are caller-deduped.
+void cdlrm_writeback_f32(float* table, int64_t d, const int64_t* idx,
+                         int64_t n, const float* rows, int average) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    float* dstrow = table + idx[i] * d;
+    const float* srcrow = rows + i * d;
+    if (average) {
+      for (int64_t j = 0; j < d; ++j)
+        dstrow[j] = 0.5f * (dstrow[j] + srcrow[j]);
+    } else {
+      memcpy(dstrow, srcrow, (size_t)d * sizeof(float));
+    }
+  }
+}
+
+// Fused unique + gather: one call per (window, table) in the prefetcher.
+// out_idx sized >= n; out_rows sized >= n * d. Returns unique count.
+int64_t cdlrm_unique_gather_f32(const int64_t* in, int64_t n, int64_t n_rows,
+                                const float* table, int64_t d,
+                                int64_t* out_idx, float* out_rows) {
+  const int64_t m = cdlrm_unique_i64(in, n, n_rows, out_idx);
+  cdlrm_gather_f32(table, d, out_idx, m, out_rows);
+  return m;
+}
+
+}  // extern "C"

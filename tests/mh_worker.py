@@ -1,0 +1,117 @@
+"""Multi-host test worker: one JAX process of an N-process CPU cluster.
+
+Launched by tests/test_multihost.py. Trains the cached DLRM on a seeded
+synthetic stream and writes per-window losses + eval metrics as JSON so the
+parent can compare runs across process topologies (1x4 vs 2x2 devices must
+produce the same training trajectory — same global mesh, same data, and
+bit-identical procedural masters; see parallel/multihost.py)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    ndev_local = int(sys.argv[3])
+    port = sys.argv[4]
+    outfile = sys.argv[5]
+    mode = sys.argv[6]  # "one_window" | "multi_window"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", ndev_local)
+    if nproc > 1:
+        jax.distributed.initialize(
+            f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+        )
+
+    import numpy as np
+
+    from cdlrm_tpu.config import Config
+    from cdlrm_tpu.data.synthetic import SyntheticDataset
+    from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+    world = jax.device_count()
+    steps = 16 if mode == "one_window" else 24
+    lookahead = steps + 4 if mode == "one_window" else 4
+    cfg = Config(
+        arch_sparse_feature_size=8,
+        arch_embedding_size="300-500-200",
+        arch_mlp_bot="13-16-8",
+        arch_mlp_top="8-1",
+        mini_batch_size=8 * world,
+        world_size=world,
+        cache_size=32,
+        num_ways=4,
+        loss_function="bce",
+        lookahead=lookahead,
+        table_agg_freq=6,
+        print_freq=4,
+        round_targets=True,
+        num_indices_per_lookup=1,
+        num_indices_per_lookup_fixed=True,
+        numpy_rand_seed=7,
+        master_init="virtual",  # single-proc baseline matches sharded masters
+        batch_fifo_size=4,
+    )
+    cfg.finalize()
+
+    common = dict(
+        m_den=13,
+        ln_emb=cfg.ln_emb,
+        num_indices_per_lookup=1,
+        num_indices_per_lookup_fixed=True,
+        round_targets=True,
+        data_generation="random",
+    )
+    train = SyntheticDataset(
+        data_size=cfg.mini_batch_size * (steps + 2),
+        mini_batch_size=cfg.mini_batch_size,
+        num_batches=steps + 2,
+        seed=11,
+        **common,
+    )
+    test = SyntheticDataset(
+        data_size=cfg.mini_batch_size * 2,
+        mini_batch_size=cfg.mini_batch_size,
+        num_batches=2,
+        seed=12,
+        **common,
+    )
+
+    losses = []
+    trainer = CachedDlrmTrainer(cfg, train, test)
+
+    def log(line):
+        if trainer.last_window is not None:
+            losses.append(float(trainer.last_window["loss"]))
+
+    try:
+        m = trainer.train(max_steps=steps, log_fn=log)
+        acc, auc = trainer.evaluate(log_fn=lambda s: None)
+    finally:
+        trainer.close()
+
+    result = {
+        "pid": pid,
+        "nproc": nproc,
+        "world": world,
+        "losses": losses,
+        "acc": float(acc),
+        "auc": float(auc) if not np.isnan(auc) else None,
+        "hit_rate": m.hit_rate,
+        "rows_written": trainer.eviction_manager.rows_written,
+        "multihost": trainer.multihost,
+    }
+    with open(outfile, "w") as f:
+        json.dump(result, f)
+    print(f"worker {pid}/{nproc} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

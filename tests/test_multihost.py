@@ -1,0 +1,159 @@
+"""Multi-host execution tests (parallel/multihost.py).
+
+Host-logic units run in-process; the end-to-end tests launch REAL multi-
+process JAX CPU clusters (2 procs x 2 devices, Gloo collectives) via
+subprocesses and compare against a single-process run of the same global
+mesh: same data, same seeds, bit-identical procedural masters => the
+training trajectory must match (SURVEY.md §4: cluster-free multi-device
+testing strategy, applied across processes)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cdlrm_tpu.parallel.multihost import (
+    RowShard, ShardedMasterTables, WindowRowStore, exchange_window_rows,
+)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_WORKER = os.path.join(_DIR, "mh_worker.py")
+
+
+# --------------------------------------------------------------------- units
+def test_row_shard_ranges_cover_and_partition():
+    shard_counts = [1, 2, 3, 4, 7]
+    for H in shard_counts:
+        covered = []
+        for h in range(H):
+            lo, hi = RowShard(h, H).owned_range(100)
+            covered.extend(range(lo, hi))
+        assert covered == list(range(100))
+
+    s = RowShard(1, 4)
+    idx = np.array([0, 24, 25, 49, 50, 99])
+    assert s.owner_of(idx, 100).tolist() == [0, 0, 1, 1, 2, 3]
+
+
+def test_row_shard_bounds_split_sorted_ids():
+    s = RowShard(0, 3)
+    ids = np.array([1, 5, 33, 34, 35, 66, 67, 98], dtype=np.int64)
+    b = s.bounds(ids, 99)  # per = 33: ranges [0,33) [33,66) [66,99)
+    parts = [ids[b[h]: b[h + 1]] for h in range(3)]
+    assert [p.tolist() for p in parts] == [[1, 5], [33, 34, 35], [66, 67, 98]]
+
+
+def test_sharded_masters_union_equals_full(rng):
+    ln_emb, dim = [97, 215], 8
+    shards = [
+        ShardedMasterTables(ln_emb, dim, RowShard(h, 3),
+                            np.random.default_rng(5))
+        for h in range(3)
+    ]
+    whole = ShardedMasterTables(ln_emb, dim, RowShard(0, 1),
+                                np.random.default_rng(5))
+    for t, n in enumerate(ln_emb):
+        ids = np.unique(rng.integers(0, n, 64))
+        parts = [s.gather(t, ids) for s in shards]
+        assert np.array_equal(np.concatenate(parts), whole.gather(t, ids))
+
+
+def test_sharded_masters_writeback_owned_only(rng):
+    ln_emb, dim = [100], 4
+    s = ShardedMasterTables(ln_emb, dim, RowShard(1, 2), np.random.default_rng(0))
+    before = s.tables[0].copy()
+    ids = np.array([10, 60], dtype=np.int64)  # 10 un-owned, 60 owned
+    rows = np.ones((2, dim), np.float32)
+    s.writeback(0, ids, rows)
+    assert np.array_equal(s.tables[0][60 - 50], rows[1])
+    changed = ~np.all(s.tables[0] == before, axis=1)
+    assert changed.sum() == 1
+
+
+def test_window_row_store_lookup_and_miss(rng):
+    uniques = [np.array([3, 7, 11], dtype=np.int64)]
+    rows = [np.arange(12, dtype=np.float32).reshape(3, 4)]
+    store = WindowRowStore(uniques, rows)
+    got = store.gather(0, np.array([11, 3, 3]))
+    assert np.array_equal(got, rows[0][[2, 0, 0]])
+    with pytest.raises(KeyError):
+        store.gather(0, np.array([5]))
+
+
+def test_exchange_window_rows_single_host_passthrough(rng):
+    m = ShardedMasterTables([50], 4, RowShard(0, 1), np.random.default_rng(1))
+    uniq = np.unique(rng.integers(0, 50, 20))
+    rows = m.gather(0, uniq)
+    out = exchange_window_rows(m, [uniq], [rows])
+    assert np.array_equal(out[0], rows)
+
+
+# ------------------------------------------------------------------ e2e
+def _run_cluster(nproc, ndev_local, port, mode, tmp_path, timeout=900):
+    outs = [str(tmp_path / f"out_{nproc}x{ndev_local}_{p}.json") for p in range(nproc)]
+    procs = []
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    for p in range(nproc):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, _WORKER, str(p), str(nproc), str(ndev_local),
+                 str(port), outs[p], mode],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    results = []
+    for p, proc in enumerate(procs):
+        try:
+            stdout, stderr = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert proc.returncode == 0, (
+            f"worker {p} failed:\n{stderr.decode()[-3000:]}"
+        )
+        with open(outs[p]) as f:
+            results.append(json.load(f))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process(tmp_path):
+    single = _run_cluster(1, 4, 0, "one_window", tmp_path)[0]
+    duo = _run_cluster(2, 2, 12411, "one_window", tmp_path)
+
+    assert single["multihost"] is False
+    assert all(r["multihost"] for r in duo)
+    assert all(r["world"] == 4 for r in duo)
+    # the two processes of one cluster must agree exactly (psum'd metrics)
+    assert np.allclose(duo[0]["losses"], duo[1]["losses"], rtol=1e-5)
+    assert duo[0]["acc"] == pytest.approx(duo[1]["acc"])
+    # cross-topology: same mesh, same data, bit-identical masters ==> same
+    # trajectory (tolerance covers collective reduction-order effects)
+    assert np.allclose(single["losses"], duo[0]["losses"], rtol=2e-4), (
+        single["losses"], duo[0]["losses"],
+    )
+    assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
+    if single["auc"] is not None:
+        assert single["auc"] == pytest.approx(duo[0]["auc"], abs=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_multi_window_with_writeback(tmp_path):
+    duo = _run_cluster(2, 2, 12412, "multi_window", tmp_path)
+    assert all(np.isfinite(r["losses"]).all() for r in duo)
+    assert np.allclose(duo[0]["losses"], duo[1]["losses"], rtol=1e-5)
+    # windows beyond the first see hits (cache 32x4 ways >= table sizes'
+    # hot set under the small id space)
+    assert all(r["hit_rate"] > 0.2 for r in duo)
+    # evictions were written back on both hosts (owned split)
+    total_wb = sum(r["rows_written"] for r in duo)
+    single = _run_cluster(1, 4, 0, "multi_window", tmp_path)[0]
+    assert single["losses"] == pytest.approx(duo[0]["losses"], rel=2e-3)
+    assert total_wb == single["rows_written"], (
+        "sharded writebacks must partition the single-host writeback set"
+    )

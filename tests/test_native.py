@@ -1,0 +1,134 @@
+"""Native host-ops (csrc/host_ops.cpp) vs pure-numpy equivalence.
+
+The native library is an optimization layer: every consumer keeps a numpy
+fallback, and these tests pin the two bit-identical (probe semantics =
+reference model_no_ddp.py:163-187; unique = np.unique; writeback =
+cache_manager.py:58-62)."""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+
+from cdlrm_tpu.cache.geometry import CacheGeometry
+from cdlrm_tpu.cache.host_cache import HostCacheController
+from cdlrm_tpu.ops import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native host-ops library unavailable"
+)
+
+
+class _ZeroMaster:
+    def __init__(self, dim):
+        self.dim = dim
+
+    def gather(self, t, idxs):
+        # deterministic per-(table, idx) rows so aux_rows can be compared
+        out = np.zeros((len(idxs), self.dim), np.float32)
+        out[:, 0] = np.asarray(idxs, np.float32) + 1000.0 * t
+        return out
+
+
+def _controller(rng, ln_emb, dim=8, cache_size=64, ways=4, aux=512):
+    geo = CacheGeometry.build(ln_emb, dim, cache_size, ways, aux_capacity=aux)
+    ctrl = HostCacheController(geo, seed=3)
+    uniques = [np.unique(rng.integers(0, n, 300)) for n in ln_emb]
+    rows = [rng.random((u.size, dim)).astype(np.float32) for u in uniques]
+    ctrl.plan_insert(uniques, rows)
+    return geo, ctrl
+
+
+def test_unique_bitmap_and_radix_match_numpy(rng):
+    dense = rng.integers(0, 5_000, 200_000).astype(np.int64)
+    assert np.array_equal(native.unique_i64(dense, 5_000), np.unique(dense))
+    sparse = rng.integers(0, 10**13, 100_000).astype(np.int64)
+    assert np.array_equal(native.unique_i64(sparse, 0), np.unique(sparse))
+    # single element / empty
+    assert np.array_equal(native.unique_i64(np.array([7], np.int64), 10),
+                          np.array([7]))
+    assert native.unique_i64(np.zeros(0, np.int64), 10).size == 0
+
+
+def test_gather_writeback_match_numpy(rng):
+    tab = rng.random((1_000, 16)).astype(np.float32)
+    idx = rng.integers(0, 1_000, 333).astype(np.int64)
+    assert np.array_equal(native.gather_f32(tab, idx), tab[idx])
+
+    ids = rng.choice(1_000, 100, replace=False).astype(np.int64)
+    rows = rng.random((100, 16)).astype(np.float32)
+    t1 = tab.copy()
+    native.writeback_f32(t1, ids, rows, average=False)
+    assert np.array_equal(t1[ids], rows)
+    t2 = tab.copy()
+    native.writeback_f32(t2, ids, rows, average=True)
+    assert np.allclose(t2[ids], (tab[ids] + rows) / 2.0)
+
+
+def test_unique_gather_fused(rng):
+    tab = rng.random((2_000, 8)).astype(np.float32)
+    idx = rng.integers(0, 2_000, 50_000).astype(np.int64)
+    ui, ur = native.unique_gather_f32(idx, tab)
+    assert np.array_equal(ui, np.unique(idx))
+    assert np.array_equal(ur, tab[ui])
+
+
+def test_probe_native_matches_numpy_single_index(rng):
+    ln_emb = [500, 130, 2_000]
+    geo, ctrl = _controller(rng, ln_emb)
+    master = _ZeroMaster(geo.dim)
+    ls_i = np.stack([rng.integers(0, n, 256) for n in ln_emb]).astype(np.int64)
+
+    got = ctrl.probe(ls_i, master)
+    with mock.patch.object(native, "available", return_value=False):
+        want = ctrl.probe(ls_i, master)
+
+    assert np.array_equal(got.slots, want.slots)
+    assert np.array_equal(got.aux_slots, want.aux_slots)
+    assert np.array_equal(got.aux_rows, want.aux_rows)
+    assert np.array_equal(got.hit_counts, want.hit_counts)
+    assert got.num_lookups == want.num_lookups
+
+
+def test_probe_native_matches_numpy_masked_multihot(rng):
+    ln_emb = [700, 90]
+    geo, ctrl = _controller(rng, ln_emb)
+    master = _ZeroMaster(geo.dim)
+    b, p = 64, 4
+    ls_i = np.stack(
+        [rng.integers(0, n, (b, p)) for n in ln_emb]
+    ).astype(np.int64).reshape(2, -1)
+    valid = (rng.random((2, b * p)) < 0.6)
+
+    got = ctrl.probe(ls_i, master, valid=valid)
+    with mock.patch.object(native, "available", return_value=False):
+        want = ctrl.probe(ls_i, master, valid=valid)
+
+    assert np.array_equal(got.slots, want.slots)
+    assert np.array_equal(got.aux_slots, want.aux_slots)
+    assert np.array_equal(got.aux_rows, want.aux_rows)
+    assert np.array_equal(got.hit_counts, want.hit_counts)
+    assert got.num_lookups == want.num_lookups
+
+
+def test_probe_native_aux_overflow_raises(rng):
+    geo = CacheGeometry.build([10_000], 4, 16, 2, aux_capacity=8)
+    ctrl = HostCacheController(geo)
+    master = _ZeroMaster(4)
+    ls_i = rng.integers(0, 10_000, (1, 64)).astype(np.int64)  # ~all miss
+    with pytest.raises(ValueError, match="aux capacity"):
+        ctrl.probe(ls_i, master)
+
+
+def test_noncontiguous_inputs(rng):
+    """Sliced batch shards (ls_i[:, a:b]) must probe correctly."""
+    ln_emb = [400, 400]
+    geo, ctrl = _controller(rng, ln_emb)
+    master = _ZeroMaster(geo.dim)
+    full = np.stack([rng.integers(0, 400, 128) for _ in range(2)]).astype(np.int64)
+    shard = full[:, 32:96]
+    got = ctrl.probe(shard, master)
+    with mock.patch.object(native, "available", return_value=False):
+        want = ctrl.probe(np.ascontiguousarray(shard), master)
+    assert np.array_equal(got.slots, want.slots)
+    assert np.array_equal(got.aux_slots, want.aux_slots)
