@@ -121,6 +121,8 @@ class Config:
     master_init: str = "uniform"  # uniform | tile | virtual (see cache/master.py)
     master_mmap_dir: str = ""  # file-back master tables here (enables process prefetch)
     pipeline_depth: int = 2  # batches probed/staged ahead of the device step
+    pack_wire: bool = True  # 3-byte slot ids + narrow dtypes on host->device
+    #   transfers (lossless; auto-disabled for tables >= 2^24 cache rows)
 
     # -- multi-host (parallel/multihost.py; reference is single-node-only,
     # MASTER_ADDR='localhost' at main_no_ddp.py:341) --

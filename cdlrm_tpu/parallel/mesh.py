@@ -50,6 +50,19 @@ def local_shard(arr) -> np.ndarray:
     return np.asarray(arr.addressable_shards[0].data)
 
 
+def put_global_many(values, shardings, global_shapes):
+    """Batched multi-array variant of :func:`put_global`. Single-process:
+    ONE batched ``jax.device_put`` call — per-call dispatch overhead (~2ms
+    on a tunneled TPU) dominates small per-step payloads, so batching the
+    6 step inputs is ~8x faster than separate puts."""
+    if jax.process_count() == 1:
+        return jax.device_put(tuple(values), tuple(shardings))
+    return tuple(
+        jax.make_array_from_process_local_data(s, np.ascontiguousarray(v), g)
+        for v, s, g in zip(values, shardings, global_shapes)
+    )
+
+
 def local_batch_rows(arr) -> np.ndarray:
     """Concatenate this process's addressable shards of a batch-sharded
     (leading-axis P('dp')) global array, in global row order."""

@@ -14,9 +14,14 @@ inside one ``shard_map`` over the 1-D 'dp' mesh axis:
 - aggregate: union-touched-row psum/pmax with sum|mean|max
   (reference broadcast_and_aggregate, main_no_ddp.py:250-292).
 
-Per-replica divergent state (cache, touched mask) and the dense params all
-carry a leading device axis sharded over 'dp'; params stay bit-identical
-across replicas because their gradients are pmean'd (unless
+Per-replica divergent state (cache, touched mask) is stored FLAT: the cache
+is one global [ndev*R, D] array sharded P('dp') whose per-device block is
+that replica's full cache copy (slot ids are block-local). The flat layout
+matters: a leading [ndev, R, D] axis forces the body's cache[0]/[None]
+squeeze/unsqueeze, which defeats XLA's donation aliasing and inserts a
+full-cache HBM copy every step (measured 2x step time at Terabyte-class
+geometry). Dense params keep a leading [ndev] axis (they're small) and stay
+bit-identical across replicas because their gradients are pmean'd (unless
 ``strict_bias_divergence`` reproduces the reference's bias non-sync bug).
 """
 
@@ -49,10 +54,39 @@ class StepConfig(NamedTuple):
     strict_bias_divergence: bool = False
     refill_broadcast: bool = True
     compute_dtype: Optional[str] = None  # None/'float32' | 'bfloat16'
+    # wire packing: slots arrive as [T, B(, P), 3] uint8 table-LOCAL ids
+    # (unpacked + offset on device). Cuts per-step host->device bytes 25% —
+    # the binding constraint on low-bandwidth host links; lossless.
+    wire_pack: bool = False
 
     @property
     def cdtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+
+# 3-byte local-slot sentinel: positions resolving to the trash row (masked
+# padding). Tables are capped far below 2^24-1 rows (see pack_slots).
+WIRE_SENTINEL = 0xFFFFFF
+
+
+def pack_slots(slots: np.ndarray, table_offsets: np.ndarray, trash_row: int) -> np.ndarray:
+    """Host side: global int32 slot ids [T, N] -> table-local 3-byte wire
+    format [T, N, 3] uint8. Trash-row positions map to WIRE_SENTINEL."""
+    local = slots.astype(np.int64) - table_offsets[:, None]
+    local = np.where(slots == trash_row, WIRE_SENTINEL, local).astype(np.uint32)
+    out = np.empty(slots.shape + (3,), np.uint8)
+    out[..., 0] = local & 0xFF
+    out[..., 1] = (local >> 8) & 0xFF
+    out[..., 2] = (local >> 16) & 0xFF
+    return out
+
+
+def _unpack_slots(wire: jax.Array, table_offsets: np.ndarray, trash_row: int) -> jax.Array:
+    """Device side: [T, N, 3] uint8 -> global int32 slot ids [T, N]."""
+    w = wire.astype(jnp.int32)
+    local = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+    offs = jnp.asarray(table_offsets, jnp.int32)[:, None]
+    return jnp.where(local == WIRE_SENTINEL, trash_row, local + offs)
 
 
 def _sgd(tree, grads, lr):
@@ -122,13 +156,13 @@ def make_cached_train_step(
     trash row (zero gradient via the mask).
 
     Inputs (shapes; B = global batch, Bl = B/ndev, T = tables, K = packed
-    miss-bucket size):
+    miss-bucket size, R = per-replica cache rows):
       params: pytree with leading [ndev] axis
-      cache:   [ndev, R, D]   touched: [ndev, R] bool
+      cache:   [ndev*R, D] flat, sharded P('dp')   touched: [ndev*R] bool
       x:       [B, dense_dim] sharded on batch
-      slots:   [T, B] int32 sharded on batch axis
-      aux_slots: [ndev, K] int32 (padding -> trash row)
-      aux_rows:  [ndev, K, D] packed miss rows
+      slots:   [T, B] int32 sharded on batch axis (block-local row ids)
+      aux_slots: [ndev*K] int32 (padding -> trash row)
+      aux_rows:  [ndev*K, D] packed miss rows
       targets: [B, 1]
       lr, lr_embeds: scalars
     Returns (params, cache, touched, loss_sum, correct) — metrics are global
@@ -139,8 +173,9 @@ def make_cached_train_step(
     def body(params, cache, touched, x, slots, ls_mask, aux_slots, aux_rows,
              targets, lr, lr_embeds):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
-        cache, touched = cache[0], touched[0]
-        aux_slots, aux_rows = aux_slots[0], aux_rows[0]
+        if cfg.wire_pack:
+            slots = _unpack_slots(slots, geo.table_offsets, geo.trash_row)
+        targets = targets.astype(jnp.float32)
         t_count = slots.shape[0]
         b_loc = targets.shape[0]
         d = cache.shape[-1]
@@ -189,7 +224,7 @@ def make_cached_train_step(
         )
 
         params = jax.tree_util.tree_map(lambda v: v[None], params)
-        return params, cache[None], touched[None], loss_sum, correct
+        return params, cache, touched, loss_sum, correct
 
     lead = _spec_leading()
     shardmapped = jax.shard_map(
@@ -197,13 +232,13 @@ def make_cached_train_step(
         mesh=mesh,
         in_specs=(
             lead,  # params
-            lead,  # cache
-            lead,  # touched
+            lead,  # cache (flat rows)
+            lead,  # touched (flat rows)
             P(DP_AXIS),  # x
             P(None, DP_AXIS),  # slots
             P(None, DP_AXIS),  # ls_mask ([T,B,P] or dummy [T,B])
-            lead,  # aux_slots
-            lead,  # aux_rows
+            lead,  # aux_slots (flat)
+            lead,  # aux_rows (flat)
             P(DP_AXIS),  # targets
             P(),  # lr
             P(),  # lr_embeds
@@ -217,19 +252,21 @@ def make_cached_train_step(
 def make_cached_eval_step(
     mesh: Mesh, geo: CacheGeometry, cfg: StepConfig, pooled_width: int = 0
 ) -> Callable:
-    """Forward-only cached step returning scores [B, 1].
+    """Forward-only cached step returning (cache, scores [B, 1]).
 
     The reference evaluates on rank 0 only with the full test batch
     (main_no_ddp.py:479-494); we shard eval across replicas — each uses its
     own cache copy, which is identical right after a refill broadcast and
-    near-identical otherwise (documented deviation; eval never mutates
-    persistent cache state: the aux writes live only inside this step)."""
+    near-identical otherwise (documented deviation). The cache is donated
+    and returned: the only mutation is the aux-region staging, which every
+    step overwrites anyway — persisting it avoids a defensive full-cache
+    copy per eval batch."""
     cdtype = cfg.cdtype
 
     def body(params, cache, x, slots, ls_mask, aux_slots, aux_rows):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
-        cache = cache[0]
-        aux_slots, aux_rows = aux_slots[0], aux_rows[0]
+        if cfg.wire_pack:
+            slots = _unpack_slots(slots, geo.table_offsets, geo.trash_row)
         t_count = slots.shape[0]
         b_loc = x.shape[0]
         d = cache.shape[-1]
@@ -244,7 +281,7 @@ def make_cached_eval_step(
             params, x, ly, cfg.interaction_op, cfg.interaction_itself,
             cfg.loss_threshold, cdtype,
         )
-        return p
+        return cache, p
 
     lead = _spec_leading()
     shardmapped = jax.shard_map(
@@ -252,10 +289,10 @@ def make_cached_eval_step(
         mesh=mesh,
         in_specs=(lead, lead, P(DP_AXIS), P(None, DP_AXIS), P(None, DP_AXIS),
                   lead, lead),
-        out_specs=P(DP_AXIS),
+        out_specs=(lead, P(DP_AXIS)),
         check_vma=False,
     )
-    return jax.jit(shardmapped)
+    return jax.jit(shardmapped, donate_argnums=(1,))
 
 
 def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
@@ -265,14 +302,13 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
     main_no_ddp.py:309-321). Insert/evict slot buffers are host-bucketed to
     powers of two (DESIGN.md D6); padding targets the trash row.
 
-    Returns (cache, evicted[ndev, E, D]). Evicted rows are broadcast from
-    global replica 0 (the reference gathers them on rank 0,
+    Returns (cache, evicted[ndev*E, D] flat). Evicted rows are broadcast
+    from global replica 0 (the reference gathers them on rank 0,
     main_no_ddp.py:196-199), so every host's local shard holds identical
     values — multi-host writeback needs no extra exchange
     (parallel/multihost.py)."""
 
     def body(cache, insert_slots, insert_rows, evict_slots):
-        cache = cache[0]
         evicted = jnp.take(cache, evict_slots, axis=0)
         if cfg.refill_broadcast:
             idx = jax.lax.axis_index(DP_AXIS)
@@ -284,7 +320,7 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
             idx = jax.lax.axis_index(DP_AXIS)
             contrib = jnp.where(idx == 0, cache, jnp.zeros_like(cache))
             cache = jax.lax.psum(contrib, DP_AXIS)
-        return cache[None], evicted[None]
+        return cache, evicted
 
     lead = _spec_leading()
     shardmapped = jax.shard_map(
@@ -309,7 +345,6 @@ def make_aggregate_step(mesh: Mesh, cfg: StepConfig) -> Callable:
     op = cfg.table_agg_op
 
     def body(cache, touched):
-        cache, touched = cache[0], touched[0]
         union = jax.lax.psum(touched.astype(jnp.float32), DP_AXIS) > 0
         mask = union[:, None]
         if op == "sum":
@@ -323,7 +358,7 @@ def make_aggregate_step(mesh: Mesh, cfg: StepConfig) -> Callable:
             raise ValueError(f"unsupported table_agg_op: {op}")
         cache = jnp.where(mask, agg, cache)
         touched = jnp.zeros_like(touched)
-        return cache[None], touched[None]
+        return cache, touched
 
     lead = _spec_leading()
     shardmapped = jax.shard_map(

@@ -153,18 +153,28 @@ class CachedDlrmTrainer:
         params = init_dlrm(rng, cfg.ln_bot, cfg.ln_top)
         self.params = step_lib.replicate_for_mesh(params, self.mesh)
 
+        # FLAT per-replica state: [ndev*R, D] sharded P('dp') — each device's
+        # block is its full (divergent) cache copy; see train/step.py module
+        # doc for why the flat layout matters (donation aliasing)
         shard_lead = NamedSharding(self.mesh, P(DP_AXIS))
+        R = self.geo.total_rows
         self.cache = put_global(
-            np.zeros((self.n_local, self.geo.total_rows, self.geo.dim), np.float32),
+            np.zeros((self.n_local * R, self.geo.dim), np.float32),
             shard_lead,
-            (self.ndev, self.geo.total_rows, self.geo.dim),
+            (self.ndev * R, self.geo.dim),
         )
         self.touched = put_global(
-            np.zeros((self.n_local, self.geo.total_rows), bool),
+            np.zeros(self.n_local * R, bool),
             shard_lead,
-            (self.ndev, self.geo.total_rows),
+            (self.ndev * R,),
         )
 
+        # wire packing: 3-byte local slot ids (train/step.py pack_slots);
+        # requires every table's cache block to address below the sentinel
+        rows_per_table = self.geo.ways * self.geo.sets + self.geo.aux_capacity
+        self._wire_pack = bool(
+            cfg.pack_wire and int(rows_per_table.max()) < step_lib.WIRE_SENTINEL
+        )
         scfg = step_lib.StepConfig(
             interaction_op=cfg.arch_interaction_op,
             interaction_itself=cfg.arch_interaction_itself,
@@ -175,6 +185,7 @@ class CachedDlrmTrainer:
             strict_bias_divergence=cfg.strict_bias_divergence,
             refill_broadcast=cfg.refill_broadcast,
             compute_dtype=cfg.compute_dtype,
+            wire_pack=self._wire_pack,
         )
         self.step_cfg = scfg
         self.train_step = step_lib.make_cached_train_step(
@@ -232,6 +243,7 @@ class CachedDlrmTrainer:
             else None
         )
 
+        self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
         self.global_step = 0
         self.metrics = TrainMetrics()
@@ -278,7 +290,7 @@ class CachedDlrmTrainer:
         if n_evict:
             # replica-0-broadcast values (train/step.py make_refill_step):
             # identical on every host; sharded masters keep owned rows only
-            evicted_rows = local_shard(evicted)[0][:n_evict]
+            evicted_rows = local_shard(evicted)[:n_evict]
             self.eviction_fifo.put((plan.evict_tables, plan.evict_idxs, evicted_rows))
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
@@ -369,23 +381,67 @@ class CachedDlrmTrainer:
                 )
             aux_slots[k_loc, :n] = aux_slot_shards[k_loc]
             aux_rows[k_loc, :n] = aux_row_shards[k_loc]
+        # flat per-replica buffers (train/step.py layout contract)
+        aux_slots = aux_slots.reshape(-1)
+        aux_rows = aux_rows.reshape(-1, self.geo.dim)
 
         sh = self._shardings
         b_glob = self.ndev * b_loc
         lo, hi = self.local_ids[0] * b_loc, (self.local_ids[-1] + 1) * b_loc
+        n_glob = slots.shape[1] * self.ndev // self.n_local
+
+        # wire narrowing (lossless; per-step H2D bytes are the binding
+        # constraint on slow host links): 3-byte local slot ids, bf16 dense
+        # features when the MLP casts to bf16 anyway, uint8 0/1 targets
+        slots_glob = (t_count, n_glob)
+        if self._wire_pack:
+            slots = step_lib.pack_slots(
+                slots, self.geo.table_offsets, self.geo.trash_row
+            )
+            slots_glob = (t_count, n_glob, 3)
+        x_local = batch.x[lo:hi]
+        if self.cfg.compute_dtype == "bfloat16":
+            import jax.numpy as _jnp
+
+            x_local = x_local.astype(_jnp.bfloat16)
+        y_local = batch.y[lo:hi]
+        if self.cfg.round_targets:
+            y_local = y_local.astype(np.uint8)
+
+        from cdlrm_tpu.parallel.mesh import put_global_many
+
         if mask is None:
-            mask_local = np.zeros((t_count, hi - lo), dtype=bool)  # unused dummy
-            mask_glob = (t_count, b_glob)
-        else:
-            mask_local = mask[:, lo:hi]
-            mask_glob = (t_count, b_glob) + mask.shape[2:]
-        return (
-            put_global(batch.x[lo:hi], sh["batch0"], (b_glob,) + batch.x.shape[1:]),
-            put_global(slots, sh["slots"], (t_count, slots.shape[1] * self.ndev // self.n_local)),
-            put_global(mask_local, sh["slots"], mask_glob),
-            put_global(aux_slots, sh["lead"], (self.ndev, k)),
-            put_global(aux_rows, sh["lead"], (self.ndev, k, self.geo.dim)),
-            put_global(batch.y[lo:hi], sh["batch0"], (b_glob,) + batch.y.shape[1:]),
+            # the all-False mask never changes: reuse one device constant
+            key = (t_count, hi - lo)
+            mask_dev = self._dummy_masks.get(key)
+            if mask_dev is None:
+                mask_dev = put_global(
+                    np.zeros(key, dtype=bool), sh["slots"], (t_count, b_glob)
+                )
+                self._dummy_masks[key] = mask_dev
+            staged = put_global_many(
+                (x_local, slots, aux_slots, aux_rows, y_local),
+                (sh["batch0"], sh["slots"], sh["lead"], sh["lead"], sh["batch0"]),
+                ((b_glob,) + x_local.shape[1:],
+                 slots_glob,
+                 (self.ndev * k,),
+                 (self.ndev * k, self.geo.dim),
+                 (b_glob,) + y_local.shape[1:]),
+            )
+            return staged[0], staged[1], mask_dev, staged[2], staged[3], staged[4]
+
+        mask_local = mask[:, lo:hi]
+        mask_glob = (t_count, b_glob) + mask.shape[2:]
+        return put_global_many(
+            (x_local, slots, mask_local, aux_slots, aux_rows, y_local),
+            (sh["batch0"], sh["slots"], sh["slots"], sh["lead"], sh["lead"],
+             sh["batch0"]),
+            ((b_glob,) + x_local.shape[1:],
+             slots_glob,
+             mask_glob,
+             (self.ndev * k,),
+             (self.ndev * k, self.geo.dim),
+             (b_glob,) + y_local.shape[1:]),
         )
 
     # ------------------------------------------------------------------ train
@@ -414,7 +470,14 @@ class CachedDlrmTrainer:
         pending: List[Tuple] = []  # (loss_sum, correct, n) device scalars
 
         def flush_pending():
-            for ls, c, n in pending:
+            if not pending:
+                return
+            # ONE stacked D2H fetch instead of 2/step round trips (each sync
+            # on a tunneled host costs a full RTT)
+            stacked = np.asarray(
+                jnp.stack([jnp.stack((ls, c)) for ls, c, _ in pending])
+            )
+            for (ls, c), (_, _, n) in zip(stacked, pending):
                 self.metrics.loss_sum += float(ls)
                 self.metrics.correct += float(c)
                 self.metrics.examples += n
@@ -538,7 +601,7 @@ class CachedDlrmTrainer:
             x, slots, ls_mask, aux_slots, aux_rows, tgt = self._assemble(
                 batch, tb_loc, for_eval=True
             )
-            scores_arr = self.eval_step(
+            self.cache, scores_arr = self.eval_step(
                 self.params, self.cache, x, slots, ls_mask, aux_slots, aux_rows
             )
             if self.multihost:
@@ -585,7 +648,7 @@ class CachedDlrmTrainer:
             os.path.join(path, "dense_params.npz"),
             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
         )
-        np.save(os.path.join(path, "cache.npy"), local_shard(self.cache)[0])
+        np.save(os.path.join(path, "cache.npy"), local_shard(self.cache))
         np.savez(os.path.join(path, "occupancy.npz"), **self.controller.state_dict())
         meta = {
             "global_step": self.global_step,
@@ -603,9 +666,9 @@ class CachedDlrmTrainer:
         self.params = step_lib.replicate_for_mesh(params, self.mesh)
         cache0 = np.load(os.path.join(path, "cache.npy"))
         self.cache = put_global(
-            np.broadcast_to(cache0[None], (self.n_local,) + cache0.shape),
+            np.tile(cache0, (self.n_local, 1)),
             self._shardings["lead"],
-            (self.ndev,) + cache0.shape,
+            (self.ndev * cache0.shape[0], cache0.shape[1]),
         )
         with np.load(os.path.join(path, "occupancy.npz")) as data:
             self.controller.load_state_dict(dict(data))

@@ -92,9 +92,10 @@ def test_multihot_cached_forward_matches_fulltable_oracle():
     tr._apply_refill(w)
     batch = next(ds.batches())
     x, slots, mask, aux_s, aux_r, tgt = tr._assemble(batch, cfg.local_batch_size)
-    scores_cached = np.asarray(
-        tr.eval_step(tr.params, tr.cache, x, slots, mask, aux_s, aux_r)
+    tr.cache, scores = tr.eval_step(
+        tr.params, tr.cache, x, slots, mask, aux_s, aux_r
     )
+    scores_cached = np.asarray(scores)
     # oracle: gather the same rows from the master tables
     tables = [jnp.asarray(t) for t in tr.master.tables]
     ly = embedding_forward(tables, jnp.asarray(batch.ls_i), jnp.asarray(batch.ls_mask))

@@ -27,10 +27,9 @@ def build(ndev, b_glob, rng_seed=0, **cfg_kw):
     params_r = step_lib.replicate_for_mesh(params, mesh)
     lead = NamedSharding(mesh, P("dp"))
     cache_host = rng.normal(size=(geo.total_rows, D)).astype(np.float32)
-    cache = jax.device_put(
-        jnp.broadcast_to(jnp.asarray(cache_host)[None], (ndev, geo.total_rows, D)), lead
-    )
-    touched = jax.device_put(jnp.zeros((ndev, geo.total_rows), bool), lead)
+    # flat per-replica layout: [ndev*R, D] (train/step.py module doc)
+    cache = jax.device_put(jnp.asarray(np.tile(cache_host, (ndev, 1))), lead)
+    touched = jax.device_put(jnp.zeros(ndev * geo.total_rows, bool), lead)
     scfg = step_lib.StepConfig(loss_function="bce", **cfg_kw)
     return mesh, geo, params_r, cache, touched, scfg, cache_host
 
@@ -47,9 +46,15 @@ def make_batch(geo, b, rng_seed=1, ndev=1):
             for t in range(T)
         ]
     )
-    aux_slots = np.full((ndev, 8), geo.trash_row, np.int32)
-    aux_rows = np.zeros((ndev, 8, D), np.float32)
+    aux_slots = np.full(ndev * 8, geo.trash_row, np.int32)
+    aux_rows = np.zeros((ndev * 8, D), np.float32)
     return x, slots, (aux_slots, aux_rows), tgt
+
+
+def blocks(arr, ndev, rows):
+    """[ndev*R, ...] flat state -> [ndev, R, ...] numpy view."""
+    a = np.asarray(arr)
+    return a.reshape((ndev, rows) + a.shape[1:])
 
 
 def put(mesh, x, slots, aux, tgt):
@@ -75,8 +80,8 @@ def test_sparse_update_locality():
         params, cache, touched, xd, sd, md, asd, ard, td,
         jnp.float32(0.1), jnp.float32(0.3)
     )
-    new_cache = np.asarray(cache[0])
-    touched_np = np.asarray(touched[0])
+    new_cache = blocks(cache, 1, geo.total_rows)[0]
+    touched_np = blocks(touched, 1, geo.total_rows)[0]
     expected_touched = np.zeros(geo.total_rows, bool)
     expected_touched[slots.reshape(-1)] = True
     np.testing.assert_array_equal(touched_np, expected_touched)
@@ -113,7 +118,7 @@ def test_sparse_update_matches_manual_sgd():
         params, cache, touched, xd, sd, md, asd, ard, td,
         jnp.float32(0.0), jnp.float32(0.3)
     )
-    new_cache = np.asarray(cache[0])
+    new_cache = blocks(cache, 1, geo.total_rows)[0]
     delta = new_cache - cache_host
     mask = np.zeros(geo.total_rows, bool)
     mask[slots.reshape(-1)] = True
@@ -144,8 +149,8 @@ def test_dp_matches_single_device():
         xs = x[r * 2 : (r + 1) * 2]
         ss = slots[:, r * 2 : (r + 1) * 2]
         ts = tgt[r * 2 : (r + 1) * 2]
-        aux1 = (np.full((1, 8), geo1.trash_row, np.int32),
-                np.zeros((1, 8, D), np.float32))
+        aux1 = (np.full(8, geo1.trash_row, np.int32),
+                np.zeros((8, D), np.float32))
         xd1, sd1, md1, asd1, ard1, td1 = put(mesh1, xs, ss, aux1, ts)
         # cache1/touched1 are donated; thread the returned buffers through
         _, cache1, touched1, l1, c1 = step1(
@@ -164,7 +169,8 @@ def test_dp_matches_single_device():
         for t in range(T):
             other[geo.aux_base(t) : geo.aux_base(t) + geo.aux_capacity] = False
         np.testing.assert_allclose(
-            np.asarray(cache8[r])[other], cache_host[other], atol=1e-6
+            blocks(cache8, 8, geo.total_rows)[r][other], cache_host[other],
+            atol=1e-6,
         )
 
 
@@ -174,16 +180,16 @@ def test_refill_broadcast_and_evict_order():
     # make replicas diverge first
     diverged = np.stack([cache_host + r for r in range(4)])
     lead = NamedSharding(mesh, P("dp"))
-    cache = jax.device_put(jnp.asarray(diverged), lead)
+    cache = jax.device_put(jnp.asarray(diverged.reshape(-1, D)), lead)
     ins_slots = np.array([5, 6], np.int32)
     ins_rows = np.full((2, D), 42.0, np.float32)
     ev_slots = np.array([5, 7], np.int32)
     cache, evicted = refill(
         cache, jnp.asarray(ins_slots), jnp.asarray(ins_rows), jnp.asarray(ev_slots)
     )
-    # evicted rows are PRE-insert values from each replica
-    np.testing.assert_allclose(np.asarray(evicted[0]), diverged[0][[5, 7]])
-    out = np.asarray(cache)
+    # evicted rows are PRE-insert values, broadcast from replica 0
+    np.testing.assert_allclose(blocks(evicted, 4, 2)[0], diverged[0][[5, 7]])
+    out = blocks(cache, 4, geo.total_rows)
     # all replicas equal replica 0 post-insert
     for r in range(1, 4):
         np.testing.assert_allclose(out[r], out[0])
@@ -197,14 +203,15 @@ def test_refill_no_broadcast_keeps_divergence():
     )
     refill = step_lib.make_refill_step(mesh, scfg)
     diverged = np.stack([cache_host + r for r in range(4)])
-    cache = jax.device_put(jnp.asarray(diverged), NamedSharding(mesh, P("dp")))
+    cache = jax.device_put(jnp.asarray(diverged.reshape(-1, D)),
+                           NamedSharding(mesh, P("dp")))
     cache, _ = refill(
         cache,
         jnp.asarray(np.array([geo.trash_row], np.int32)),
         jnp.asarray(np.zeros((1, D), np.float32)),
         jnp.asarray(np.array([0], np.int32)),
     )
-    out = np.asarray(cache)
+    out = blocks(cache, 4, geo.total_rows)
     np.testing.assert_allclose(out[3][:5], diverged[3][:5])
 
 
@@ -214,14 +221,14 @@ def test_aggregate_ops(op):
     agg = step_lib.make_aggregate_step(mesh, scfg)
     diverged = np.stack([cache_host * (r + 1) for r in range(4)])
     lead = NamedSharding(mesh, P("dp"))
-    cache = jax.device_put(jnp.asarray(diverged), lead)
+    cache = jax.device_put(jnp.asarray(diverged.reshape(-1, D)), lead)
     tmask = np.zeros((4, geo.total_rows), bool)
     tmask[0, 3] = True  # row 3 touched by replica 0 only
     tmask[2, 9] = True
     tmask[3, 9] = True  # row 9 touched by replicas 2 and 3
-    touched = jax.device_put(jnp.asarray(tmask), lead)
+    touched = jax.device_put(jnp.asarray(tmask.reshape(-1)), lead)
     cache, touched = agg(cache, touched)
-    out = np.asarray(cache)
+    out = blocks(cache, 4, geo.total_rows)
     stack = diverged[:, 3]
     if op == "sum":
         exp3 = stack.sum(0)
