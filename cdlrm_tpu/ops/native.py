@@ -88,6 +88,11 @@ def _load() -> Optional[ctypes.CDLL]:
             _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _PI64, _I64,
             _PI32, _PI32, _PI64,
         ]
+        lib.cdlrm_probe_batch_wire.restype = None
+        lib.cdlrm_probe_batch_wire.argtypes = [
+            _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _PU8,
+            _PI32, _PI64,
+        ]
         lib.cdlrm_unique_i64.restype = _I64
         lib.cdlrm_unique_i64.argtypes = [_PI64, _I64, _I64, _PI64]
         lib.cdlrm_gather_f32.restype = None
@@ -175,6 +180,42 @@ def _check_bounds(idx: np.ndarray, n_rows: int) -> None:
         raise IndexError(
             f"index range [{mn}, {mx}] out of bounds for {n_rows} rows"
         )
+
+
+def probe_batch_wire(
+    occupancy: List[np.ndarray],
+    ls_i: np.ndarray,
+    aux_bases_local: np.ndarray,
+    ways: int,
+    valid: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All-tables probe emitting the 3-byte table-LOCAL wire format directly
+    (train/step.py pack_slots layout). Returns (wire [T, N, 3] uint8,
+    miss_pos [T, N] int32, miss_counts [T] int64)."""
+    lib = _load()
+    assert lib is not None
+    t_count, n = ls_i.shape
+    ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
+    if ls_i.size and ls_i.min() < 0:
+        raise IndexError("negative lookup index")
+    sets = np.ascontiguousarray(
+        np.array([o.shape[0] for o in occupancy], dtype=np.int64)
+    )
+    occ_ptrs = (_PI32 * t_count)(*[_p(o, _PI32) for o in occupancy])
+    auxb = np.ascontiguousarray(aux_bases_local, dtype=np.int64)
+    wire = np.empty((t_count, n, 3), dtype=np.uint8)
+    miss_pos = np.empty((t_count, n), dtype=np.int32)
+    miss_counts = np.empty(t_count, dtype=np.int64)
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, dtype=np.uint8)
+        vptr = _p(valid, _PU8)
+    lib.cdlrm_probe_batch_wire(
+        occ_ptrs, _p(sets, _PI64), ways, t_count, _p(ls_i, _PI64), n, vptr,
+        _p(auxb, _PI64), _p(wire, _PU8), _p(miss_pos, _PI32),
+        _p(miss_counts, _PI64),
+    )
+    return wire, miss_pos, miss_counts
 
 
 def unique_i64(idx: np.ndarray, n_rows: int = 0) -> np.ndarray:

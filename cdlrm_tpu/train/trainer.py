@@ -326,13 +326,18 @@ class CachedDlrmTrainer:
             assert self._window_store is not None, "probe before first refill"
             probe_masters = [self._window_store] * self.n_local
 
+        # wire probes emit the 3-byte device format directly (fused
+        # probe+pack in csrc/host_ops.cpp)
+        probe_fn = (
+            self.controller.probe_wire if self._wire_pack else self.controller.probe
+        )
         slots_shards, aux_slot_shards, aux_row_shards = [], [], []
         for k_loc, r in enumerate(self.local_ids):
             sl = slice(r * b_loc, (r + 1) * b_loc)
             if mask is None:
-                pr = self.controller.probe(ls_i[:, sl], probe_masters[k_loc])
+                pr = probe_fn(ls_i[:, sl], probe_masters[k_loc])
             else:
-                pr = self.controller.probe(
+                pr = probe_fn(
                     ls_i[:, sl].reshape(t_count, -1),
                     probe_masters[k_loc],
                     valid=mask[:, sl].reshape(t_count, -1),
@@ -359,7 +364,10 @@ class CachedDlrmTrainer:
                 if parts:
                     aux_row_shards[k_loc] = np.concatenate(parts)
 
-        slots = np.concatenate(slots_shards, axis=1)
+        slots = (
+            slots_shards[0] if len(slots_shards) == 1
+            else np.concatenate(slots_shards, axis=1)
+        )
         # pack misses: pad every shard to a common pow2 bucket so only one
         # compiled shape per bucket exists (DESIGN.md D6); padding scatters
         # into the trash row. Multi-host: the bucket is part of the GLOBAL
@@ -391,14 +399,10 @@ class CachedDlrmTrainer:
         n_glob = slots.shape[1] * self.ndev // self.n_local
 
         # wire narrowing (lossless; per-step H2D bytes are the binding
-        # constraint on slow host links): 3-byte local slot ids, bf16 dense
-        # features when the MLP casts to bf16 anyway, uint8 0/1 targets
-        slots_glob = (t_count, n_glob)
-        if self._wire_pack:
-            slots = step_lib.pack_slots(
-                slots, self.geo.table_offsets, self.geo.trash_row
-            )
-            slots_glob = (t_count, n_glob, 3)
+        # constraint on slow host links): 3-byte local slot ids (already in
+        # wire format from probe_wire), bf16 dense features when the MLP
+        # casts to bf16 anyway, uint8 0/1 targets
+        slots_glob = (t_count, n_glob) + (() if not self._wire_pack else (3,))
         x_local = batch.x[lo:hi]
         if self.cfg.compute_dtype == "bfloat16":
             import jax.numpy as _jnp

@@ -78,7 +78,12 @@ int64_t cdlrm_probe_table(const int32_t* occ, int64_t sets, int64_t ways,
                           int32_t* miss_pos) {
   int64_t n_miss = 0;
   const int32_t sets32 = (int32_t)sets;
+  const int64_t PF = 16;
   for (int64_t i = 0; i < n; ++i) {
+    if (i + PF < n && (!valid || valid[i + PF])) {
+      const int32_t vp = (int32_t)idx[i + PF];
+      __builtin_prefetch(occ + (int64_t)(vp % sets32) * ways, 0, 1);
+    }
     if (valid && !valid[i]) {
       slots[i] = (int32_t)trash_row;
       continue;
@@ -102,6 +107,68 @@ int64_t cdlrm_probe_table(const int32_t* occ, int64_t sets, int64_t ways,
     }
   }
   return n_miss;
+}
+
+// Wire-format probe: like cdlrm_probe_table but emits table-LOCAL 3-byte
+// slot ids directly (the train-step wire format, cdlrm_tpu/train/step.py
+// pack_slots) — probe + pack in one pass. Hit -> way*sets + set; miss ->
+// aux_base_local + k; masked -> sentinel 0xFFFFFF. Issues software
+// prefetches PF lookups ahead: the probe is bound by the random occupancy
+// reads (one cache line each).
+int64_t cdlrm_probe_table_wire(const int32_t* occ, int64_t sets, int64_t ways,
+                               const int64_t* idx, int64_t n,
+                               const uint8_t* valid, int64_t aux_base_local,
+                               int32_t* miss_pos, uint8_t* wire) {
+  const int32_t sets32 = (int32_t)sets;
+  const int64_t PF = 16;
+  int64_t n_miss = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i + PF < n && (!valid || valid[i + PF])) {
+      const int32_t vp = (int32_t)idx[i + PF];
+      __builtin_prefetch(occ + (int64_t)(vp % sets32) * ways, 0, 1);
+    }
+    uint32_t slot;
+    if (valid && !valid[i]) {
+      slot = 0xFFFFFFu;  // sentinel: masked padding -> trash row
+    } else {
+      const int32_t v = (int32_t)idx[i];
+      const int32_t s = v % sets32;
+      const int32_t* row = occ + (int64_t)s * ways;
+      int32_t w = -1;
+      for (int64_t k = 0; k < ways; ++k) {
+        if (row[k] == v) {
+          w = (int32_t)k;
+          break;
+        }
+      }
+      if (w >= 0) {
+        slot = (uint32_t)((int64_t)w * sets + s);
+      } else {
+        miss_pos[n_miss] = (int32_t)i;
+        slot = (uint32_t)(aux_base_local + n_miss);
+        ++n_miss;
+      }
+    }
+    wire[i * 3 + 0] = (uint8_t)(slot & 0xFF);
+    wire[i * 3 + 1] = (uint8_t)((slot >> 8) & 0xFF);
+    wire[i * 3 + 2] = (uint8_t)((slot >> 16) & 0xFF);
+  }
+  return n_miss;
+}
+
+// Wire-format batch probe, OpenMP-parallel over tables.
+void cdlrm_probe_batch_wire(const int32_t* const* occ_ptrs, const int64_t* sets,
+                            int64_t ways, int64_t t_count, const int64_t* idx,
+                            int64_t n, const uint8_t* valid,
+                            const int64_t* aux_bases_local, uint8_t* wire,
+                            int32_t* miss_pos, int64_t* miss_counts) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t t = 0; t < t_count; ++t) {
+    miss_counts[t] = cdlrm_probe_table_wire(
+        occ_ptrs[t], sets[t], ways, idx + t * n, n,
+        valid ? valid + t * n : nullptr, aux_bases_local[t],
+        miss_pos + t * n, wire + t * n * 3);
+  }
 }
 
 // Batch probe: all tables in one call, OpenMP-parallel over tables.
