@@ -58,6 +58,11 @@ class StepConfig(NamedTuple):
     # (unpacked + offset on device). Cuts per-step host->device bytes 25% —
     # the binding constraint on low-bandwidth host links; lossless.
     wire_pack: bool = False
+    # Pallas explicit-DMA row gather instead of XLA take for the cache
+    # lookup (ops/lookup.py): ~15% faster at Terabyte-class shape
+    # (bench_kernels.py: 41us vs 48us for 106k x 128-dim rows). Requires
+    # D % 128 == 0 and per-shard lookup count divisible by the block size.
+    use_pallas_lookup: bool = False
 
     @property
     def cdtype(self):
@@ -185,7 +190,12 @@ def make_cached_train_step(
         cache = cache.at[aux_slots].set(aux_rows)
 
         flat_slots = slots.reshape(-1)
-        rows = jnp.take(cache, flat_slots, axis=0)  # [T*Bl(*P), D]
+        if cfg.use_pallas_lookup:
+            from cdlrm_tpu.ops.lookup import gather_rows
+
+            rows = gather_rows(cache, flat_slots)  # [T*Bl(*P), D]
+        else:
+            rows = jnp.take(cache, flat_slots, axis=0)  # [T*Bl(*P), D]
 
         def loss_fn(params, rows):
             if pooled_width > 0:

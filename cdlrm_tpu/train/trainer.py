@@ -175,6 +175,20 @@ class CachedDlrmTrainer:
         self._wire_pack = bool(
             cfg.pack_wire and int(rows_per_table.max()) < step_lib.WIRE_SENTINEL
         )
+        # Pallas gather needs TPU + lane-aligned dim + block-divisible
+        # lookup count (ops/lookup.py layout contract)
+        def _blk_ok(n):
+            return n < 1024 or n % 1024 == 0
+
+        n_train = len(cfg.ln_emb) * b_loc * max(1, pooled_width)
+        n_eval = len(cfg.ln_emb) * test_b_loc * max(1, pooled_width)
+        pallas_ok = (
+            cfg.use_pallas_lookup
+            and jax.default_backend() == "tpu"
+            and cfg.m_spa % 128 == 0
+            and _blk_ok(n_train)
+            and _blk_ok(n_eval)
+        )
         scfg = step_lib.StepConfig(
             interaction_op=cfg.arch_interaction_op,
             interaction_itself=cfg.arch_interaction_itself,
@@ -186,6 +200,7 @@ class CachedDlrmTrainer:
             refill_broadcast=cfg.refill_broadcast,
             compute_dtype=cfg.compute_dtype,
             wire_pack=self._wire_pack,
+            use_pallas_lookup=pallas_ok,
         )
         self.step_cfg = scfg
         self.train_step = step_lib.make_cached_train_step(
