@@ -161,12 +161,23 @@ class HostCacheController:
                 pack_slots(pr.slots, geo.table_offsets, geo.trash_row),
                 pr.aux_slots, pr.aux_rows, pr.hit_counts, pr.num_lookups,
             )
-        t_count, b = ls_i.shape
         ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
         aux_local = (geo.ways * geo.sets).astype(np.int64)
         wire, miss_pos, miss_counts = native.probe_batch_wire(
             self.occupancy, ls_i, aux_local, geo.ways, valid=valid
         )
+        return self._finish_native_probe(
+            wire, miss_pos, miss_counts, ls_i, master, valid
+        )
+
+    def _finish_native_probe(
+        self, slots_like, miss_pos, miss_counts, ls_i, master, valid
+    ) -> ProbeResult:
+        """Shared tail of the native probe paths: aux-capacity guard, packed
+        aux slot/row assembly (misses in batch order, reference
+        model_no_ddp.py:176-185), hit-count / lookup accounting."""
+        geo = self.geo
+        t_count, b = ls_i.shape
         if miss_counts.max(initial=0) > geo.aux_capacity:
             t = int(np.argmax(miss_counts))
             raise ValueError(
@@ -194,46 +205,20 @@ class HostCacheController:
         else:
             num_lookups = t_count * b
             hit_counts = (b - miss_counts).astype(np.int64)
-        return ProbeResult(wire, aux_slots, aux_rows, hit_counts, num_lookups)
+        return ProbeResult(slots_like, aux_slots, aux_rows, hit_counts, num_lookups)
 
     def _probe_native(
         self, ls_i: np.ndarray, master, valid: Optional[np.ndarray]
     ) -> ProbeResult:
         geo = self.geo
-        t_count, b = ls_i.shape
         ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
         slots, miss_pos, miss_counts = native.probe_batch(
             self.occupancy, ls_i, geo.table_offsets, self._aux_bases,
             geo.ways, geo.trash_row, valid=valid,
         )
-        if miss_counts.max(initial=0) > geo.aux_capacity:
-            t = int(np.argmax(miss_counts))
-            raise ValueError(
-                f"table {t}: {int(miss_counts[t])} misses exceed aux capacity "
-                f"{geo.aux_capacity}; raise --aux-capacity"
-            )
-        aux_slot_parts, aux_row_parts = [], []
-        for t in range(t_count):
-            n_miss = int(miss_counts[t])
-            if n_miss:
-                aux_slot_parts.append(
-                    (self._aux_bases[t] + np.arange(n_miss)).astype(np.int32)
-                )
-                aux_row_parts.append(master.gather(t, ls_i[t][miss_pos[t, :n_miss]]))
-        if aux_slot_parts:
-            aux_slots = np.concatenate(aux_slot_parts)
-            aux_rows = np.concatenate(aux_row_parts)
-        else:
-            aux_slots = np.zeros(0, dtype=np.int32)
-            aux_rows = np.zeros((0, geo.dim), dtype=np.float32)
-        if valid is not None:
-            n_valid = valid.sum(axis=1)
-            num_lookups = int(n_valid.sum())
-            hit_counts = (n_valid - miss_counts).astype(np.int64)
-        else:
-            num_lookups = t_count * b
-            hit_counts = (b - miss_counts).astype(np.int64)
-        return ProbeResult(slots, aux_slots, aux_rows, hit_counts, num_lookups)
+        return self._finish_native_probe(
+            slots, miss_pos, miss_counts, ls_i, master, valid
+        )
 
     # ----------------------------------------------------------------- insert
     def plan_insert(

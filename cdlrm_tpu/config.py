@@ -224,7 +224,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
             continue
         flag = "--" + f.name.replace("_", "-")
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(flag, action="store_true", default=f.default)
+            # BooleanOptionalAction adds --no-<flag>, so default-True
+            # tunables (pack-wire, refill-broadcast, use-cache) stay
+            # disable-able from the CLI
+            p.add_argument(
+                flag, action=argparse.BooleanOptionalAction, default=f.default
+            )
         else:
             typ = type(f.default)
             p.add_argument(flag, type=typ, default=f.default)

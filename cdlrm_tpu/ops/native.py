@@ -42,9 +42,12 @@ def _build() -> Optional[str]:
     if os.path.exists(so):
         return so
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # per-pid tmp: concurrent processes (multi-host tests, parallel CI) race
+    # on a shared name — one's os.replace would tear another's in-flight write
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
-        "-shared", "-fPIC", "-fopenmp", _SRC, "-o", so + ".tmp",
+        "-shared", "-fPIC", "-fopenmp", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -53,12 +56,15 @@ def _build() -> Optional[str]:
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-                 "-o", so + ".tmp"],
+                 "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
         except (subprocess.SubprocessError, FileNotFoundError):
             return None
-    os.replace(so + ".tmp", so)
+    try:
+        os.replace(tmp, so)
+    except OSError:
+        return so if os.path.exists(so) else None
     return so
 
 
@@ -129,6 +135,17 @@ def _p(arr: np.ndarray, ptype):
     return arr.ctypes.data_as(ptype)
 
 
+def _check_id_range(ls_i: np.ndarray) -> None:
+    """The C probe truncates ids to int32; ids outside [0, 2^31) would wrap
+    negative and index the occupancy out of bounds (numpy's % degrades
+    safely; raw pointers do not)."""
+    if ls_i.size == 0:
+        return
+    mn, mx = ls_i.min(), ls_i.max()
+    if mn < 0 or mx >= 2**31:
+        raise IndexError(f"lookup ids [{mn}, {mx}] outside int32 range")
+
+
 def probe_batch(
     occupancy: List[np.ndarray],
     ls_i: np.ndarray,
@@ -146,8 +163,7 @@ def probe_batch(
     assert lib is not None
     t_count, n = ls_i.shape
     ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
-    if ls_i.size and ls_i.min() < 0:
-        raise IndexError("negative lookup index")  # C modulo would go OOB
+    _check_id_range(ls_i)
     sets = np.ascontiguousarray(
         np.array([o.shape[0] for o in occupancy], dtype=np.int64)
     )
@@ -196,8 +212,7 @@ def probe_batch_wire(
     assert lib is not None
     t_count, n = ls_i.shape
     ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
-    if ls_i.size and ls_i.min() < 0:
-        raise IndexError("negative lookup index")
+    _check_id_range(ls_i)
     sets = np.ascontiguousarray(
         np.array([o.shape[0] for o in occupancy], dtype=np.int64)
     )

@@ -111,6 +111,12 @@ class CachedDlrmTrainer:
             assert self.local_ids == list(
                 range(self.local_ids[0], self.local_ids[0] + self.n_local)
             ), "mesh devices must be process-contiguous along dp"
+            # owned-range writeback relies on evicted rows being broadcast
+            # from replica 0 (train/step.py make_refill_step); without the
+            # broadcast every host would write back its own divergent values
+            assert cfg.refill_broadcast, (
+                "multi-host execution requires refill_broadcast=True"
+            )
         if pooled_width is None:
             # data-driven inference: datasets are restartable by contract
             # (see class docstring), so peek the first batch — single-index
@@ -178,7 +184,10 @@ class CachedDlrmTrainer:
         # Pallas gather needs TPU + lane-aligned dim + block-divisible
         # lookup count (ops/lookup.py layout contract)
         def _blk_ok(n):
-            return n < 1024 or n % 1024 == 0
+            # ops/lookup.py: block = min(1024, n) must divide n, and blocks
+            # must be sublane-aligned — accept n % 1024 == 0, or small n
+            # that is itself a multiple of 256
+            return n % 1024 == 0 or (n < 1024 and n % 256 == 0)
 
         n_train = len(cfg.ln_emb) * b_loc * max(1, pooled_width)
         n_eval = len(cfg.ln_emb) * test_b_loc * max(1, pooled_width)
@@ -249,9 +258,12 @@ class CachedDlrmTrainer:
         self._row_exchange = (
             GlobalRowExchange(
                 self.master,
+                # capacity must be HOST-COUNT-SYMMETRIC (it is the fixed
+                # allgather payload shape): bound by the global device count,
+                # not this host's local count
                 capacity=(
                     len(cfg.ln_emb) * test_b_loc * max(1, pooled_width)
-                    * self.n_local
+                    * self.ndev
                 ),
             )
             if self.multihost
