@@ -85,3 +85,55 @@ def test_cli_dataset_checkpoint_roundtrip(tmp_path, capsys):
     ck = str(tmp_path / "ckpt")
     assert cli.main(common + ["--save-model", ck]) == 0
     assert cli.main(common + ["--load-model", ck]) == 0
+
+
+def test_cli_fulltable_qr(capsys):
+    """QR-compressed embeddings end-to-end on the uncached path (the only
+    path where the reference's tricks actually work — models/tricks.py)."""
+    rc = cli.main(
+        [
+            "--data-generation", "random",
+            "--no-use-cache",
+            "--qr-flag", "--qr-threshold", "300", "--qr-collisions", "4",
+            "--arch-embedding-size", "500-200-800",
+            "--arch-sparse-feature-size", "8",
+            "--arch-mlp-bot", "13-16-8",
+            "--arch-mlp-top", "8-1",
+            "--mini-batch-size", "32",
+            "--num-batches", "8",
+            "--data-size", "256",
+            "--loss-function", "bce",
+            "--world-size", "8",
+            "--print-freq", "4",
+            "--num-indices-per-lookup", "1",
+            "--num-indices-per-lookup-fixed",
+            "--round-targets",
+        ]
+    )
+    assert rc == 0
+    assert "Test accuracy" in capsys.readouterr().out
+
+
+def test_cli_fulltable_md_multihot(capsys):
+    """Mixed-dimension embeddings + padded multi-hot bags end-to-end."""
+    rc = cli.main(
+        [
+            "--data-generation", "random",
+            "--no-use-cache",
+            "--md-flag", "--md-threshold", "300",
+            "--arch-embedding-size", "500-200-800",
+            "--arch-sparse-feature-size", "8",
+            "--arch-mlp-bot", "13-16-8",
+            "--arch-mlp-top", "8-1",
+            "--mini-batch-size", "32",
+            "--num-batches", "8",
+            "--data-size", "256",
+            "--loss-function", "bce",
+            "--world-size", "8",
+            "--print-freq", "4",
+            "--num-indices-per-lookup", "3",
+            "--round-targets",
+        ]
+    )
+    assert rc == 0
+    assert "Test accuracy" in capsys.readouterr().out
