@@ -139,20 +139,25 @@ class VirtualMasterTables:
         fast = np.random.Generator(np.random.SFC64(int(rng.integers(2**31))))
         self._block = fast.random((block_rows, self.dim), dtype=np.float32) * 2.0 - 1.0
         self._bounds = [np.float32(np.sqrt(1.0 / n)) for n in self.ln_emb]
-        self._overlay_idx = [np.zeros(0, np.int64) for _ in self.ln_emb]
-        self._overlay_rows = [np.zeros((0, self.dim), np.float32) for _ in self.ln_emb]
+        # (idx, rows) pairs swapped ATOMICALLY (one reference assignment):
+        # the eviction thread rebuilds the overlay while the prefetcher
+        # gathers — two separate attributes raced (mismatched sizes crash)
+        self._overlay = [
+            (np.zeros(0, np.int64), np.zeros((0, self.dim), np.float32))
+            for _ in self.ln_emb
+        ]
 
     def gather(self, t: int, idxs: np.ndarray) -> np.ndarray:
         idxs = np.asarray(idxs, dtype=np.int64)
         pos = (idxs + t * self._PHI) % self._block.shape[0]
         rows = self._block[pos] * self._bounds[t]
-        o_idx = self._overlay_idx[t]
+        o_idx, o_rows = self._overlay[t]  # consistent snapshot
         if o_idx.size:
             loc = np.searchsorted(o_idx, idxs)
             loc_c = np.minimum(loc, o_idx.size - 1)
             hit = o_idx[loc_c] == idxs
             if hit.any():
-                rows[hit] = self._overlay_rows[t][loc_c[hit]]
+                rows[hit] = o_rows[loc_c[hit]]
         return rows
 
     def gather_all(self, idxs_per_table):
@@ -165,26 +170,25 @@ class VirtualMasterTables:
         rows = np.asarray(rows, dtype=np.float32)
         if average:
             rows = (self.gather(t, idxs) + rows) / 2.0
-        merged_idx = np.concatenate([self._overlay_idx[t], idxs])
-        merged_rows = np.concatenate([self._overlay_rows[t], rows])
+        o_idx, o_rows = self._overlay[t]
+        merged_idx = np.concatenate([o_idx, idxs])
+        merged_rows = np.concatenate([o_rows, rows])
         # keep the LAST write per index
         uniq, last_rev = np.unique(merged_idx[::-1], return_index=True)
         keep = merged_idx.size - 1 - last_rev
-        self._overlay_idx[t] = uniq
-        self._overlay_rows[t] = merged_rows[keep]
+        self._overlay[t] = (uniq, merged_rows[keep])  # atomic swap
         return int(idxs.size)
 
     def save(self, path: str) -> None:
         np.savez(
             path,
             block=self._block,
-            **{f"oidx_{t}": self._overlay_idx[t] for t in range(len(self.ln_emb))},
-            **{f"orows_{t}": self._overlay_rows[t] for t in range(len(self.ln_emb))},
+            **{f"oidx_{t}": self._overlay[t][0] for t in range(len(self.ln_emb))},
+            **{f"orows_{t}": self._overlay[t][1] for t in range(len(self.ln_emb))},
         )
 
     def load(self, path: str) -> None:
         with np.load(path) as data:
             self._block = data["block"]
             for t in range(len(self.ln_emb)):
-                self._overlay_idx[t] = data[f"oidx_{t}"]
-                self._overlay_rows[t] = data[f"orows_{t}"]
+                self._overlay[t] = (data[f"oidx_{t}"], data[f"orows_{t}"])

@@ -272,6 +272,8 @@ class CachedDlrmTrainer:
 
         self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
+        self._pipe = None
+        self._stream_done = False
         self.global_step = 0
         self.metrics = TrainMetrics()
         self._lr = jnp.float32(cfg.learning_rate)
@@ -477,9 +479,22 @@ class CachedDlrmTrainer:
 
     # ------------------------------------------------------------------ train
     def _start_pipeline(self) -> None:
+        """Start the host pipeline ONCE: prefetcher, eviction manager, and
+        the assembly pipeline all stream the dataset continuously, so
+        repeated train() calls resume mid-stream with windows still aligned
+        (a fresh per-call pipeline would restart the batch stream while the
+        prefetcher kept going — silently desynced refills)."""
         if not self._pipeline_started:
+            from cdlrm_tpu.train.pipeline import AssemblyPipeline
+
             self.eviction_manager.start()
             self.prefetcher.start()
+            self._pipe = AssemblyPipeline(
+                self, self.cfg.nepochs, self.cfg.lookahead,
+                max(1, self.cfg.pipeline_depth),
+            )
+            self._pipe.start()
+            self._stream_done = False
             self._pipeline_started = True
 
     def train(self, max_steps: Optional[int] = None, log_fn=print) -> TrainMetrics:
@@ -489,28 +504,31 @@ class CachedDlrmTrainer:
         signals. Periodicities (print/test/agg/checkpoint) are on
         global_step; the reference uses the per-epoch batch index
         (main_no_ddp.py:418,458,479), identical within an epoch."""
-        from cdlrm_tpu.train.pipeline import WINDOW_BOUNDARY, AssemblyPipeline
+        from cdlrm_tpu.train.pipeline import WINDOW_BOUNDARY
 
         cfg = self.cfg
         self._start_pipeline()
+        pipe = self._pipe
+        if self._stream_done:
+            return self.metrics
         b = cfg.mini_batch_size
-        pipe = AssemblyPipeline(
-            self, cfg.nepochs, cfg.lookahead, max(1, cfg.pipeline_depth)
-        )
-        pipe.start()
         pending: List[Tuple] = []  # (loss_sum, correct, n) device scalars
 
         def flush_pending():
             if not pending:
                 return
-            # ONE stacked D2H fetch instead of 2/step round trips (each sync
-            # on a tunneled host costs a full RTT)
-            stacked = np.asarray(
-                jnp.stack([jnp.stack((ls, c)) for ls, c, _ in pending])
+            # ONE batched D2H of the scalars' local shards (metrics are
+            # psum'd => replica-identical, so the local shard IS the value).
+            # No eager ops on the global arrays: multi-host eager dispatch
+            # would need every process to enqueue identical programs — a
+            # deadlock hazard; reading addressable shards is purely local.
+            vals = jax.device_get(
+                [x.addressable_shards[0].data for ls, c, _ in pending
+                 for x in (ls, c)]
             )
-            for (ls, c), (_, _, n) in zip(stacked, pending):
-                self.metrics.loss_sum += float(ls)
-                self.metrics.correct += float(c)
+            for i, (_, _, n) in enumerate(pending):
+                self.metrics.loss_sum += float(vals[2 * i])
+                self.metrics.correct += float(vals[2 * i + 1])
                 self.metrics.examples += n
                 self.metrics.steps += 1
             pending.clear()
@@ -524,6 +542,7 @@ class CachedDlrmTrainer:
                     break
                 item = pipe.get()
                 if item is None:
+                    self._stream_done = True
                     break
                 if item is WINDOW_BOUNDARY:
                     window = self.prefetcher.get_window()
@@ -610,7 +629,8 @@ class CachedDlrmTrainer:
                 ):
                     self.save_checkpoint(cfg.save_model)
         finally:
-            pipe.stop()
+            # the pipeline persists across train() calls; close() stops it
+            pass
         flush_pending()
         return self.metrics
 
@@ -717,6 +737,8 @@ class CachedDlrmTrainer:
     # ---------------------------------------------------------------- cleanup
     def close(self) -> None:
         if self._pipeline_started:
+            if self._pipe is not None:
+                self._pipe.stop()
             self.prefetcher.stop()
             self.eviction_fifo.put(None)
 
