@@ -87,7 +87,19 @@ class FullTableDlrmTrainer:
     def train(self, max_steps: Optional[int] = None, log_fn=print):
         cfg = self.cfg
         b = cfg.mini_batch_size
-        loss_acc, corr_acc, n_acc, t0 = 0.0, 0.0, 0, time.perf_counter()
+        pending = []  # device scalars; materialized only at print boundaries
+        t0 = time.perf_counter()
+
+        def flush():
+            vals = jax.device_get(
+                [x.addressable_shards[0].data for ls, c in pending for x in (ls, c)]
+            )
+            loss_acc = sum(float(v) for v in vals[0::2])
+            corr_acc = sum(float(v) for v in vals[1::2])
+            n = len(pending) * b
+            pending.clear()
+            return loss_acc, corr_acc, n
+
         for epoch in range(cfg.nepochs):
             for j, batch in enumerate(self.dataset.batches()):
                 if batch.x.shape[0] != b:
@@ -99,20 +111,15 @@ class FullTableDlrmTrainer:
                     self.params, x, ls_i, mask, tgt, self._lr, self._lr_emb
                 )
                 self.global_step += 1
-                loss_acc, corr_acc, n_acc = (
-                    loss_acc + float(loss_sum),
-                    corr_acc + float(correct),
-                    n_acc + b,
-                )
+                pending.append((loss_sum, correct))
                 if j > 0 and j % cfg.print_freq == 0:
+                    loss_acc, corr_acc, n_acc = flush()
                     dt = time.perf_counter() - t0
                     log_fn(
                         f"Epoch {epoch}: {j}/{len(self.dataset)} "
                         f"{1000*dt/max(1,n_acc//b):.2f} ms/it, "
                         f"loss {loss_acc/max(1,n_acc):.5f}, acc {corr_acc/max(1,n_acc):.5f}"
                     )
-                    loss_acc = corr_acc = 0.0
-                    n_acc = 0
                     t0 = time.perf_counter()
 
     def evaluate(self, max_batches: Optional[int] = None, log_fn=print):
