@@ -147,3 +147,91 @@ def test_config_sanity_check_raises():
     cfg = Config(arch_sparse_feature_size=8, arch_mlp_bot="13-16", arch_mlp_top="4-1")
     with pytest.raises(ValueError, match="bottom MLP out"):
         cfg.finalize(ln_emb=np.array([10]))
+
+
+def test_cached_equals_fulltable_when_fully_resident():
+    """With cache >= table size on one device, the cached path's training
+    dynamics must match plain full-table SGD exactly: every id becomes
+    resident at the first refill, window-hit protection keeps trained rows
+    from being overwritten by later refills, and the sparse row updates
+    coincide with gathered-row SGD (the reference's semantics when nothing
+    ever misses). This pins the whole cache machinery against a
+    cache-free oracle."""
+    import jax.numpy as jnp
+
+    from cdlrm_tpu.models.dlrm import compute_loss, dlrm_forward
+    from cdlrm_tpu.parallel.mesh import make_dp_mesh
+    from cdlrm_tpu.train import step as step_lib
+
+    ln_emb = np.array([40, 25, 60])
+    steps, b = 12, 16
+    cfg = make_cfg(
+        mini_batch_size=b, world_size=1, cache_size=64, num_ways=2,
+        lookahead=3, table_agg_freq=10_000, learning_rate=0.1, lr_embeds=0.3,
+    )
+    cfg.finalize(ln_emb=ln_emb)
+    assert all(int(n) <= cfg.cache_sets for n in ln_emb)  # fully resident
+
+    ds = LearnableDataset(ln_emb, num_batches=steps + 2, batch=b, seed=3)
+    mesh = make_dp_mesh(1)
+    tr = CachedDlrmTrainer(cfg, ds, mesh=mesh)
+
+    # oracle: identical init (same master values + same dense params)
+    p0 = step_lib.unreplicate(tr.params)
+    tables = [jnp.asarray(tr.master.tables[t].copy()) for t in range(3)]
+
+    tr.train(max_steps=steps, log_fn=lambda s: None)
+
+    params_o = {k: [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in v]
+                for k, v in p0.items()}
+    for i, batch in enumerate(ds.batches()):
+        if i >= steps:
+            break
+        x, tgt = jnp.asarray(batch.x), jnp.asarray(batch.y)
+        ls = batch.ls_i
+
+        def loss_fn(params, tables):
+            ly = jnp.stack([tables[t][ls[t]] for t in range(3)])
+            p = dlrm_forward(params, x, ly, "dot", False, 0.0)
+            return compute_loss(p, tgt, cfg.loss_function)
+
+        import jax
+
+        (g_p, g_t) = jax.grad(loss_fn, argnums=(0, 1))(params_o, tables)
+        params_o = {
+            k: [(w - 0.1 * gw, bb - 0.1 * gb)
+                for (w, bb), (gw, gb) in zip(v, g_p[k])]
+            for k, v in params_o.items()
+        }
+        tables = [t - 0.3 * gt for t, gt in zip(tables, g_t)]
+
+    got_p = step_lib.unreplicate(tr.params)
+    for k in ("bot", "top"):
+        for (w, bb), (wo, bo) in zip(got_p[k], params_o[k]):
+            np.testing.assert_allclose(w, wo, rtol=2e-4, atol=1e-6)
+            np.testing.assert_allclose(bb, bo, rtol=2e-4, atol=1e-6)
+
+    # cache rows of every id SEEN IN THE STREAM must equal the oracle's
+    # trained table rows (unseen ids are never inserted — cDLRM semantics)
+    from cdlrm_tpu.parallel.mesh import local_shard
+
+    seen = [set() for _ in range(3)]
+    for i, batch in enumerate(ds.batches()):
+        if i >= steps:
+            break
+        for t in range(3):
+            seen[t].update(batch.ls_i[t].tolist())
+    cache = local_shard(tr.cache)
+    for t in range(3):
+        ids = np.array(sorted(seen[t]), dtype=np.int64)
+        sets_t = int(tr.geo.sets[t])
+        occ = tr.controller.occupancy[t]
+        set_idx = ids % sets_t
+        eq = occ[set_idx] == ids[:, None]
+        assert eq.any(axis=1).all(), f"table {t}: seen ids not resident"
+        way = eq.argmax(axis=1)
+        slots = tr.geo.table_offsets[t] + way * sets_t + set_idx
+        np.testing.assert_allclose(
+            cache[slots], np.asarray(tables[t])[ids], rtol=2e-4, atol=1e-6
+        )
+    tr.close()
