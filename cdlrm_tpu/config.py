@@ -123,6 +123,8 @@ class Config:
     pipeline_depth: int = 2  # batches probed/staged ahead of the device step
     pack_wire: bool = True  # 3-byte slot ids + narrow dtypes on host->device
     #   transfers (lossless; auto-disabled for tables >= 2^24 cache rows)
+    wire_rows_bf16: bool = False  # ship refill/miss/evicted ROWS as bf16 —
+    #   halves the dominant refill traffic; lossy once per staged row
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
     #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
     #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)

@@ -63,6 +63,10 @@ class StepConfig(NamedTuple):
     # (bench_kernels.py: 41us vs 48us for 106k x 128-dim rows). Requires
     # D % 128 == 0 and per-shard lookup count divisible by the block size.
     use_pallas_lookup: bool = False
+    # ship refill insert rows / per-step miss rows / evicted rows as bf16
+    # (halves the dominant refill H2D+D2H traffic). LOSSY: freshly staged
+    # rows are bf16-rounded once (trained deltas stay f32 in the cache).
+    wire_rows_bf16: bool = False
 
     @property
     def cdtype(self):
@@ -187,7 +191,7 @@ def make_cached_train_step(
 
         # stage packed miss rows into the aux regions (padding hits the
         # trash row; slots are distinct by construction)
-        cache = cache.at[aux_slots].set(aux_rows)
+        cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
 
         flat_slots = slots.reshape(-1)
         if cfg.use_pallas_lookup:
@@ -280,7 +284,7 @@ def make_cached_eval_step(
         t_count = slots.shape[0]
         b_loc = x.shape[0]
         d = cache.shape[-1]
-        cache = cache.at[aux_slots].set(aux_rows)
+        cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
         rows = jnp.take(cache, slots.reshape(-1), axis=0)
         if pooled_width > 0:
             r = rows.reshape(t_count, b_loc, pooled_width, d)
@@ -325,7 +329,9 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
             evicted = jax.lax.psum(
                 jnp.where(idx == 0, evicted, jnp.zeros_like(evicted)), DP_AXIS
             )
-        cache = cache.at[insert_slots].set(insert_rows)
+        if cfg.wire_rows_bf16:
+            evicted = evicted.astype(jnp.bfloat16)  # halve the D2H writeback
+        cache = cache.at[insert_slots].set(insert_rows.astype(jnp.float32))
         if cfg.refill_broadcast:
             idx = jax.lax.axis_index(DP_AXIS)
             contrib = jnp.where(idx == 0, cache, jnp.zeros_like(cache))

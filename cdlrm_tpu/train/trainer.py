@@ -210,6 +210,10 @@ class CachedDlrmTrainer:
             compute_dtype=cfg.compute_dtype,
             wire_pack=self._wire_pack,
             use_pallas_lookup=pallas_ok,
+            wire_rows_bf16=cfg.wire_rows_bf16,
+        )
+        self._row_wire_dtype = (
+            jnp.bfloat16 if cfg.wire_rows_bf16 else np.float32
         )
         self.step_cfg = scfg
         self.train_step = step_lib.make_cached_train_step(
@@ -308,6 +312,8 @@ class CachedDlrmTrainer:
         plan = self.controller.plan_insert(window.uniques, rows)
         ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
         ins_rows = pad_to_bucket(plan.insert_rows, 0.0)
+        if self.cfg.wire_rows_bf16:
+            ins_rows = ins_rows.astype(self._row_wire_dtype)
         ev_slots = pad_to_bucket(plan.evict_slots, 0)
         self.cache, evicted = self.refill_step(
             self.cache,
@@ -319,7 +325,7 @@ class CachedDlrmTrainer:
         if n_evict:
             # replica-0-broadcast values (train/step.py make_refill_step):
             # identical on every host; sharded masters keep owned rows only
-            evicted_rows = local_shard(evicted)[:n_evict]
+            evicted_rows = local_shard(evicted)[:n_evict].astype(np.float32)
             self.eviction_fifo.put((plan.evict_tables, plan.evict_idxs, evicted_rows))
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
@@ -408,7 +414,9 @@ class CachedDlrmTrainer:
         else:
             k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
         aux_slots = np.full((self.n_local, k), self.geo.trash_row, dtype=np.int32)
-        aux_rows = np.zeros((self.n_local, k, self.geo.dim), dtype=np.float32)
+        aux_rows = np.zeros(
+            (self.n_local, k, self.geo.dim), dtype=self._row_wire_dtype
+        )
         for k_loc in range(self.n_local):
             n = aux_slot_shards[k_loc].shape[0]
             if n > k:

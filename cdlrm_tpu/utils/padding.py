@@ -10,10 +10,11 @@ from __future__ import annotations
 import numpy as np
 
 
-def pow2_bucket(n: int, min_size: int = 8, factor: int = 4) -> int:
-    """Next power-of-``factor`` bucket >= n (coarse buckets keep the number
-    of distinct compiled shapes tiny — each new shape is a full XLA compile,
-    expensive on remote/tunneled TPU backends)."""
+def pow2_bucket(n: int, min_size: int = 8, factor: int = 2) -> int:
+    """Next power-of-``factor`` bucket >= n. factor=2 bounds padding waste
+    at 2x (the padded refill rows are the dominant refill H2D bytes) while
+    keeping the number of distinct compiled shapes logarithmic — each new
+    shape is a full XLA compile, expensive on remote/tunneled backends."""
     if n <= min_size:
         return min_size
     b = min_size
