@@ -324,9 +324,13 @@ class CachedDlrmTrainer:
         n_evict = plan.evict_slots.shape[0]
         if n_evict:
             # replica-0-broadcast values (train/step.py make_refill_step):
-            # identical on every host; sharded masters keep owned rows only
-            evicted_rows = local_shard(evicted)[:n_evict].astype(np.float32)
-            self.eviction_fifo.put((plan.evict_tables, plan.evict_idxs, evicted_rows))
+            # identical on every host; sharded masters keep owned rows only.
+            # Materialization is DEFERRED to the eviction thread — forcing
+            # the D2H here would block the train loop on the whole transfer
+            def _fetch(evicted=evicted, n=n_evict):
+                return local_shard(evicted)[:n].astype(np.float32)
+
+            self.eviction_fifo.put((plan.evict_tables, plan.evict_idxs, _fetch))
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
 
@@ -691,6 +695,8 @@ class CachedDlrmTrainer:
         """Full-state checkpoint (capability upgrade; the reference parses
         --save-model but never implements it, main_no_ddp.py:111-112)."""
         os.makedirs(path, exist_ok=True)
+        # in-flight eviction writebacks must land in the masters first
+        self.eviction_manager.flush(timeout=self.cfg.eviction_fifo_timeout)
         # multi-host: every host saves its owned master shard; host 0 saves
         # the (replica-identical) dense params, cache, occupancy, and meta
         if self.multihost:

@@ -155,3 +155,29 @@ def test_process_backend_requires_mmap(rng):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_eviction_flush_barrier(rng):
+    """flush() returns only after all prior writebacks (including deferred
+    device-fetch thunks) have landed in the masters."""
+    import queue as queue_mod
+    import time
+
+    from cdlrm_tpu.cache.master import MasterTables
+    from cdlrm_tpu.cache.prefetcher import EvictionManager
+
+    master = MasterTables([100], 4, np.random.default_rng(0))
+    fifo = queue_mod.Queue()
+    mgr = EvictionManager(master, fifo, timeout=30)
+    mgr.start()
+    rows = np.ones((5, 4), np.float32) * 7
+
+    def slow_fetch():
+        time.sleep(0.2)
+        return rows
+
+    fifo.put((np.zeros(5, np.int32), np.arange(5, dtype=np.int64), slow_fetch))
+    assert mgr.flush(timeout=10)
+    assert np.array_equal(master.tables[0][:5], rows)
+    assert mgr.rows_written == 5
+    fifo.put(None)
