@@ -89,8 +89,13 @@ def main(argv=None) -> int:
 
     if cfg.load_model:
         trainer.load_checkpoint(cfg.load_model)
+    from cdlrm_tpu.utils.profiling import profile_trace
+
     try:
-        trainer.train(max_steps=cfg.num_batches if cfg.num_batches > 0 else None)
+        with profile_trace(cfg.profile_dir if cfg.enable_profiling else None):
+            trainer.train(
+                max_steps=cfg.num_batches if cfg.num_batches > 0 else None
+            )
         if test_ds is not None:
             trainer.evaluate()
         if cfg.save_model:

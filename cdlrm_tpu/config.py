@@ -123,6 +123,9 @@ class Config:
     pipeline_depth: int = 2  # batches probed/staged ahead of the device step
     pack_wire: bool = True  # 3-byte slot ids + narrow dtypes on host->device
     #   transfers (lossless; auto-disabled for tables >= 2^24 cache rows)
+    enable_profiling: bool = False  # real jax.profiler trace around training
+    #   (the reference parses this flag but never uses it, main_no_ddp.py:106)
+    profile_dir: str = "./jax_trace"  # where --enable-profiling writes traces
     wire_rows_bf16: bool = False  # ship refill/miss/evicted ROWS as bf16 —
     #   halves the dominant refill traffic; lossy once per staged row
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups

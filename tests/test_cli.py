@@ -137,3 +137,37 @@ def test_cli_fulltable_md_multihot(capsys):
     )
     assert rc == 0
     assert "Test accuracy" in capsys.readouterr().out
+
+
+def test_cli_nepochs_and_profiling(tmp_path, capsys):
+    """Multi-epoch stream (prefetcher + pipeline epoch loops stay aligned)
+    with a real jax.profiler trace (the flag the reference never wired)."""
+    trace_dir = str(tmp_path / "trace")
+    rc = cli.main(
+        [
+            "--data-generation", "random",
+            "--arch-embedding-size", "300-150",
+            "--arch-sparse-feature-size", "8",
+            "--arch-mlp-bot", "13-16-8",
+            "--arch-mlp-top", "8-1",
+            "--mini-batch-size", "32",
+            "--data-size", "192",  # 6 batches/epoch
+            "--nepochs", "3",
+            "--cache-size", "64",
+            "--num-ways", "2",
+            "--loss-function", "bce",
+            "--lookahead", "3",
+            "--world-size", "8",
+            "--print-freq", "6",
+            "--num-indices-per-lookup", "1",
+            "--num-indices-per-lookup-fixed",
+            "--round-targets",
+            "--enable-profiling", "--profile-dir", trace_dir,
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Step 18" in out  # 3 epochs x 6 batches all trained
+    import os
+
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
