@@ -37,6 +37,7 @@ def main():
     from cdlrm_tpu.train.trainer import CachedDlrmTrainer
 
     world = jax.device_count()
+    pooled = mode == "pooled"
     steps = 16 if mode == "one_window" else 24
     lookahead = steps + 4 if mode == "one_window" else 4
     cfg = Config(
@@ -53,8 +54,8 @@ def main():
         table_agg_freq=6,
         print_freq=4,
         round_targets=True,
-        num_indices_per_lookup=1,
-        num_indices_per_lookup_fixed=True,
+        num_indices_per_lookup=3 if pooled else 1,
+        num_indices_per_lookup_fixed=not pooled,
         numpy_rand_seed=7,
         master_init="virtual",  # single-proc baseline matches sharded masters
         batch_fifo_size=4,
@@ -64,8 +65,8 @@ def main():
     common = dict(
         m_den=13,
         ln_emb=cfg.ln_emb,
-        num_indices_per_lookup=1,
-        num_indices_per_lookup_fixed=True,
+        num_indices_per_lookup=3 if pooled else 1,
+        num_indices_per_lookup_fixed=not pooled,
         round_targets=True,
         data_generation="random",
     )

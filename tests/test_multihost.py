@@ -157,3 +157,17 @@ def test_two_process_multi_window_with_writeback(tmp_path):
     assert total_wb == single["rows_written"], (
         "sharded writebacks must partition the single-host writeback set"
     )
+
+
+@pytest.mark.slow
+def test_two_process_pooled_multihot(tmp_path):
+    """Padded multi-hot bags through the multi-host path (wire sentinel for
+    masked positions, window-store misses, eval exchange) must match the
+    single-process run."""
+    single = _run_cluster(1, 4, 0, "pooled", tmp_path)[0]
+    duo = _run_cluster(2, 2, 12415, "pooled", tmp_path)
+    assert np.allclose(duo[0]["losses"], duo[1]["losses"], rtol=1e-5)
+    assert np.allclose(single["losses"], duo[0]["losses"], rtol=2e-3), (
+        single["losses"], duo[0]["losses"],
+    )
+    assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
