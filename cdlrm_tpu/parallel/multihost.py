@@ -240,7 +240,7 @@ def exchange_window_rows(
 
     H = master.shard.num_hosts
     if H == 1:
-        return [r for r in owned_rows]
+        return list(owned_rows)
     dim = master.dim
     nt = len(uniques)
     # per-host per-table slice boundaries (identical on every host)

@@ -43,7 +43,8 @@ from cdlrm_tpu.config import Config
 from cdlrm_tpu.data.synthetic import Batch
 from cdlrm_tpu.models.dlrm import init_dlrm
 from cdlrm_tpu.parallel.mesh import (
-    DP_AXIS, local_replica_ids, local_shard, make_dp_mesh, put_global,
+    DP_AXIS, local_batch_rows, local_replica_ids, local_shard, make_dp_mesh,
+    put_global, put_global_many,
 )
 from cdlrm_tpu.parallel.multihost import (
     CollectingMaster, GlobalRowExchange, RowShard, ShardedMasterTables,
@@ -51,7 +52,7 @@ from cdlrm_tpu.parallel.multihost import (
 )
 from cdlrm_tpu.train import step as step_lib
 from cdlrm_tpu.utils.metrics import StreamingAUC, accuracy_count
-from cdlrm_tpu.utils.padding import pad_to_bucket
+from cdlrm_tpu.utils.padding import pad_to_bucket, pow2_bucket
 
 
 @dataclass
@@ -311,9 +312,9 @@ class CachedDlrmTrainer:
             self._window_store = WindowRowStore(window.uniques, rows)
         plan = self.controller.plan_insert(window.uniques, rows)
         ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
-        ins_rows = pad_to_bucket(plan.insert_rows, 0.0)
-        if self.cfg.wire_rows_bf16:
-            ins_rows = ins_rows.astype(self._row_wire_dtype)
+        ins_rows = pad_to_bucket(plan.insert_rows, 0.0).astype(
+            self._row_wire_dtype, copy=False
+        )
         ev_slots = pad_to_bucket(plan.evict_slots, 0)
         self.cache, evicted = self.refill_step(
             self.cache,
@@ -411,8 +412,6 @@ class CachedDlrmTrainer:
         # compiled shape per bucket exists (DESIGN.md D6); padding scatters
         # into the trash row. Multi-host: the bucket is part of the GLOBAL
         # array shape, so it is fixed (cfg.aux_bucket) rather than negotiated.
-        from cdlrm_tpu.utils.padding import pow2_bucket
-
         if self.multihost:
             k = self._aux_bucket
         else:
@@ -446,14 +445,10 @@ class CachedDlrmTrainer:
         slots_glob = (t_count, n_glob) + (() if not self._wire_pack else (3,))
         x_local = batch.x[lo:hi]
         if self.cfg.compute_dtype == "bfloat16":
-            import jax.numpy as _jnp
-
-            x_local = x_local.astype(_jnp.bfloat16)
+            x_local = x_local.astype(jnp.bfloat16)
         y_local = batch.y[lo:hi]
         if self.cfg.round_targets:
             y_local = y_local.astype(np.uint8)
-
-        from cdlrm_tpu.parallel.mesh import put_global_many
 
         if mask is None:
             # the all-False mask never changes: reuse one device constant
@@ -671,8 +666,6 @@ class CachedDlrmTrainer:
                 # reassemble the globally-sharded scores: local shards +
                 # one allgather (process-major order == batch order)
                 from jax.experimental import multihost_utils
-
-                from cdlrm_tpu.parallel.mesh import local_batch_rows
 
                 local = local_batch_rows(scores_arr)
                 scores = np.asarray(
