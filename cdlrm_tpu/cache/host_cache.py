@@ -147,24 +147,26 @@ class HostCacheController:
         return ProbeResult(slots, aux_slots, aux_rows, hit_counts, num_lookups)
 
     def probe_wire(
-        self, ls_i: np.ndarray, master, valid: Optional[np.ndarray] = None
+        self, ls_i: np.ndarray, master, bits: int,
+        valid: Optional[np.ndarray] = None,
     ) -> ProbeResult:
-        """Probe emitting slots in the 3-byte table-local WIRE format
-        ([T, N, 3] uint8; train/step.py pack_slots layout) — fused
-        probe+pack in the native layer, falling back to probe + pack."""
+        """Probe emitting slots as the ``bits``-wide table-local bitstream
+        ([T, wire_bytes(N, bits)] uint8; train/step.py pack_slots layout) —
+        fused probe+pack in the native layer, falling back to probe + pack."""
+        from cdlrm_tpu.train.step import pack_slots, wire_bytes
+
         geo = self.geo
         if not native.available():
-            from cdlrm_tpu.train.step import pack_slots
-
             pr = self.probe(ls_i, master, valid=valid)
             return ProbeResult(
-                pack_slots(pr.slots, geo.table_offsets, geo.trash_row),
+                pack_slots(pr.slots, geo.table_offsets, geo.trash_row, bits),
                 pr.aux_slots, pr.aux_rows, pr.hit_counts, pr.num_lookups,
             )
         ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
         aux_local = (geo.ways * geo.sets).astype(np.int64)
         wire, miss_pos, miss_counts = native.probe_batch_wire(
-            self.occupancy, ls_i, aux_local, geo.ways, valid=valid
+            self.occupancy, ls_i, aux_local, geo.ways,
+            bits, wire_bytes(ls_i.shape[1], bits), valid=valid,
         )
         return self._finish_native_probe(
             wire, miss_pos, miss_counts, ls_i, master, valid

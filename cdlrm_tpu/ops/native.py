@@ -99,6 +99,11 @@ def _load() -> Optional[ctypes.CDLL]:
             _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _PU8,
             _PI32, _PI64,
         ]
+        lib.cdlrm_probe_batch_wirebits.restype = None
+        lib.cdlrm_probe_batch_wirebits.argtypes = [
+            _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _I64, _I64,
+            _PU8, _PI32, _PI64,
+        ]
         lib.cdlrm_unique_i64.restype = _I64
         lib.cdlrm_unique_i64.argtypes = [_PI64, _I64, _I64, _PI64]
         lib.cdlrm_gather_f32.restype = None
@@ -203,11 +208,14 @@ def probe_batch_wire(
     ls_i: np.ndarray,
     aux_bases_local: np.ndarray,
     ways: int,
+    bits: int,
+    wire_bytes_per_table: int,
     valid: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All-tables probe emitting the 3-byte table-LOCAL wire format directly
-    (train/step.py pack_slots layout). Returns (wire [T, N, 3] uint8,
-    miss_pos [T, N] int32, miss_counts [T] int64)."""
+    """All-tables probe emitting the variable-width bitstream wire format
+    directly (train/step.py pack_slots layout). Returns
+    (wire [T, wire_bytes_per_table] uint8, miss_pos [T, N] int32,
+    miss_counts [T] int64)."""
     lib = _load()
     assert lib is not None
     t_count, n = ls_i.shape
@@ -218,17 +226,17 @@ def probe_batch_wire(
     )
     occ_ptrs = (_PI32 * t_count)(*[_p(o, _PI32) for o in occupancy])
     auxb = np.ascontiguousarray(aux_bases_local, dtype=np.int64)
-    wire = np.empty((t_count, n, 3), dtype=np.uint8)
+    wire = np.zeros((t_count, wire_bytes_per_table), dtype=np.uint8)
     miss_pos = np.empty((t_count, n), dtype=np.int32)
     miss_counts = np.empty(t_count, dtype=np.int64)
     vptr = None
     if valid is not None:
         valid = np.ascontiguousarray(valid, dtype=np.uint8)
         vptr = _p(valid, _PU8)
-    lib.cdlrm_probe_batch_wire(
+    lib.cdlrm_probe_batch_wirebits(
         occ_ptrs, _p(sets, _PI64), ways, t_count, _p(ls_i, _PI64), n, vptr,
-        _p(auxb, _PI64), _p(wire, _PU8), _p(miss_pos, _PI32),
-        _p(miss_counts, _PI64),
+        _p(auxb, _PI64), bits, wire_bytes_per_table,
+        _p(wire, _PU8), _p(miss_pos, _PI32), _p(miss_counts, _PI64),
     )
     return wire, miss_pos, miss_counts
 

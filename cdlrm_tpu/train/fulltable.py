@@ -30,6 +30,10 @@ from cdlrm_tpu.utils.metrics import StreamingAUC, accuracy_count
 class FullTableDlrmTrainer:
     def __init__(self, cfg: Config, dataset, test_dataset=None, mesh=None):
         assert cfg.ln_emb is not None, "call cfg.finalize() first"
+        assert jax.process_count() == 1, (
+            "FullTableDlrmTrainer is single-process; multi-host runs use the "
+            "cached trainer (use_cache=True) with row-sharded masters"
+        )
         self.cfg = cfg
         self.dataset = dataset
         self.test_dataset = test_dataset

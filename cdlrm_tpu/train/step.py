@@ -54,10 +54,12 @@ class StepConfig(NamedTuple):
     strict_bias_divergence: bool = False
     refill_broadcast: bool = True
     compute_dtype: Optional[str] = None  # None/'float32' | 'bfloat16'
-    # wire packing: slots arrive as [T, B(, P), 3] uint8 table-LOCAL ids
-    # (unpacked + offset on device). Cuts per-step host->device bytes 25% —
-    # the binding constraint on low-bandwidth host links; lossless.
+    # wire packing: slots arrive as a [T, BYTES] uint8 bitstream of
+    # wire_bits-wide table-LOCAL ids (unpacked + offset on device). Cuts
+    # per-step host->device bytes 25-45% — the binding constraint on
+    # low-bandwidth host links; lossless.
     wire_pack: bool = False
+    wire_bits: int = 24  # == WIRE_MAX_BITS (defined below the class)
     # Pallas explicit-DMA row gather instead of XLA take for the cache
     # lookup (ops/lookup.py): ~15% faster at Terabyte-class shape
     # (bench_kernels.py: 41us vs 48us for 106k x 128-dim rows). Requires
@@ -73,29 +75,68 @@ class StepConfig(NamedTuple):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
 
-# 3-byte local-slot sentinel: positions resolving to the trash row (masked
-# padding). Tables are capped far below 2^24-1 rows (see pack_slots).
-WIRE_SENTINEL = 0xFFFFFF
+# Wire format: per table, an LSB-first bitstream of WIRE_BITS-wide table-
+# LOCAL slot ids (all-ones = sentinel for trash-row positions). The bit
+# width is the smallest that addresses every table's cache block + sentinel
+# (<= 24); 24 bits reproduces the original byte-aligned 3-byte layout.
+WIRE_MAX_BITS = 24
+WIRE_SENTINEL = (1 << WIRE_MAX_BITS) - 1  # sentinel at the max width
 
 
-def pack_slots(slots: np.ndarray, table_offsets: np.ndarray, trash_row: int) -> np.ndarray:
-    """Host side: global int32 slot ids [T, N] -> table-local 3-byte wire
-    format [T, N, 3] uint8. Trash-row positions map to WIRE_SENTINEL."""
+def wire_width(max_local_slot: int) -> int:
+    """Smallest bit width whose all-ones sentinel exceeds every local slot
+    (>= 9 so bit positions of one lane never collide within a numpy pack
+    pass; <= WIRE_MAX_BITS or packing is disabled by the caller)."""
+    return max(9, int(max_local_slot + 1).bit_length())
+
+
+def wire_bytes(n: int, bits: int) -> int:
+    """Bytes per table for an n-lookup bitstream (+4 so the device's 4-byte
+    windows never read out of bounds)."""
+    return (n * bits + 7) // 8 + 4
+
+
+def pack_slots(
+    slots: np.ndarray, table_offsets: np.ndarray, trash_row: int,
+    bits: int = WIRE_MAX_BITS,
+) -> np.ndarray:
+    """Host side (numpy fallback; the native probe emits this directly):
+    global int32 slot ids [T, N] -> bitstream [T, wire_bytes(N, bits)]."""
+    t_count, n = slots.shape
+    sent = (1 << bits) - 1
     local = slots.astype(np.int64) - table_offsets[:, None]
-    local = np.where(slots == trash_row, WIRE_SENTINEL, local).astype(np.uint32)
-    out = np.empty(slots.shape + (3,), np.uint8)
-    out[..., 0] = local & 0xFF
-    out[..., 1] = (local >> 8) & 0xFF
-    out[..., 2] = (local >> 16) & 0xFF
+    local = np.where(slots == trash_row, sent, local).astype(np.uint32)
+    out = np.zeros((t_count, wire_bytes(n, bits)), np.uint8)
+    pos = np.arange(n, dtype=np.int64) * bits
+    for k in range(bits):
+        p = pos + k
+        byte, sh = p >> 3, (p & 7).astype(np.uint8)
+        # bits >= 9 => within one k the byte indices are strictly increasing
+        bit = ((local >> k) & 1).astype(np.uint8)
+        out[:, byte] |= bit << sh
     return out
 
 
-def _unpack_slots(wire: jax.Array, table_offsets: np.ndarray, trash_row: int) -> jax.Array:
-    """Device side: [T, N, 3] uint8 -> global int32 slot ids [T, N]."""
-    w = wire.astype(jnp.int32)
-    local = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+def _unpack_slots(
+    wire: jax.Array, table_offsets: np.ndarray, trash_row: int, bits: int,
+    n: int,
+) -> jax.Array:
+    """Device side: bitstream [T, BYTES] uint8 -> global int32 slots [T, n].
+    Each lookup reads a 4-byte little-endian window (bits <= 24 + shift <= 7
+    fits 31 bits) — pure vector ops on the VPU."""
+    bitpos = jnp.arange(n, dtype=jnp.int32) * bits
+    byte = bitpos >> 3
+    sh = (bitpos & 7).astype(jnp.uint32)
+    w = wire.astype(jnp.uint32)
+    window = (
+        w[:, byte]
+        | (w[:, byte + 1] << 8)
+        | (w[:, byte + 2] << 16)
+        | (w[:, byte + 3] << 24)
+    )
+    local = ((window >> sh) & jnp.uint32((1 << bits) - 1)).astype(jnp.int32)
     offs = jnp.asarray(table_offsets, jnp.int32)[:, None]
-    return jnp.where(local == WIRE_SENTINEL, trash_row, local + offs)
+    return jnp.where(local == (1 << bits) - 1, trash_row, local + offs)
 
 
 def _sgd(tree, grads, lr):
@@ -182,11 +223,14 @@ def make_cached_train_step(
     def body(params, cache, touched, x, slots, ls_mask, aux_slots, aux_rows,
              targets, lr, lr_embeds):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
+        b_loc = targets.shape[0]
         if cfg.wire_pack:
-            slots = _unpack_slots(slots, geo.table_offsets, geo.trash_row)
+            n_lk = b_loc * max(1, pooled_width)
+            slots = _unpack_slots(
+                slots, geo.table_offsets, geo.trash_row, cfg.wire_bits, n_lk
+            )
         targets = targets.astype(jnp.float32)
         t_count = slots.shape[0]
-        b_loc = targets.shape[0]
         d = cache.shape[-1]
 
         # stage packed miss rows into the aux regions (padding hits the
@@ -279,10 +323,13 @@ def make_cached_eval_step(
 
     def body(params, cache, x, slots, ls_mask, aux_slots, aux_rows):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
-        if cfg.wire_pack:
-            slots = _unpack_slots(slots, geo.table_offsets, geo.trash_row)
-        t_count = slots.shape[0]
         b_loc = x.shape[0]
+        if cfg.wire_pack:
+            n_lk = b_loc * max(1, pooled_width)
+            slots = _unpack_slots(
+                slots, geo.table_offsets, geo.trash_row, cfg.wire_bits, n_lk
+            )
+        t_count = slots.shape[0]
         d = cache.shape[-1]
         cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
         rows = jnp.take(cache, slots.reshape(-1), axis=0)

@@ -176,11 +176,12 @@ class CachedDlrmTrainer:
             (self.ndev * R,),
         )
 
-        # wire packing: 3-byte local slot ids (train/step.py pack_slots);
-        # requires every table's cache block to address below the sentinel
+        # wire packing: bit-packed local slot ids at the smallest width that
+        # addresses every table's cache block (train/step.py pack_slots)
         rows_per_table = self.geo.ways * self.geo.sets + self.geo.aux_capacity
+        self._wire_bits = step_lib.wire_width(int(rows_per_table.max()) - 1)
         self._wire_pack = bool(
-            cfg.pack_wire and int(rows_per_table.max()) < step_lib.WIRE_SENTINEL
+            cfg.pack_wire and self._wire_bits <= step_lib.WIRE_MAX_BITS
         )
         # Pallas gather needs TPU + lane-aligned dim + block-divisible
         # lookup count (ops/lookup.py layout contract)
@@ -210,6 +211,7 @@ class CachedDlrmTrainer:
             refill_broadcast=cfg.refill_broadcast,
             compute_dtype=cfg.compute_dtype,
             wire_pack=self._wire_pack,
+            wire_bits=self._wire_bits,
             use_pallas_lookup=pallas_ok,
             wire_rows_bf16=cfg.wire_rows_bf16,
         )
@@ -366,11 +368,16 @@ class CachedDlrmTrainer:
             assert self._window_store is not None, "probe before first refill"
             probe_masters = [self._window_store] * self.n_local
 
-        # wire probes emit the 3-byte device format directly (fused
+        # wire probes emit the bit-packed device format directly (fused
         # probe+pack in csrc/host_ops.cpp)
-        probe_fn = (
-            self.controller.probe_wire if self._wire_pack else self.controller.probe
-        )
+        if self._wire_pack:
+            import functools
+
+            probe_fn = functools.partial(
+                self.controller.probe_wire, bits=self._wire_bits
+            )
+        else:
+            probe_fn = self.controller.probe
         slots_shards, aux_slot_shards, aux_row_shards = [], [], []
         for k_loc, r in enumerate(self.local_ids):
             sl = slice(r * b_loc, (r + 1) * b_loc)
@@ -442,7 +449,7 @@ class CachedDlrmTrainer:
         # constraint on slow host links): 3-byte local slot ids (already in
         # wire format from probe_wire), bf16 dense features when the MLP
         # casts to bf16 anyway, uint8 0/1 targets
-        slots_glob = (t_count, n_glob) + (() if not self._wire_pack else (3,))
+        slots_glob = (t_count, n_glob)
         x_local = batch.x[lo:hi]
         if self.cfg.compute_dtype == "bfloat16":
             x_local = x_local.astype(jnp.bfloat16)

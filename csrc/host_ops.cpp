@@ -156,6 +156,78 @@ int64_t cdlrm_probe_table_wire(const int32_t* occ, int64_t sets, int64_t ways,
   return n_miss;
 }
 
+// Bitstream-format probe: like cdlrm_probe_table_wire but emits slot ids as
+// an LSB-first bitstream of `bits`-wide values (the variable-width wire
+// format, train/step.py pack_slots) — probe + bit-pack in one pass.
+int64_t cdlrm_probe_table_wirebits(const int32_t* occ, int64_t sets,
+                                   int64_t ways, const int64_t* idx, int64_t n,
+                                   const uint8_t* valid,
+                                   int64_t aux_base_local, int64_t bits,
+                                   int32_t* miss_pos, uint8_t* out) {
+  const int32_t sets32 = (int32_t)sets;
+  const uint32_t sentinel = (uint32_t)((1u << bits) - 1u);
+  const int64_t PF = 16;
+  int64_t n_miss = 0;
+  uint64_t acc = 0;
+  int accbits = 0;
+  uint8_t* p = out;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i + PF < n && (!valid || valid[i + PF])) {
+      const int32_t vp = (int32_t)idx[i + PF];
+      __builtin_prefetch(occ + (int64_t)(vp % sets32) * ways, 0, 1);
+    }
+    uint32_t slot;
+    if (valid && !valid[i]) {
+      slot = sentinel;  // masked padding -> trash row
+    } else {
+      const int32_t v = (int32_t)idx[i];
+      const int32_t s = v % sets32;
+      const int32_t* row = occ + (int64_t)s * ways;
+      int32_t w = -1;
+      for (int64_t k = 0; k < ways; ++k) {
+        if (row[k] == v) {
+          w = (int32_t)k;
+          break;
+        }
+      }
+      if (w >= 0) {
+        slot = (uint32_t)((int64_t)w * sets + s);
+      } else {
+        miss_pos[n_miss] = (int32_t)i;
+        slot = (uint32_t)(aux_base_local + n_miss);
+        ++n_miss;
+      }
+    }
+    acc |= (uint64_t)slot << accbits;
+    accbits += (int)bits;
+    while (accbits >= 8) {
+      *p++ = (uint8_t)(acc & 0xFF);
+      acc >>= 8;
+      accbits -= 8;
+    }
+  }
+  if (accbits) *p++ = (uint8_t)(acc & 0xFF);
+  return n_miss;
+}
+
+// Bitstream batch probe, OpenMP-parallel over tables. out strides by
+// bytes_per_table per table (caller computes wire_bytes(n, bits)).
+void cdlrm_probe_batch_wirebits(const int32_t* const* occ_ptrs,
+                                const int64_t* sets, int64_t ways,
+                                int64_t t_count, const int64_t* idx, int64_t n,
+                                const uint8_t* valid,
+                                const int64_t* aux_bases_local, int64_t bits,
+                                int64_t bytes_per_table, uint8_t* out,
+                                int32_t* miss_pos, int64_t* miss_counts) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t t = 0; t < t_count; ++t) {
+    miss_counts[t] = cdlrm_probe_table_wirebits(
+        occ_ptrs[t], sets[t], ways, idx + t * n, n,
+        valid ? valid + t * n : nullptr, aux_bases_local[t], bits,
+        miss_pos + t * n, out + t * bytes_per_table);
+  }
+}
+
 // Wire-format batch probe, OpenMP-parallel over tables.
 void cdlrm_probe_batch_wire(const int32_t* const* occ_ptrs, const int64_t* sets,
                             int64_t ways, int64_t t_count, const int64_t* idx,

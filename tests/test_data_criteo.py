@@ -223,3 +223,50 @@ def test_cached_training_on_criteo(prepared):
     tr.close()
     assert m.lookups > 0
     assert 0 <= acc <= 1
+
+
+def test_terabyte_mode_preprocess_and_stream(tmp_path):
+    """Terabyte naming convention: raw per-day files <raw>_0..<raw>_{D-1}
+    (reference ships day_0..day_23; data_utils.py:904-962 skips the Kaggle
+    split). Verifies artifacts + the streaming loader over them."""
+    import numpy as np
+
+    from cdlrm_tpu.data.criteo import CriteoStreamingDataset
+    from cdlrm_tpu.data.preprocess import get_criteo_ad_data
+
+    raw = str(tmp_path / "day")
+    rng = np.random.default_rng(9)
+    days, per_day = 3, 40
+    for d in range(days):
+        with open(f"{raw}_{d}", "w") as f:
+            for _ in range(per_day):
+                label = int(rng.random() < 0.3)
+                dense = "\t".join(
+                    str(int(rng.integers(0, 50))) if rng.random() > 0.1 else ""
+                    for _ in range(13)
+                )
+                cats = "\t".join(
+                    format(int(rng.integers(0, 1 << 20)), "x") for _ in range(26)
+                )
+                f.write(f"{label}\t{dense}\t{cats}\n")
+
+    out = get_criteo_ad_data(
+        raw, "tb_processed", days=days, criteo_kaggle=False, memory_map=True
+    )
+    import os
+
+    prefix = str(tmp_path / "day")
+    for d in range(days):
+        assert os.path.exists(f"{prefix}_{d}_reordered.npz")
+
+    train = CriteoStreamingDataset(prefix, range(days - 1), 16, split="train",
+                                   drop_last=True)
+    n = 0
+    for b in train.batches():
+        assert b.x.shape == (16, 13)
+        assert b.ls_i.shape == (26, 16)
+        n += 1
+    assert n == (2 * per_day) // 16
+    test = CriteoStreamingDataset(prefix, [days - 1], 16, split="test")
+    total = sum(b.x.shape[0] for b in test.batches())
+    assert total == -(-per_day // 2)

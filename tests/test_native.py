@@ -134,8 +134,10 @@ def test_noncontiguous_inputs(rng):
     assert np.array_equal(got.aux_slots, want.aux_slots)
 
 
-def test_probe_wire_matches_pack_of_probe(rng):
-    """probe_wire's fused output == pack_slots(probe output) exactly."""
+@pytest.mark.parametrize("bits", [12, 18, 24])
+def test_probe_wire_matches_pack_of_probe(rng, bits):
+    """probe_wire's fused bitstream == pack_slots(probe output) exactly,
+    at every supported width."""
     from cdlrm_tpu.train.step import pack_slots
 
     ln_emb = [500, 130, 2_000]
@@ -143,9 +145,11 @@ def test_probe_wire_matches_pack_of_probe(rng):
     master = _ZeroMaster(geo.dim)
     ls_i = np.stack([rng.integers(0, n, 256) for n in ln_emb]).astype(np.int64)
 
-    w = ctrl.probe_wire(ls_i, master)
+    w = ctrl.probe_wire(ls_i, master, bits=bits)
     p = ctrl.probe(ls_i, master)
-    assert np.array_equal(w.slots, pack_slots(p.slots, geo.table_offsets, geo.trash_row))
+    assert np.array_equal(
+        w.slots, pack_slots(p.slots, geo.table_offsets, geo.trash_row, bits)
+    )
     assert np.array_equal(w.aux_slots, p.aux_slots)
     assert np.array_equal(w.aux_rows, p.aux_rows)
     assert np.array_equal(w.hit_counts, p.hit_counts)
@@ -154,26 +158,32 @@ def test_probe_wire_matches_pack_of_probe(rng):
     b, pp = 64, 3
     flat = np.stack([rng.integers(0, n, (b, pp)) for n in ln_emb]).astype(np.int64).reshape(3, -1)
     valid = rng.random((3, b * pp)) < 0.5
-    w2 = ctrl.probe_wire(flat, master, valid=valid)
+    w2 = ctrl.probe_wire(flat, master, bits=bits, valid=valid)
     p2 = ctrl.probe(flat, master, valid=valid)
     assert np.array_equal(
-        w2.slots, pack_slots(p2.slots, geo.table_offsets, geo.trash_row)
+        w2.slots, pack_slots(p2.slots, geo.table_offsets, geo.trash_row, bits)
     )
 
 
-def test_wire_roundtrip_unpack(rng):
-    """pack_slots -> device _unpack_slots is the identity on global ids."""
+@pytest.mark.parametrize("bits", [10, 17, 24])
+def test_wire_roundtrip_unpack(rng, bits):
+    """pack_slots -> device _unpack_slots is the identity on global ids at
+    every supported bit width."""
     import jax.numpy as jnp
 
-    from cdlrm_tpu.train.step import _unpack_slots, pack_slots
+    from cdlrm_tpu.train.step import _unpack_slots, pack_slots, wire_width
 
     geo = CacheGeometry.build([300, 700], 4, 32, 2, aux_capacity=16)
     rows = geo.ways * geo.sets + geo.aux_capacity
+    assert wire_width(int(rows.max()) - 1) <= bits
+    n = 128
     slots = np.stack([
-        (geo.table_offsets[t] + rng.integers(0, rows[t], 128)).astype(np.int32)
+        (geo.table_offsets[t] + rng.integers(0, rows[t], n)).astype(np.int32)
         for t in range(2)
     ])
     slots[0, 0] = geo.trash_row
-    wire = pack_slots(slots, geo.table_offsets, geo.trash_row)
-    back = np.asarray(_unpack_slots(jnp.asarray(wire), geo.table_offsets, geo.trash_row))
+    wire = pack_slots(slots, geo.table_offsets, geo.trash_row, bits)
+    back = np.asarray(_unpack_slots(
+        jnp.asarray(wire), geo.table_offsets, geo.trash_row, bits, n
+    ))
     assert np.array_equal(back, slots)
