@@ -53,13 +53,13 @@ cfg = Config(
     master_init="virtual",
 )
 cfg.finalize()
+warm = max(4, steps // 5)
 ds = SyntheticDataset(
-    m_den=13, ln_emb=cfg.ln_emb, data_size=batch * (steps + 10),
+    m_den=13, ln_emb=cfg.ln_emb, data_size=batch * (warm + steps + 4),
     mini_batch_size=batch, num_indices_per_lookup=1,
     num_indices_per_lookup_fixed=True, round_targets=True, seed=7,
 )
 tr = CachedDlrmTrainer(cfg, ds)
-warm = max(4, steps // 5)
 tr.train(max_steps=warm, log_fn=lambda s: None)
 t0 = time.perf_counter()
 m = tr.train(max_steps=warm + steps, log_fn=lambda s: None)
@@ -78,20 +78,34 @@ def run_topology(nproc, ndev, steps, batch_per_dev, backend, port):
         with open(worker, "w") as f:
             f.write(_WORKER)
         out = os.path.join(td, "out.json")
+        # stderr goes to FILES: a crashed worker writing >64KB to an
+        # un-drained pipe would block forever while its peer waits in a
+        # collective
+        errs = [open(os.path.join(td, f"err{p}.log"), "wb") for p in range(nproc)]
         procs = [
             subprocess.Popen(
                 [sys.executable, worker, str(p), str(nproc), str(ndev),
                  str(port), out, str(steps), str(batch_per_dev), backend],
                 env={**os.environ,
                      "CDLRM_REPO": os.path.dirname(os.path.abspath(__file__))},
-                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+                stdout=subprocess.DEVNULL, stderr=errs[p],
             )
             for p in range(nproc)
         ]
+        try:
+            for p, proc in enumerate(procs):
+                proc.communicate(timeout=1800)
+        finally:
+            for proc in procs:
+                if proc.poll() is None:
+                    proc.kill()
+            for f in errs:
+                f.close()
         for p, proc in enumerate(procs):
-            _, err = proc.communicate(timeout=1800)
             if proc.returncode != 0:
-                raise RuntimeError(f"worker {p} failed:\n{err.decode()[-2000:]}")
+                with open(os.path.join(td, f"err{p}.log")) as f:
+                    tail = f.read()[-2000:]
+                raise RuntimeError(f"worker {p} failed:\n{tail}")
         with open(out) as f:
             return json.load(f)
 

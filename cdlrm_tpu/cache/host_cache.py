@@ -153,9 +153,15 @@ class HostCacheController:
         """Probe emitting slots as the ``bits``-wide table-local bitstream
         ([T, wire_bytes(N, bits)] uint8; train/step.py pack_slots layout) —
         fused probe+pack in the native layer, falling back to probe + pack."""
-        from cdlrm_tpu.train.step import pack_slots, wire_bytes
+        from cdlrm_tpu.train.step import pack_slots, wire_bytes, wire_width
 
         geo = self.geo
+        max_local = int((geo.ways * geo.sets + geo.aux_capacity).max()) - 1
+        if bits < wire_width(max_local):
+            raise ValueError(
+                f"wire bits={bits} cannot address local slots up to "
+                f"{max_local} (need >= {wire_width(max_local)})"
+            )
         if not native.available():
             pr = self.probe(ls_i, master, valid=valid)
             return ProbeResult(

@@ -101,24 +101,34 @@ class EvictionManager(threading.Thread):
             if isinstance(item, threading.Event):
                 item.set()  # flush barrier: everything before it is durable
                 continue
-            tables, idxs, rows = item
-            if callable(rows):
-                # deferred device fetch: the trainer hands a thunk so the
-                # evicted-row D2H happens on THIS thread, off the refill
-                # critical path (the transfer can be 100s of MB per window)
-                rows = rows()
-            for t in np.unique(tables):
-                sel = tables == t
-                self.rows_written += self.master.writeback(
-                    int(t), idxs[sel], rows[sel], self.average
-                )
+            # deferred device-fetch thunks resolve here, off the refill
+            # critical path (the transfer can be 100s of MB per window)
+            self._apply(item)
+
+    def _apply(self, item) -> None:
+        tables, idxs, rows = item
+        if callable(rows):
+            rows = rows()
+        for t in np.unique(tables):
+            sel = tables == t
+            self.rows_written += self.master.writeback(
+                int(t), idxs[sel], rows[sel], self.average
+            )
 
     def flush(self, timeout: Optional[float] = None) -> bool:
         """Block until every writeback enqueued so far has been applied
         (needed before checkpointing the master tables — in-flight evictions
-        would otherwise be lost)."""
+        would otherwise be lost). If the manager thread already exited (idle
+        timeout), the remaining queue is drained on the CALLING thread."""
         if not self.is_alive():
-            return True
+            try:
+                while True:
+                    item = self.fifo.get_nowait()
+                    if item is _SENTINEL or isinstance(item, threading.Event):
+                        continue
+                    self._apply(item)
+            except queue.Empty:
+                return True
         barrier = threading.Event()
         self.fifo.put(barrier)
         return barrier.wait(timeout)

@@ -92,6 +92,7 @@ class FullTableDlrmTrainer:
         cfg = self.cfg
         b = cfg.mini_batch_size
         pending = []  # device scalars; materialized only at print boundaries
+        loss_carry = corr_carry = n_carry = 0.0
         t0 = time.perf_counter()
 
         def flush():
@@ -116,8 +117,16 @@ class FullTableDlrmTrainer:
                 )
                 self.global_step += 1
                 pending.append((loss_sum, correct))
+                if len(pending) >= 4096:
+                    # bound live device scalars (and re-establish host-device
+                    # backpressure) on huge print windows
+                    la, ca, na = flush()
+                    loss_carry += la; corr_carry += ca; n_carry += na
                 if j > 0 and j % cfg.print_freq == 0:
                     loss_acc, corr_acc, n_acc = flush()
+                    loss_acc += loss_carry; corr_acc += corr_carry
+                    n_acc += int(n_carry)
+                    loss_carry = corr_carry = n_carry = 0.0
                     dt = time.perf_counter() - t0
                     log_fn(
                         f"Epoch {epoch}: {j}/{len(self.dataset)} "

@@ -22,6 +22,7 @@ print boundaries.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import pickle
@@ -277,6 +278,12 @@ class CachedDlrmTrainer:
             else None
         )
 
+        # wire probes emit the bit-packed device format directly (fused
+        # probe+pack in csrc/host_ops.cpp)
+        self._probe_fn = (
+            functools.partial(self.controller.probe_wire, bits=self._wire_bits)
+            if self._wire_pack else self.controller.probe
+        )
         self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
         self._pipe = None
@@ -328,10 +335,18 @@ class CachedDlrmTrainer:
         if n_evict:
             # replica-0-broadcast values (train/step.py make_refill_step):
             # identical on every host; sharded masters keep owned rows only.
-            # Materialization is DEFERRED to the eviction thread — forcing
-            # the D2H here would block the train loop on the whole transfer
-            def _fetch(evicted=evicted, n=n_evict):
-                return local_shard(evicted)[:n].astype(np.float32)
+            # Materialization is DEFERRED to the eviction thread (forcing the
+            # D2H here would block the train loop on the whole transfer), but
+            # the transfer STARTS now so queued windows drain at link speed
+            # instead of pinning device buffers until the thread catches up.
+            shard = evicted.addressable_shards[0].data
+            try:
+                shard.copy_to_host_async()
+            except AttributeError:
+                pass
+
+            def _fetch(shard=shard, n=n_evict):
+                return np.asarray(shard)[:n].astype(np.float32)
 
             self.eviction_fifo.put((plan.evict_tables, plan.evict_idxs, _fetch))
         self.metrics.caching_overhead_s += time.perf_counter() - t0
@@ -368,16 +383,7 @@ class CachedDlrmTrainer:
             assert self._window_store is not None, "probe before first refill"
             probe_masters = [self._window_store] * self.n_local
 
-        # wire probes emit the bit-packed device format directly (fused
-        # probe+pack in csrc/host_ops.cpp)
-        if self._wire_pack:
-            import functools
-
-            probe_fn = functools.partial(
-                self.controller.probe_wire, bits=self._wire_bits
-            )
-        else:
-            probe_fn = self.controller.probe
+        probe_fn = self._probe_fn
         slots_shards, aux_slot_shards, aux_row_shards = [], [], []
         for k_loc, r in enumerate(self.local_ids):
             sl = slice(r * b_loc, (r + 1) * b_loc)
@@ -696,7 +702,11 @@ class CachedDlrmTrainer:
         --save-model but never implements it, main_no_ddp.py:111-112)."""
         os.makedirs(path, exist_ok=True)
         # in-flight eviction writebacks must land in the masters first
-        self.eviction_manager.flush(timeout=self.cfg.eviction_fifo_timeout)
+        if not self.eviction_manager.flush(timeout=self.cfg.eviction_fifo_timeout):
+            raise RuntimeError(
+                "eviction writeback flush timed out; checkpoint would miss "
+                "in-flight evicted rows (raise --eviction-fifo-timeout)"
+            )
         # multi-host: every host saves its owned master shard; host 0 saves
         # the (replica-identical) dense params, cache, occupancy, and meta
         if self.multihost:

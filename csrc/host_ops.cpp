@@ -198,7 +198,7 @@ int64_t cdlrm_probe_table_wirebits(const int32_t* occ, int64_t sets,
         ++n_miss;
       }
     }
-    acc |= (uint64_t)slot << accbits;
+    acc |= (uint64_t)(slot & sentinel) << accbits;
     accbits += (int)bits;
     while (accbits >= 8) {
       *p++ = (uint8_t)(acc & 0xFF);
