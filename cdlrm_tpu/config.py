@@ -106,6 +106,9 @@ class Config:
     world_size: int = 1  # number of DP shards (devices along the 'dp' mesh axis)
     table_agg_op: str = "mean"  # sum | mean | max
     table_agg_freq: int = 1
+    table_agg_bucket: int = -1  # static union-slot bucket for the sparse
+    #   touched-row exchange (train/step.py make_aggregate_step); -1 = auto
+    #   from the exact bound table_agg_freq * batch * tables * pooled_width
     batch_fifo_size: int = 8
     eviction_fifo_size: int = 8
     eviction_fifo_timeout: int = 300

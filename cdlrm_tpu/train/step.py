@@ -60,6 +60,11 @@ class StepConfig(NamedTuple):
     # low-bandwidth host links; lossless.
     wire_pack: bool = False
     wire_bits: int = 24  # == WIRE_MAX_BITS (defined below the class)
+    # False = single-replica (or agg-free) runs: aggregation is a semantic
+    # no-op over one replica, so the train step skips the per-step touched
+    # scatter entirely (scatter updates are the measured device-step floor,
+    # PERF.md finding 4)
+    track_touched: bool = True
     # Pallas explicit-DMA row gather instead of XLA take for the cache
     # lookup (ops/lookup.py): ~15% faster at Terabyte-class shape
     # (bench_kernels.py: 41us vs 48us for 106k x 128-dim rows). Requires
@@ -273,8 +278,9 @@ def make_cached_train_step(
         # sparse SGD: scatter-add coalesces duplicate slots like torch's
         # sparse optimizer (DESIGN.md D3)
         cache = cache.at[flat_slots].add(-lr_embeds * drows)
-        touched = touched.at[flat_slots].set(True)
-        touched = touched.at[geo.trash_row].set(False)
+        if cfg.track_touched:
+            touched = touched.at[flat_slots].set(True)
+            touched = touched.at[geo.trash_row].set(False)
 
         correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
         loss_sum, correct = jax.lax.psum(
@@ -396,32 +402,66 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
     return jax.jit(shardmapped, donate_argnums=(0,))
 
 
-def make_aggregate_step(mesh: Mesh, cfg: StepConfig) -> Callable:
+def make_aggregate_step(
+    mesh: Mesh, cfg: StepConfig, union_bucket: Optional[int] = None,
+    trash_row: int = 0,
+) -> Callable:
     """Periodic touched-row aggregation (reference broadcast_and_aggregate,
     main_no_ddp.py:250-292): union of rows touched by ANY replica since the
     last aggregation; every replica contributes its current value; combine
     with sum | mean (/world) | max; untouched rows keep their local values.
 
-    Round-1 implementation is a dense masked allreduce over the cache array
-    (traffic O(R*D) per call, amortized by table_agg_freq); a padded
-    union-gather variant is the planned optimization."""
+    ``union_bucket`` selects the sparse exchange (the reference ships only
+    touched slices, main_no_ddp.py:250-292; round 1's dense masked allreduce
+    moved O(R*D) bytes per call): the touched masks are pmax'd over dp (O(R)
+    bytes), compacted to a static-size slot list (``jnp.nonzero(size=K)``,
+    padding -> the trash row), and only those K rows ride the collective.
+    The caller guarantees the union NEVER exceeds the bucket: each train step
+    touches at most (global lookups per step) distinct slots, so
+    ``table_agg_freq * B_glob * T * max(1, P)`` bounds it exactly (trainer
+    picks the bucket; falls back to ``union_bucket=None`` = dense when the
+    bound approaches R and the dense path is cheaper).
+
+    Union-mean subtlety (SURVEY.md §7): rows touched by NO replica are not in
+    the union and keep local values; union rows are contributed by EVERY
+    replica (touched or not) and divided by world size — exactly the
+    reference's all_reduce-of-selected-slices semantics."""
     op = cfg.table_agg_op
 
-    def body(cache, touched):
-        union = jax.lax.psum(touched.astype(jnp.float32), DP_AXIS) > 0
-        mask = union[:, None]
+    def combine(rows):
         if op == "sum":
-            agg = jax.lax.psum(jnp.where(mask, cache, 0.0), DP_AXIS)
-        elif op == "mean":
-            ndev = jax.lax.axis_size(DP_AXIS)
-            agg = jax.lax.psum(jnp.where(mask, cache, 0.0), DP_AXIS) / ndev
-        elif op == "max":
-            agg = jax.lax.pmax(jnp.where(mask, cache, -jnp.inf), DP_AXIS)
-        else:
-            raise ValueError(f"unsupported table_agg_op: {op}")
-        cache = jnp.where(mask, agg, cache)
-        touched = jnp.zeros_like(touched)
-        return cache, touched
+            return jax.lax.psum(rows, DP_AXIS)
+        if op == "mean":
+            return jax.lax.psum(rows, DP_AXIS) / jax.lax.axis_size(DP_AXIS)
+        if op == "max":
+            return jax.lax.pmax(rows, DP_AXIS)
+        raise ValueError(f"unsupported table_agg_op: {op}")
+
+    if union_bucket is not None:
+        k = int(union_bucket)
+
+        def body(cache, touched):
+            # bf16 is exact for {0,1} and halves the mask collective
+            union = jax.lax.pmax(touched.astype(jnp.bfloat16), DP_AXIS) > 0
+            # static-size compaction; padding targets the trash row, whose
+            # (meaningless) value is aggregated alongside — harmless: every
+            # step overwrites/ignores it (geometry.py trash-row contract)
+            (idx,) = jnp.nonzero(union, size=k, fill_value=trash_row)
+            rows = jnp.take(cache, idx, axis=0)
+            cache = cache.at[idx].set(combine(rows))
+            return cache, jnp.zeros_like(touched)
+
+    else:
+
+        def body(cache, touched):
+            union = jax.lax.pmax(touched.astype(jnp.bfloat16), DP_AXIS) > 0
+            mask = union[:, None]
+            if op == "max":
+                agg = jax.lax.pmax(jnp.where(mask, cache, -jnp.inf), DP_AXIS)
+            else:
+                agg = combine(jnp.where(mask, cache, 0.0))
+            cache = jnp.where(mask, agg, cache)
+            return cache, jnp.zeros_like(touched)
 
     lead = _spec_leading()
     shardmapped = jax.shard_map(

@@ -201,6 +201,9 @@ class CachedDlrmTrainer:
             and _blk_ok(n_train)
             and _blk_ok(n_eval)
         )
+        # single replica: aggregation is the identity (psum over one device),
+        # so the agg step AND the per-step touched scatters are skipped
+        self._needs_agg = self.ndev > 1
         scfg = step_lib.StepConfig(
             interaction_op=cfg.arch_interaction_op,
             interaction_itself=cfg.arch_interaction_itself,
@@ -215,6 +218,7 @@ class CachedDlrmTrainer:
             wire_bits=self._wire_bits,
             use_pallas_lookup=pallas_ok,
             wire_rows_bf16=cfg.wire_rows_bf16,
+            track_touched=self._needs_agg,
         )
         self._row_wire_dtype = (
             jnp.bfloat16 if cfg.wire_rows_bf16 else np.float32
@@ -227,7 +231,25 @@ class CachedDlrmTrainer:
             self.mesh, self.geo, scfg, self.pooled_width
         )
         self.refill_step = step_lib.make_refill_step(self.mesh, scfg)
-        self.agg_step = step_lib.make_aggregate_step(self.mesh, scfg)
+        # sparse union exchange: per-step distinct touched slots <= global
+        # lookups per step, so the union since the last aggregation is bounded
+        # EXACTLY by freq * B_glob * T * P — no overflow branch needed. Near
+        # R the dense masked allreduce moves fewer bytes; cross over at R/2.
+        union_bound = (
+            cfg.table_agg_freq
+            * cfg.mini_batch_size
+            * len(cfg.ln_emb)
+            * max(1, pooled_width)
+        )
+        bucket = (
+            cfg.table_agg_bucket if cfg.table_agg_bucket > 0
+            else pow2_bucket(min(union_bound, R))
+        )
+        self.agg_step = step_lib.make_aggregate_step(
+            self.mesh, scfg,
+            union_bucket=bucket if bucket <= R // 2 else None,
+            trash_row=self.geo.trash_row,
+        )
 
         self._shardings = {
             "lead": shard_lead,
@@ -587,7 +609,7 @@ class CachedDlrmTrainer:
                 self.global_step += 1
                 j = self.global_step
 
-                if j % cfg.table_agg_freq == 0:
+                if self._needs_agg and j % cfg.table_agg_freq == 0:
                     self.cache, self.touched = self.agg_step(self.cache, self.touched)
 
                 if j % cfg.print_freq == 0:
