@@ -115,23 +115,39 @@ class EvictionManager(threading.Thread):
                 int(t), idxs[sel], rows[sel], self.average
             )
 
+    def _drain_on_caller(self) -> None:
+        try:
+            while True:
+                item = self.fifo.get_nowait()
+                if item is _SENTINEL:
+                    continue
+                if isinstance(item, threading.Event):
+                    item.set()
+                    continue
+                self._apply(item)
+        except queue.Empty:
+            pass
+
     def flush(self, timeout: Optional[float] = None) -> bool:
         """Block until every writeback enqueued so far has been applied
         (needed before checkpointing the master tables — in-flight evictions
         would otherwise be lost). If the manager thread already exited (idle
-        timeout), the remaining queue is drained on the CALLING thread."""
+        timeout), the remaining queue is drained on the CALLING thread. The
+        thread may also exit BETWEEN the liveness check and barrier
+        consumption (idle timeout / sentinel race) — so a failed barrier wait
+        re-checks liveness and falls back to caller-side draining instead of
+        reporting a spurious failure."""
         if not self.is_alive():
-            try:
-                while True:
-                    item = self.fifo.get_nowait()
-                    if item is _SENTINEL or isinstance(item, threading.Event):
-                        continue
-                    self._apply(item)
-            except queue.Empty:
-                return True
+            self._drain_on_caller()
+            return True
         barrier = threading.Event()
         self.fifo.put(barrier)
-        return barrier.wait(timeout)
+        if barrier.wait(timeout):
+            return True
+        if not self.is_alive():
+            self._drain_on_caller()
+            return True
+        return False
 
 
 class LookaheadPrefetcher(threading.Thread):

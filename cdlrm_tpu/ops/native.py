@@ -33,12 +33,33 @@ _PU8 = ctypes.POINTER(ctypes.c_uint8)
 _PPI32 = ctypes.POINTER(_PI32)
 
 
+def _host_isa_tag() -> str:
+    """Digest of the machine's ISA surface: the .so is built -march=native,
+    so a build dir shared across heterogeneous hosts (multi-host mode on a
+    network filesystem) must not load another host's artifact — a missing
+    ISA extension would SIGILL. Keyed on arch + CPU flags."""
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        (platform.machine() + "|" + flags).encode()
+    ).hexdigest()[:8]
+
+
 def _build() -> Optional[str]:
     if not os.path.exists(_SRC):
         return None
     with open(_SRC, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    so = os.path.join(_BUILD_DIR, f"libcdlrm_host_{tag}.so")
+    so = os.path.join(_BUILD_DIR, f"libcdlrm_host_{tag}_{_host_isa_tag()}.so")
     if os.path.exists(so):
         return so
     os.makedirs(_BUILD_DIR, exist_ok=True)

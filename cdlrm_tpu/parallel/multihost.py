@@ -191,9 +191,18 @@ class ShardedMasterTables:
 
     def load(self, path: str) -> None:
         with np.load(path) as data:
-            assert int(data["num_hosts"]) == self.shard.num_hosts, (
-                "checkpoint host count mismatch; re-shard offline"
-            )
+            # hard errors, not asserts (python -O strips asserts; loading
+            # another host's shard would silently corrupt owned rows)
+            if int(data["num_hosts"]) != self.shard.num_hosts:
+                raise ValueError(
+                    f"checkpoint saved with {int(data['num_hosts'])} hosts, "
+                    f"loading with {self.shard.num_hosts}; re-shard offline"
+                )
+            if int(data["host_id"]) != self.shard.host_id:
+                raise ValueError(
+                    f"checkpoint shard belongs to host {int(data['host_id'])}, "
+                    f"this is host {self.shard.host_id}"
+                )
             for t in range(len(self.tables)):
                 self.tables[t][...] = data[f"table_{t}"]
 
@@ -213,6 +222,16 @@ class WindowRowStore:
 
     def gather(self, t: int, ids: np.ndarray) -> np.ndarray:
         u = self.uniques[t]
+        if u.size == 0:
+            # keep the alignment diagnostic (an empty-array fancy index would
+            # raise a bare IndexError instead)
+            if ids.size:
+                raise KeyError(
+                    f"table {t}: ids {ids[:5]} not in current lookahead window "
+                    "(empty window — train batches must align with prefetch "
+                    "windows)"
+                )
+            return self.rows[t][:0]
         pos = np.searchsorted(u, ids)
         bad = (pos >= u.size) | (u[np.minimum(pos, u.size - 1)] != ids)
         if bad.any():

@@ -67,6 +67,10 @@ class TrainMetrics:
     refills: int = 0
     hits: int = 0
     lookups: int = 0
+    # eval probes are counted separately: a test-heavy run must not skew the
+    # train-window hit rate (the flagship first-class metric)
+    eval_hits: int = 0
+    eval_lookups: int = 0
     # per-table hit accounting: first-class metric the reference computes but
     # comments out (model_no_ddp.py:206-207)
     table_hits: Optional[np.ndarray] = None
@@ -75,6 +79,10 @@ class TrainMetrics:
     @property
     def hit_rate(self) -> float:
         return self.hits / max(1, self.lookups)
+
+    @property
+    def eval_hit_rate(self) -> float:
+        return self.eval_hits / max(1, self.eval_lookups)
 
     @property
     def per_table_hit_rates(self) -> Optional[np.ndarray]:
@@ -420,12 +428,16 @@ class CachedDlrmTrainer:
             slots_shards.append(pr.slots)
             aux_slot_shards.append(pr.aux_slots)
             aux_row_shards.append(pr.aux_rows)
-            self.metrics.hits += int(pr.hit_counts.sum())
-            self.metrics.lookups += pr.num_lookups
-            if self.metrics.table_hits is None:
-                self.metrics.table_hits = np.zeros(t_count, dtype=np.int64)
-            self.metrics.table_hits += pr.hit_counts
-            self.metrics.table_lookups += pr.num_lookups // t_count
+            if for_eval:
+                self.metrics.eval_hits += int(pr.hit_counts.sum())
+                self.metrics.eval_lookups += pr.num_lookups
+            else:
+                self.metrics.hits += int(pr.hit_counts.sum())
+                self.metrics.lookups += pr.num_lookups
+                if self.metrics.table_hits is None:
+                    self.metrics.table_hits = np.zeros(t_count, dtype=np.int64)
+                self.metrics.table_hits += pr.hit_counts
+                self.metrics.table_lookups += pr.num_lookups // t_count
 
         if self.multihost and for_eval:
             # ONE exchange per eval batch on every host (collective alignment
@@ -626,7 +638,8 @@ class CachedDlrmTrainer:
                         "caching_overhead_ms": overhead_ms,
                         "loss": m.loss_sum / max(1, m.examples),
                         "accuracy": m.correct / max(1, m.examples),
-                        "hit_rate": m.hit_rate,
+                        "hit_rate": m.hit_rate,  # train probes only
+                        "eval_hit_rate": m.eval_hit_rate,
                         "steps": m.steps,
                     }
                     log_fn(

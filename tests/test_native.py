@@ -187,3 +187,29 @@ def test_wire_roundtrip_unpack(rng, bits):
         jnp.asarray(wire), geo.table_offsets, geo.trash_row, bits, n
     ))
     assert np.array_equal(back, slots)
+
+
+@pytest.mark.parametrize("bits", list(range(9, 25)))
+def test_wire_roundtrip_every_width(bits):
+    """Property test at EVERY supported width, bits=9 boundary included, with
+    a large n on the numpy pack path: pack_slots writes via out[:, byte] |=
+    fancy indexing, which silently drops bits if one pack pass ever hits the
+    same byte twice — the bits >= 9 floor is what guarantees it never does
+    (train/step.py wire_width). Adversarial content: all-sentinel, the
+    maximum local slot, and dense coverage of the local id space."""
+    import jax.numpy as jnp
+
+    from cdlrm_tpu.train.step import _unpack_slots, pack_slots
+
+    rng = np.random.default_rng(bits)
+    max_local = (1 << bits) - 2  # sentinel is all-ones at this width
+    t_count, n = 3, 4096
+    offsets = np.array([0, max_local + 1, 2 * (max_local + 1)], np.int64)
+    trash = int(3 * (max_local + 1))
+    local = rng.integers(0, max_local + 1, (t_count, n)).astype(np.int64)
+    local[0, :7] = max_local  # boundary value
+    slots = (local + offsets[:, None]).astype(np.int32)
+    slots[1, 100:200] = trash  # sentinel runs
+    wire = pack_slots(slots, offsets, trash, bits)
+    back = np.asarray(_unpack_slots(jnp.asarray(wire), offsets, trash, bits, n))
+    assert np.array_equal(back, slots)
