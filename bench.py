@@ -87,6 +87,11 @@ def main():
         # ~15 MB/s, so materializing 3+ GB of tables would dominate the run;
         # gather/writeback cost is equivalent (see cache/master.py)
         master_init="virtual",
+        # duplicate-slot coalescing halves the device sparse-update cost
+        # (PERF.md finding 8) but costs ~+80KB/step H2D — a win on real
+        # PCIe hosts, a loss on this ~30MB/s tunnel, so default off here;
+        # BENCH_DEDUP=1 for the A/B
+        dedup_lookups=os.environ.get("BENCH_DEDUP", "0") == "1",
     )
     cfg.finalize(ln_emb=ln_emb)
 

@@ -49,6 +49,28 @@ class ProbeResult:
 
 
 @dataclass
+class DedupProbeResult:
+    """Duplicate-coalesced probe output (the dedup wire format,
+    train/step.py make_cached_train_step with cfg.dedup).
+
+    inv_wire: [T, inv_bytes] uint8 — bitstream of inv_bits-wide table-LOCAL
+        first-seen ranks per lookup (masked positions -> all-ones sentinel).
+    uniq: [U] int32 global cache rows, per-table first-seen lists
+        concatenated in table order (U = uniq_counts.sum()).
+    uniq_counts: [T] int64 per-table unique counts.
+    aux_slots / aux_rows / hit_counts / num_lookups: as ProbeResult.
+    """
+
+    inv_wire: np.ndarray
+    uniq: np.ndarray
+    uniq_counts: np.ndarray
+    aux_slots: np.ndarray
+    aux_rows: np.ndarray
+    hit_counts: np.ndarray
+    num_lookups: int
+
+
+@dataclass
 class InsertPlan:
     """Flattened refill plan produced by the insert/evict policy.
 
@@ -81,6 +103,15 @@ class HostCacheController:
         self._aux_bases = np.array(
             [geometry.aux_base(t) for t in range(geometry.num_tables)], np.int64
         )
+        self._rank_scratch: Optional[List[np.ndarray]] = None  # dedup probe
+
+    def _dedup_scratch(self) -> List[np.ndarray]:
+        if self._rank_scratch is None:
+            rows = self.geo.ways * self.geo.sets + self.geo.aux_capacity
+            self._rank_scratch = [
+                np.full(int(r), -1, dtype=np.int32) for r in rows
+            ]
+        return self._rank_scratch
 
     # ------------------------------------------------------------------ probe
     def probe(
@@ -176,6 +207,84 @@ class HostCacheController:
         )
         return self._finish_native_probe(
             wire, miss_pos, miss_counts, ls_i, master, valid
+        )
+
+    def probe_dedup(
+        self, ls_i: np.ndarray, master, inv_bits: int,
+        valid: Optional[np.ndarray] = None,
+    ) -> DedupProbeResult:
+        """Probe with duplicate-slot coalescing: each lookup resolves to a
+        table-local first-seen RANK (bit-packed at ``inv_bits``) into a
+        per-table unique-slot list. The device then segment-sums duplicate
+        gradients into a small [U, D] operand and scatters only U rows —
+        attacking the per-update scatter floor (PERF.md finding 4). Misses
+        keep their distinct aux slots (reference model_no_ddp.py:176-185),
+        so dedup never merges miss rows.
+
+        Native fast path fuses probe+dedup+pack in one pass; the numpy
+        fallback derives identical (first-seen) ranks from ``probe``."""
+        from cdlrm_tpu.train.step import pack_slots, wire_bytes, wire_width
+
+        geo = self.geo
+        t_count, n = ls_i.shape
+        if (1 << inv_bits) - 1 < n:
+            raise ValueError(
+                f"inv_bits={inv_bits} cannot rank {n} lookups per table "
+                f"(need >= {wire_width(n - 1)})"
+            )
+        inv_bytes = wire_bytes(n, inv_bits)
+        if native.available():
+            ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
+            aux_local = (geo.ways * geo.sets).astype(np.int64)
+            inv_wire, uniq_tn, uniq_counts, miss_pos, miss_counts = (
+                native.probe_batch_dedup(
+                    self.occupancy, ls_i, aux_local, geo.table_offsets,
+                    geo.ways, inv_bits, inv_bytes, self._dedup_scratch(),
+                    valid=valid,
+                )
+            )
+            base = self._finish_native_probe(
+                None, miss_pos, miss_counts, ls_i, master, valid
+            )
+            uniq = np.concatenate(
+                [uniq_tn[t, : uniq_counts[t]] for t in range(t_count)]
+            ) if t_count else np.zeros(0, np.int32)
+            return DedupProbeResult(
+                inv_wire, uniq, uniq_counts, base.aux_slots, base.aux_rows,
+                base.hit_counts, base.num_lookups,
+            )
+
+        # numpy fallback: derive first-seen ranks from the plain probe
+        # (bit-identical to the native kernel; tests/test_native.py)
+        pr = self.probe(ls_i, master, valid=valid)
+        sent_mark = np.int32(-1)
+        ranks = np.full((t_count, n), sent_mark, dtype=np.int32)
+        uniq_parts: List[np.ndarray] = []
+        uniq_counts = np.zeros(t_count, dtype=np.int64)
+        for t in range(t_count):
+            s = pr.slots[t]
+            pos_valid = (
+                np.arange(n) if valid is None else np.flatnonzero(valid[t])
+            )
+            sv = s[pos_valid]
+            u_sorted, first_pos, inv_sorted = np.unique(
+                sv, return_index=True, return_inverse=True
+            )
+            order = np.argsort(first_pos, kind="stable")
+            rank_of_sorted = np.empty(u_sorted.size, np.int32)
+            rank_of_sorted[order] = np.arange(u_sorted.size, dtype=np.int32)
+            ranks[t, pos_valid] = rank_of_sorted[inv_sorted]
+            uniq_parts.append(u_sorted[order].astype(np.int32))
+            uniq_counts[t] = u_sorted.size
+        inv_wire = pack_slots(
+            ranks, np.zeros(t_count, np.int64), int(sent_mark), inv_bits
+        )
+        uniq = (
+            np.concatenate(uniq_parts) if uniq_parts else np.zeros(0, np.int32)
+        )
+        return DedupProbeResult(
+            inv_wire, uniq, uniq_counts, pr.aux_slots, pr.aux_rows,
+            pr.hit_counts, pr.num_lookups,
         )
 
     def _finish_native_probe(

@@ -162,7 +162,7 @@ class LookaheadPrefetcher(threading.Thread):
 
     def __init__(
         self,
-        cache_stream_fn: Callable[[], Iterator],
+        cache_stream_fn: Callable[..., Iterator],
         master: MasterTables,
         lookahead: int,
         batch_fifo_size: int = 8,
@@ -170,14 +170,23 @@ class LookaheadPrefetcher(threading.Thread):
         nepochs: int = 1,
         pin_core: Optional[int] = None,
         backend: str = "thread",
+        start_epoch: int = 0,
+        skip_batches: int = 0,
     ):
         """backend: 'thread' (default — numpy gathers release the GIL) or
         'process' (reference-style mp pool; requires mmap-backed MasterTables
-        whose per-table .npy files the workers re-open read-only)."""
+        whose per-table .npy files the workers re-open read-only).
+
+        (start_epoch, skip_batches): resume cursor — the first produced
+        window starts at batch ``skip_batches`` of ``start_epoch`` (must be a
+        window boundary: trainer passes floor(j/lookahead)*lookahead).
+        ``cache_stream_fn`` must accept a ``skip`` kwarg."""
         super().__init__(daemon=True, name="lookahead-prefetcher")
         self.cache_stream_fn = cache_stream_fn
         self.master = master
         self.lookahead = max(1, lookahead)
+        self.start_epoch = start_epoch
+        self.skip_batches = skip_batches
         self.fifo: "queue.Queue" = queue.Queue(maxsize=batch_fifo_size)
         self.cache_workers = max(1, cache_workers)
         self.nepochs = nepochs
@@ -263,9 +272,10 @@ class LookaheadPrefetcher(threading.Thread):
             _pin_current_thread(self.pin_core)
         try:
             with self._make_pool() as pool:
-                for _ in range(self.nepochs):
+                for epoch in range(self.start_epoch, self.nepochs):
+                    skip = self.skip_batches if epoch == self.start_epoch else 0
                     window: List = []
-                    for ls_i in self.cache_stream_fn():
+                    for ls_i in self.cache_stream_fn(skip=skip):
                         if self._stop_event.is_set():
                             return
                         window.append(ls_i)

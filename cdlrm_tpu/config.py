@@ -134,6 +134,10 @@ class Config:
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
     #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
     #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)
+    dedup_lookups: bool = False  # coalesce duplicate slots on the host and
+    #   ship (rank wire + unique list) instead of per-lookup slots: the
+    #   device sparse update shrinks from N to U scatter rows (measured
+    #   ~2x faster update at Zipf U~0.55N, PERF.md). Costs ~+80KB/step H2D.
 
     # -- multi-host (parallel/multihost.py; reference is single-node-only,
     # MASTER_ADDR='localhost' at main_no_ddp.py:341) --

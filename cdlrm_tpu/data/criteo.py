@@ -74,6 +74,7 @@ class CriteoStreamingDataset:
             day_count_file = npzfile_prefix + "_day_count.npz"
         with np.load(day_count_file) as data:
             per_file = data["total_per_file"][np.asarray(self.days)]
+        self._day_lengths = {d: int(n) for d, n in zip(self.days, per_file)}
         self.length = int(np.sum(per_file))
         if split in ("test", "val"):
             self.length = int(np.ceil(self.length / 2.0))
@@ -94,20 +95,38 @@ class CriteoStreamingDataset:
             return self.length // self.batch_size
         return math.ceil(self.length / self.batch_size)
 
-    def batches(self) -> Iterator[Batch]:
+    def _day_window(self, day: int):
+        """(end, start) row window of this split within ``day``, from the
+        counts file alone (no npz load): train = whole day; test = first
+        half; val = second half (reference data_loader_terabyte.py:106-113)."""
+        n = self._day_lengths[day]
+        if self.split == "test":
+            return int(np.ceil(n / 2.0)), 0
+        if self.split == "val":
+            return n, n - int(np.ceil(n / 2.0))
+        return n, 0
+
+    def batches(self, skip: int = 0) -> Iterator[Batch]:
+        """``skip`` seeks past the first ``skip`` batches without reading
+        their rows (checkpoint data-cursor contract, trainer.py): whole days
+        are skipped by their counts, then an in-day offset positions the
+        stream exactly where batch ``skip`` begins. Only exact (full-batch)
+        multiples are skippable mid-stream, which is all the trainer needs —
+        it drops partial batches."""
         b = self.batch_size
+        to_skip = skip * b  # examples to seek past
         carry = None  # (x_int, x_cat, y)
         for day in self.days:
+            # day length without loading rows (same counts file as __init__)
+            x_int = x_cat = y = None
+            n, start = self._day_window(day)
+            if to_skip >= n - start:
+                to_skip -= n - start
+                continue
             with np.load(f"{self.npzfile_prefix}_{day}_reordered.npz") as data:
                 x_int, x_cat, y = data["X_int"], data["X_cat"], data["y"]
-            n = y.shape[0]
-            start = 0
-            if self.split in ("test", "val"):
-                half = int(np.ceil(n / 2.0))
-                if self.split == "test":
-                    n = half
-                else:
-                    start = n - half
+            start += to_skip
+            to_skip = 0
             while True:
                 need = b - (0 if carry is None else carry[2].shape[0])
                 if start + need > n:
@@ -194,11 +213,11 @@ class CriteoInMemoryDataset:
             return len(self.indices) // self.batch_size
         return math.ceil(len(self.indices) / self.batch_size)
 
-    def batches(self) -> Iterator[Batch]:
+    def batches(self, skip: int = 0) -> Iterator[Batch]:
         b = self.batch_size
         n = len(self.indices)
         end = (n // b) * b if self.drop_last else n
-        for s in range(0, end, b):
+        for s in range(skip * b, end, b):
             idx = self.indices[s : s + b]
             yield transform_batch(
                 self.x_int[idx], self.x_cat[idx], self.y[idx], self.max_ind_range
@@ -219,7 +238,14 @@ class CriteoBinDataset:
         batch_size: int = 1,
         max_ind_range: int = -1,
         bytes_per_feature: int = 4,
+        shuffle: bool = False,
+        seed: int = 123,
     ):
+        """``shuffle``: seeded batch-order permutation, the equivalent of the
+        reference's RandomSampler over the bin dataset
+        (dlrm_data_pytorch.py:420, gated by --mlperf-bin-shuffle). Seek
+        access makes any order O(1) per batch; the permutation is
+        deterministic per seed so trainer and prefetcher streams align."""
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.data_file = data_file
@@ -227,6 +253,8 @@ class CriteoBinDataset:
         self.max_ind_range = max_ind_range
         self.bytes_per_entry = bytes_per_feature * self.TOT_FEA * batch_size
         self.num_entries = math.ceil(os.path.getsize(data_file) / self.bytes_per_entry)
+        self.shuffle = shuffle
+        self.seed = seed
         with np.load(counts_file) as data:
             self.counts = data["counts"]
         self.m_den = DEN_FEA
@@ -247,9 +275,14 @@ class CriteoBinDataset:
             arr[:, 1 : 1 + DEN_FEA], arr[:, 1 + DEN_FEA :], arr[:, 0], self.max_ind_range
         )
 
-    def batches(self) -> Iterator[Batch]:
-        for i in range(self.num_entries):
-            yield self.get_batch(i)
+    def batch_order(self) -> np.ndarray:
+        if self.shuffle:
+            return np.random.default_rng(self.seed).permutation(self.num_entries)
+        return np.arange(self.num_entries)
+
+    def batches(self, skip: int = 0) -> Iterator[Batch]:
+        for i in self.batch_order()[skip:]:
+            yield self.get_batch(int(i))
 
 
 def numpy_to_binary(input_files: List[str], output_path: str, split: str = "train") -> None:
@@ -295,6 +328,7 @@ def make_criteo_datasets(cfg):
         train = CriteoBinDataset(
             os.path.join(d_path, "train_data.bin"), counts_file,
             cfg.mini_batch_size, cfg.max_ind_range,
+            shuffle=cfg.mlperf_bin_shuffle, seed=cfg.numpy_rand_seed,
         )
         test = CriteoBinDataset(
             os.path.join(d_path, "test_data.bin"), counts_file,

@@ -255,9 +255,13 @@ class SyntheticDataset:
     def __len__(self) -> int:
         return self.num_batches
 
-    def batches(self) -> Iterator[Batch]:
-        rng = np.random.default_rng(self.seed)
-        for i in range(self.num_batches):
+    def batches(self, skip: int = 0) -> Iterator[Batch]:
+        """Restartable stream; ``skip`` seeks past the first ``skip`` batches
+        in O(1) (checkpoint data-cursor contract, trainer.py): each batch
+        draws from its own (seed, index)-derived generator, so batch i is
+        identical whether or not earlier batches were materialized."""
+        for i in range(skip, self.num_batches):
+            rng = np.random.default_rng([self.seed, i])
             n = min(self.mini_batch_size, self.data_size - i * self.mini_batch_size)
             if self.data_generation == "random":
                 yield generate_uniform_batch(

@@ -125,6 +125,13 @@ def _load() -> Optional[ctypes.CDLL]:
             _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _I64, _I64,
             _PU8, _PI32, _PI64,
         ]
+        lib.cdlrm_pack_bits.restype = None
+        lib.cdlrm_pack_bits.argtypes = [_PI64, _I64, _I64, _PU8]
+        lib.cdlrm_probe_batch_dedup.restype = None
+        lib.cdlrm_probe_batch_dedup.argtypes = [
+            _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _PI64, _I64,
+            _I64, _PPI32, _PU8, _PI32, _PI64, _PI32, _PI64,
+        ]
         lib.cdlrm_unique_i64.restype = _I64
         lib.cdlrm_unique_i64.argtypes = [_PI64, _I64, _I64, _PI64]
         lib.cdlrm_gather_f32.restype = None
@@ -260,6 +267,64 @@ def probe_batch_wire(
         _p(wire, _PU8), _p(miss_pos, _PI32), _p(miss_counts, _PI64),
     )
     return wire, miss_pos, miss_counts
+
+
+def probe_batch_dedup(
+    occupancy: List[np.ndarray],
+    ls_i: np.ndarray,
+    aux_bases_local: np.ndarray,
+    table_offsets: np.ndarray,
+    ways: int,
+    inv_bits: int,
+    inv_bytes_per_table: int,
+    rank_scratch: List[np.ndarray],
+    valid: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fused probe + duplicate-slot dedup (csrc cdlrm_probe_batch_dedup).
+    Returns (inv_wire [T, inv_bytes] uint8, uniq [T, N] int32 global slots —
+    first uniq_counts[t] valid per table, first-seen order —, uniq_counts [T]
+    int64, miss_pos [T, N] int32, miss_counts [T] int64).
+    rank_scratch: per-table int32 arrays (rows-per-table sized, all -1),
+    owned/reused by the caller; the kernel self-cleans them."""
+    lib = _load()
+    assert lib is not None
+    t_count, n = ls_i.shape
+    ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
+    _check_id_range(ls_i)
+    sets = np.ascontiguousarray(
+        np.array([o.shape[0] for o in occupancy], dtype=np.int64)
+    )
+    occ_ptrs = (_PI32 * t_count)(*[_p(o, _PI32) for o in occupancy])
+    scratch_ptrs = (_PI32 * t_count)(*[_p(s, _PI32) for s in rank_scratch])
+    auxb = np.ascontiguousarray(aux_bases_local, dtype=np.int64)
+    offs = np.ascontiguousarray(table_offsets, dtype=np.int64)
+    inv_wire = np.zeros((t_count, inv_bytes_per_table), dtype=np.uint8)
+    uniq = np.empty((t_count, n), dtype=np.int32)
+    uniq_counts = np.empty(t_count, dtype=np.int64)
+    miss_pos = np.empty((t_count, n), dtype=np.int32)
+    miss_counts = np.empty(t_count, dtype=np.int64)
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, dtype=np.uint8)
+        vptr = _p(valid, _PU8)
+    lib.cdlrm_probe_batch_dedup(
+        occ_ptrs, _p(sets, _PI64), ways, t_count, _p(ls_i, _PI64), n, vptr,
+        _p(auxb, _PI64), _p(offs, _PI64), inv_bits, inv_bytes_per_table,
+        scratch_ptrs, _p(inv_wire, _PU8), _p(uniq, _PI32),
+        _p(uniq_counts, _PI64), _p(miss_pos, _PI32), _p(miss_counts, _PI64),
+    )
+    return inv_wire, uniq, uniq_counts, miss_pos, miss_counts
+
+
+def pack_bits(vals: np.ndarray, bits: int, out_bytes: int) -> np.ndarray:
+    """LSB-first bitstream of ``bits``-wide values; negatives -> sentinel
+    (train/step.py pack_slots byte layout, 1-D)."""
+    lib = _load()
+    assert lib is not None
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    out = np.zeros(out_bytes, dtype=np.uint8)
+    lib.cdlrm_pack_bits(_p(vals, _PI64), vals.size, bits, _p(out, _PU8))
+    return out
 
 
 def unique_i64(idx: np.ndarray, n_rows: int = 0) -> np.ndarray:

@@ -26,6 +26,13 @@ _SENTINEL = None
 # will probe them
 WINDOW_BOUNDARY = object()
 
+# resume marker (mid-window data cursor): the next batches belong to a window
+# whose refill was ALREADY applied before the checkpoint — the consumer must
+# pop the (re-produced) window from the prefetcher WITHOUT re-applying the
+# insert plan (occupancy and controller RNG already reflect it), rebuild the
+# multi-host window store if needed, then notify_refill_applied()
+WINDOW_REPLAY = object()
+
 
 class AssemblyPipeline(threading.Thread):
     def __init__(
@@ -34,11 +41,19 @@ class AssemblyPipeline(threading.Thread):
         nepochs: int,
         lookahead: int,
         depth: int = 2,
+        start_epoch: int = 0,
+        start_j: int = 0,
     ):
+        """(start_epoch, start_j): the data cursor — resume the stream at
+        batch ``start_j`` of epoch ``start_epoch`` (trainer checkpoint
+        contract). A mid-window cursor (start_j % lookahead != 0) makes the
+        first emitted marker WINDOW_REPLAY instead of WINDOW_BOUNDARY."""
         super().__init__(daemon=True, name="assembly-pipeline")
         self.trainer = trainer
         self.nepochs = nepochs
         self.lookahead = max(1, lookahead)
+        self.start_epoch = start_epoch
+        self.start_j = start_j
         self.out: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self.error: Optional[BaseException] = None
         self._stop_event = threading.Event()
@@ -92,24 +107,50 @@ class AssemblyPipeline(threading.Thread):
         b_loc = tr.cfg.local_batch_size
         try:
             win = -1
-            for _ in range(self.nepochs):
-                j = 0  # refill windows are per-epoch (reference j resets)
-                for batch in tr.dataset.batches():
+            replay = self.start_j % self.lookahead != 0
+            for epoch in range(self.start_epoch, self.nepochs):
+                # refill windows are per-epoch (reference j resets)
+                j = self.start_j if epoch == self.start_epoch else 0
+                skip = j
+                for batch in _batches_from(tr.dataset, skip):
                     if self._stop_event.is_set():
                         return
                     if batch.x.shape[0] != b:
                         continue  # identical drop-last rule as the main loop
-                    if j % self.lookahead == 0:
+                    if replay:
+                        # resumed mid-window: the current window's refill is
+                        # already in the checkpointed occupancy
+                        win += 1
+                        if not self._put(WINDOW_REPLAY):
+                            return
+                        replay = False
+                    elif j % self.lookahead == 0:
                         win += 1
                         if not self._put(WINDOW_BOUNDARY):
                             return
                     if not self._wait_for_window(win):
                         return
-                    inputs = tr._assemble(batch, b_loc)
-                    if not self._put((batch, inputs)):
+                    inputs, stats = tr._assemble(batch, b_loc)
+                    if not self._put(((epoch, j), batch, inputs, stats)):
                         return
                     j += 1
         except BaseException as e:
             self.error = e
         finally:
             self._put(_SENTINEL)
+
+
+def _batches_from(dataset, skip: int):
+    """dataset.batches(skip=n) when supported, else iterate-and-drop (duck-
+    typed datasets without a cursor still resume correctly, just slower)."""
+    if skip == 0:
+        return dataset.batches()
+    try:
+        return dataset.batches(skip=skip)
+    except TypeError:
+        def gen():
+            it = dataset.batches()
+            for _ in range(skip):
+                next(it, None)
+            yield from it
+        return gen()

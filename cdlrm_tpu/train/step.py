@@ -65,6 +65,16 @@ class StepConfig(NamedTuple):
     # scatter entirely (scatter updates are the measured device-step floor,
     # PERF.md finding 4)
     track_touched: bool = True
+    # duplicate-slot coalescing (host_cache.py probe_dedup): lookups arrive
+    # as bit-packed first-seen ranks into a per-step unique-slot list; the
+    # step gathers unique rows once, expands by rank (fast gather), and the
+    # sparse update segment-sums duplicates into a small [U, D] operand
+    # before ONE scatter of U rows — measured 5.0ms vs 9.6ms for the plain
+    # 106k-duplicate scatter at headline shape (Zipf U~0.55N). Costs ~+80KB
+    # per-step H2D (inverse + unique wire vs slot wire).
+    dedup: bool = False
+    inv_bits: int = 13  # rank wire width: >= wire_width(lookups_per_table-1)
+    uniq_bits: int = 24  # unique-list wire width (== wire_bits)
     # Pallas explicit-DMA row gather instead of XLA take for the cache
     # lookup (ops/lookup.py): ~15% faster at Terabyte-class shape
     # (bench_kernels.py: 41us vs 48us for 106k x 128-dim rows). Requires
@@ -122,13 +132,11 @@ def pack_slots(
     return out
 
 
-def _unpack_slots(
-    wire: jax.Array, table_offsets: np.ndarray, trash_row: int, bits: int,
-    n: int,
-) -> jax.Array:
-    """Device side: bitstream [T, BYTES] uint8 -> global int32 slots [T, n].
-    Each lookup reads a 4-byte little-endian window (bits <= 24 + shift <= 7
-    fits 31 bits) — pure vector ops on the VPU."""
+def _unpack_raw(wire: jax.Array, bits: int, n: int) -> jax.Array:
+    """Device side: bitstream [T, BYTES] uint8 -> raw int32 values [T, n].
+    Each value reads a 4-byte little-endian window (bits <= 24 + shift <= 7
+    fits 31 bits) — pure vector ops on the VPU. The all-ones value at
+    ``bits`` is the caller's sentinel."""
     bitpos = jnp.arange(n, dtype=jnp.int32) * bits
     byte = bitpos >> 3
     sh = (bitpos & 7).astype(jnp.uint32)
@@ -139,9 +147,53 @@ def _unpack_slots(
         | (w[:, byte + 2] << 16)
         | (w[:, byte + 3] << 24)
     )
-    local = ((window >> sh) & jnp.uint32((1 << bits) - 1)).astype(jnp.int32)
+    return ((window >> sh) & jnp.uint32((1 << bits) - 1)).astype(jnp.int32)
+
+
+def _unpack_slots(
+    wire: jax.Array, table_offsets: np.ndarray, trash_row: int, bits: int,
+    n: int,
+) -> jax.Array:
+    """Bitstream [T, BYTES] -> global int32 slots [T, n] (sentinel -> trash)."""
+    local = _unpack_raw(wire, bits, n)
     offs = jnp.asarray(table_offsets, jnp.int32)[:, None]
     return jnp.where(local == (1 << bits) - 1, trash_row, local + offs)
+
+
+def _decode_dedup(
+    inv_wire: jax.Array,
+    uniq_wire: jax.Array,
+    uniq_counts: jax.Array,
+    geo: CacheGeometry,
+    inv_bits: int,
+    uniq_bits: int,
+    n: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode the dedup wire format (host_cache.py probe_dedup) on device.
+
+    inv_wire [T, IB]: table-local first-seen ranks (sentinel = masked).
+    uniq_wire [UB_BYTES] (flat): position 0 is the reserved trash rank
+    (sentinel-coded), then each table's local unique slot ids tightly
+    concatenated, then sentinel padding to the bucket.
+    Returns (uniq_slots [Ub] int32 global rows, ginv [T*n] int32 ranks into
+    uniq_slots — masked positions -> 0, the trash rank)."""
+    t_count = inv_wire.shape[0]
+    ub = ((uniq_wire.shape[0] - 4) * 8) // uniq_bits  # exact: bits >= 9
+    cum = jnp.cumsum(uniq_counts.astype(jnp.int32))
+    # unique list: element j>=1 holds data position j-1; its table is the
+    # first t with cum[t] > j-1
+    vals = _unpack_raw(uniq_wire[None, :], uniq_bits, ub)[0]
+    pos = jnp.arange(ub, dtype=jnp.int32) - 1
+    tbl = jnp.clip(jnp.searchsorted(cum, pos, side="right"), 0, t_count - 1)
+    offs = jnp.asarray(geo.table_offsets, jnp.int32)
+    uniq_slots = jnp.where(
+        vals == (1 << uniq_bits) - 1, geo.trash_row, vals + offs[tbl]
+    )
+    # inverse: local rank -> 1 + rank_offset[t] (+1 for the trash rank)
+    inv = _unpack_raw(inv_wire, inv_bits, n)
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])[:, None]
+    ginv = jnp.where(inv == (1 << inv_bits) - 1, 0, inv + 1 + base)
+    return uniq_slots, ginv.reshape(-1)
 
 
 def _sgd(tree, grads, lr):
@@ -225,6 +277,35 @@ def make_cached_train_step(
     """
     cdtype = cfg.cdtype
 
+    def make_loss_fn(x, ls_mask, targets, t_count, b_loc, d):
+        def loss_fn(params, rows):
+            if pooled_width > 0:
+                r = rows.reshape(t_count, b_loc, pooled_width, d)
+                ly = jnp.sum(r * ls_mask[..., None].astype(r.dtype), axis=2)
+            else:
+                ly = rows.reshape(t_count, b_loc, d)
+            p = dlrm_forward(
+                params,
+                x,
+                ly,
+                cfg.interaction_op,
+                cfg.interaction_itself,
+                cfg.loss_threshold,
+                cdtype,
+            )
+            loss = compute_loss(p, targets, cfg.loss_function, cfg.loss_weights)
+            return loss, p
+
+        return loss_fn
+
+    def finish(params, dparams, p, loss, targets, lr, b_loc):
+        dparams = _sync_dense_grads(dparams, cfg.strict_bias_divergence)
+        params = _sgd(params, dparams, lr)
+        correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
+        loss_sum, correct = jax.lax.psum((loss * b_loc, correct), DP_AXIS)
+        params = jax.tree_util.tree_map(lambda v: v[None], params)
+        return params, loss_sum, correct
+
     def body(params, cache, touched, x, slots, ls_mask, aux_slots, aux_rows,
              targets, lr, lr_embeds):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
@@ -250,30 +331,10 @@ def make_cached_train_step(
         else:
             rows = jnp.take(cache, flat_slots, axis=0)  # [T*Bl(*P), D]
 
-        def loss_fn(params, rows):
-            if pooled_width > 0:
-                r = rows.reshape(t_count, b_loc, pooled_width, d)
-                ly = jnp.sum(r * ls_mask[..., None].astype(r.dtype), axis=2)
-            else:
-                ly = rows.reshape(t_count, b_loc, d)
-            p = dlrm_forward(
-                params,
-                x,
-                ly,
-                cfg.interaction_op,
-                cfg.interaction_itself,
-                cfg.loss_threshold,
-                cdtype,
-            )
-            loss = compute_loss(p, targets, cfg.loss_function, cfg.loss_weights)
-            return loss, p
-
+        loss_fn = make_loss_fn(x, ls_mask, targets, t_count, b_loc, d)
         (loss, p), (dparams, drows) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, rows)
-
-        dparams = _sync_dense_grads(dparams, cfg.strict_bias_divergence)
-        params = _sgd(params, dparams, lr)
 
         # sparse SGD: scatter-add coalesces duplicate slots like torch's
         # sparse optimizer (DESIGN.md D3)
@@ -282,15 +343,73 @@ def make_cached_train_step(
             touched = touched.at[flat_slots].set(True)
             touched = touched.at[geo.trash_row].set(False)
 
-        correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
-        loss_sum, correct = jax.lax.psum(
-            (loss * b_loc, correct), DP_AXIS
+        params, loss_sum, correct = finish(
+            params, dparams, p, loss, targets, lr, b_loc
         )
+        return params, cache, touched, loss_sum, correct
 
-        params = jax.tree_util.tree_map(lambda v: v[None], params)
+    def body_dedup(params, cache, touched, x, inv_wire, ls_mask, uniq_wire,
+                   uniq_counts, aux_slots, aux_rows, targets, lr, lr_embeds):
+        params = jax.tree_util.tree_map(lambda v: v[0], params)
+        b_loc = targets.shape[0]
+        n_lk = b_loc * max(1, pooled_width)
+        targets = targets.astype(jnp.float32)
+        t_count = inv_wire.shape[0]
+        d = cache.shape[-1]
+
+        cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
+        uniq_slots, ginv = _decode_dedup(
+            inv_wire, uniq_wire, uniq_counts, geo, cfg.inv_bits,
+            cfg.uniq_bits, n_lk,
+        )
+        rows_u = jnp.take(cache, uniq_slots, axis=0)  # [Ub, D]
+
+        loss_fn_rows = make_loss_fn(x, ls_mask, targets, t_count, b_loc, d)
+
+        def loss_fn(params, rows_u):
+            # the take's transpose segment-sums duplicate-lookup gradients
+            # into [Ub, D] — the small-operand scatter that replaces the
+            # full-width one (PERF.md finding 4 attack)
+            return loss_fn_rows(params, jnp.take(rows_u, ginv, axis=0))
+
+        (loss, p), (dparams, d_rows_u) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, rows_u)
+
+        cache = cache.at[uniq_slots].add(-lr_embeds * d_rows_u)
+        if cfg.track_touched:
+            touched = touched.at[uniq_slots].set(True)
+            touched = touched.at[geo.trash_row].set(False)
+
+        params, loss_sum, correct = finish(
+            params, dparams, p, loss, targets, lr, b_loc
+        )
         return params, cache, touched, loss_sum, correct
 
     lead = _spec_leading()
+    if cfg.dedup:
+        shardmapped = jax.shard_map(
+            body_dedup,
+            mesh=mesh,
+            in_specs=(
+                lead,  # params
+                lead,  # cache (flat rows)
+                lead,  # touched (flat rows)
+                P(DP_AXIS),  # x
+                P(None, DP_AXIS),  # inv_wire [T, ndev*IB]
+                P(None, DP_AXIS),  # ls_mask ([T,B,P] or dummy [T,B])
+                lead,  # uniq_wire (flat bytes)
+                lead,  # uniq_counts (flat [ndev*T])
+                lead,  # aux_slots (flat)
+                lead,  # aux_rows (flat)
+                P(DP_AXIS),  # targets
+                P(),  # lr
+                P(),  # lr_embeds
+            ),
+            out_specs=(lead, lead, lead, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(shardmapped, donate_argnums=(1, 2))
     shardmapped = jax.shard_map(
         body,
         mesh=mesh,

@@ -43,6 +43,7 @@ from cdlrm_tpu.cache.prefetcher import EvictionManager, LookaheadPrefetcher, Win
 from cdlrm_tpu.config import Config
 from cdlrm_tpu.data.synthetic import Batch
 from cdlrm_tpu.models.dlrm import init_dlrm
+from cdlrm_tpu.ops import native
 from cdlrm_tpu.parallel.mesh import (
     DP_AXIS, local_batch_rows, local_replica_ids, local_shard, make_dp_mesh,
     put_global, put_global_many,
@@ -89,6 +90,34 @@ class TrainMetrics:
         if self.table_hits is None or self.table_lookups == 0:
             return None
         return self.table_hits / self.table_lookups
+
+
+class _ProbeStats:
+    """Per-batch train probe counters, accumulated into TrainMetrics when the
+    batch is CONSUMED by the train loop — not when the assembly pipeline
+    probes it. The pipeline runs up to ``depth`` batches ahead, so counting
+    at probe time makes reported totals depend on how far ahead it happened
+    to be when training stopped (a thread-timing artifact, not a metric)."""
+
+    __slots__ = ("hits", "lookups", "table_hits")
+
+    def __init__(self, t_count: int):
+        self.hits = 0
+        self.lookups = 0
+        self.table_hits = np.zeros(t_count, dtype=np.int64)
+
+    def add(self, hit_counts: np.ndarray, num_lookups: int) -> None:
+        self.hits += int(hit_counts.sum())
+        self.lookups += num_lookups
+        self.table_hits += hit_counts
+
+    def commit(self, m: TrainMetrics) -> None:
+        m.hits += self.hits
+        m.lookups += self.lookups
+        if m.table_hits is None:
+            m.table_hits = np.zeros(self.table_hits.shape[0], dtype=np.int64)
+        m.table_hits += self.table_hits
+        m.table_lookups += self.lookups // self.table_hits.shape[0]
 
 
 class CachedDlrmTrainer:
@@ -202,8 +231,16 @@ class CachedDlrmTrainer:
 
         n_train = len(cfg.ln_emb) * b_loc * max(1, pooled_width)
         n_eval = len(cfg.ln_emb) * test_b_loc * max(1, pooled_width)
+        # dedup wire: rank stream at the width of per-table lookups + the
+        # unique list at the slot wire width (both need <= WIRE_MAX_BITS)
+        self._dedup = bool(
+            cfg.dedup_lookups and self._wire_bits <= step_lib.WIRE_MAX_BITS
+        )
+        n_per_table = b_loc * max(1, pooled_width)
+        self._inv_bits = step_lib.wire_width(n_per_table - 1)
         pallas_ok = (
             cfg.use_pallas_lookup
+            and not self._dedup  # dedup's [Ub] gather breaks the block contract
             and jax.default_backend() == "tpu"
             and cfg.m_spa % 128 == 0
             and _blk_ok(n_train)
@@ -227,6 +264,9 @@ class CachedDlrmTrainer:
             use_pallas_lookup=pallas_ok,
             wire_rows_bf16=cfg.wire_rows_bf16,
             track_touched=self._needs_agg,
+            dedup=self._dedup,
+            inv_bits=self._inv_bits,
+            uniq_bits=self._wire_bits,
         )
         self._row_wire_dtype = (
             jnp.bfloat16 if cfg.wire_rows_bf16 else np.float32
@@ -274,15 +314,9 @@ class CachedDlrmTrainer:
             average_on_writeback=cfg.average_on_writeback,
             timeout=cfg.eviction_fifo_timeout,
         )
-        self.prefetcher = LookaheadPrefetcher(
-            cache_stream_fn=self._cache_stream,
-            master=self.master,
-            lookahead=cfg.lookahead,
-            batch_fifo_size=cfg.batch_fifo_size,
-            cache_workers=cfg.cache_workers,
-            nepochs=cfg.nepochs,
-            backend=cfg.prefetch_backend,
-        )
+        # built in _start_pipeline: its stream cursor depends on a possible
+        # load_checkpoint between construction and the first train() call
+        self.prefetcher: Optional[LookaheadPrefetcher] = None
         # multi-host state: exchanged-window miss store + eval row exchange.
         # The packed-miss bucket is part of the compiled GLOBAL array shape,
         # so it must be host-count-invariant: default to the worst case
@@ -314,11 +348,20 @@ class CachedDlrmTrainer:
             functools.partial(self.controller.probe_wire, bits=self._wire_bits)
             if self._wire_pack else self.controller.probe
         )
+        # dedup: host-invariant worst-case unique bucket for multi-host
+        # (local U differs per host; the bucket is a compiled global shape)
+        self._dedup_bucket = pow2_bucket(
+            1 + len(cfg.ln_emb) * b_loc * max(1, pooled_width), min_size=1024
+        )
         self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
         self._pipe = None
         self._stream_done = False
         self.global_step = 0
+        # data cursor: (epoch, next batch index within it) — saved in
+        # checkpoints so a resumed run continues the SAME stream alignment
+        # (windows, refills) instead of restarting it (SURVEY §7 step 8)
+        self._cursor: Tuple[int, int] = (0, 0)
         self.metrics = TrainMetrics()
         self._lr = jnp.float32(cfg.learning_rate)
         self._lr_emb = jnp.float32(cfg.lr_embeds)
@@ -326,12 +369,15 @@ class CachedDlrmTrainer:
         self.last_window: Optional[dict] = None  # most recent print-window stats
 
     # ------------------------------------------------------------------ data
-    def _cache_stream(self) -> Iterator[np.ndarray]:
+    def _cache_stream(self, skip: int = 0) -> Iterator[np.ndarray]:
         """The prefetcher's view of the index stream (reference cache_ld,
         dlrm_data_pytorch.py:465-483): a second pass over the same batches,
-        dropping the final partial batch exactly as the trainer does."""
+        dropping the final partial batch exactly as the trainer does.
+        ``skip`` resumes mid-stream (checkpoint data cursor)."""
+        from cdlrm_tpu.train.pipeline import _batches_from
+
         b = self.cfg.mini_batch_size
-        for batch in self.dataset.batches():
+        for batch in _batches_from(self.dataset, skip):
             if batch.x.shape[0] != b:
                 continue
             if batch.ls_mask is not None:
@@ -383,6 +429,169 @@ class CachedDlrmTrainer:
         self.metrics.refills += 1
 
     # ------------------------------------------------------------------ batch
+    def _pack_aux(self, aux_slot_shards, aux_row_shards):
+        """Pack per-replica miss rows into a common pow2 bucket (DESIGN.md
+        D6); padding scatters into the trash row. Multi-host: the bucket is
+        part of the GLOBAL array shape, so it is fixed (cfg.aux_bucket)
+        rather than negotiated. Returns flat [n_local*k] buffers + k."""
+        if self.multihost:
+            k = self._aux_bucket
+        else:
+            k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
+        aux_slots = np.full((self.n_local, k), self.geo.trash_row, dtype=np.int32)
+        aux_rows = np.zeros(
+            (self.n_local, k, self.geo.dim), dtype=self._row_wire_dtype
+        )
+        for k_loc in range(self.n_local):
+            n = aux_slot_shards[k_loc].shape[0]
+            if n > k:
+                raise ValueError(
+                    f"{n} packed miss rows exceed aux bucket {k}; raise "
+                    "--aux-bucket"
+                )
+            aux_slots[k_loc, :n] = aux_slot_shards[k_loc]
+            aux_rows[k_loc, :n] = aux_row_shards[k_loc]
+        return aux_slots.reshape(-1), aux_rows.reshape(-1, self.geo.dim), k
+
+    def _dummy_mask(self, t_count: int, n_local_rows: int, b_glob: int):
+        """The all-False mask never changes: reuse one device constant."""
+        key = (t_count, n_local_rows)
+        mask_dev = self._dummy_masks.get(key)
+        if mask_dev is None:
+            mask_dev = put_global(
+                np.zeros(key, dtype=bool), self._shardings["slots"],
+                (t_count, b_glob),
+            )
+            self._dummy_masks[key] = mask_dev
+        return mask_dev
+
+    def _assemble_dedup(self, batch: Batch, b_loc: int):
+        """Train-batch assembly in the dedup wire format (StepConfig.dedup):
+        per local replica, probe_dedup emits bit-packed first-seen ranks +
+        the unique-slot list; the device segment-sums duplicate gradients
+        and scatters only unique rows (PERF.md finding 4 attack)."""
+        ls_i = batch.ls_i
+        mask = batch.ls_mask
+        t_count = ls_i.shape[0]
+        if mask is not None and ls_i.shape[2] != self.pooled_width:
+            raise ValueError(
+                f"batch pooled width {ls_i.shape[2]} != trainer pooled_width "
+                f"{self.pooled_width}"
+            )
+        if mask is None and self.pooled_width:
+            raise ValueError("trainer built for pooled batches, got single-index")
+
+        if not self.multihost:
+            probe_masters = [self.master] * self.n_local
+        else:
+            assert self._window_store is not None, "probe before first refill"
+            probe_masters = [self._window_store] * self.n_local
+
+        inv_shards, uniq_lists, count_lists = [], [], []
+        aux_slot_shards, aux_row_shards = [], []
+        stats = _ProbeStats(t_count)
+        for k_loc, r in enumerate(self.local_ids):
+            sl = slice(r * b_loc, (r + 1) * b_loc)
+            if mask is None:
+                dr = self.controller.probe_dedup(
+                    ls_i[:, sl], probe_masters[k_loc], self._inv_bits
+                )
+            else:
+                dr = self.controller.probe_dedup(
+                    ls_i[:, sl].reshape(t_count, -1),
+                    probe_masters[k_loc],
+                    self._inv_bits,
+                    valid=mask[:, sl].reshape(t_count, -1),
+                )
+            inv_shards.append(dr.inv_wire)
+            uniq_lists.append(dr.uniq)
+            count_lists.append(dr.uniq_counts)
+            aux_slot_shards.append(dr.aux_slots)
+            aux_row_shards.append(dr.aux_rows)
+            stats.add(dr.hit_counts, dr.num_lookups)
+
+        # unique-list bucket: pow2 so compiled variants stay logarithmic;
+        # +1 for the reserved trash rank at position 0. Multi-host: local U
+        # differs per host but the bucket is part of the compiled global
+        # shape, so use the host-invariant worst case.
+        if self.multihost:
+            ub = self._dedup_bucket
+        else:
+            ub = pow2_bucket(1 + max(u.size for u in uniq_lists), min_size=1024)
+        uniq_bits = self._wire_bits
+        ubytes = step_lib.wire_bytes(ub, uniq_bits)
+        uniq_wire = np.empty((self.n_local, ubytes), np.uint8)
+        uniq_counts = np.zeros((self.n_local, t_count), np.int32)
+        offs = self.geo.table_offsets
+        for k_loc in range(self.n_local):
+            u, cnt = uniq_lists[k_loc], count_lists[k_loc]
+            if u.size + 1 > ub:
+                raise ValueError(
+                    f"{u.size + 1} unique slots exceed dedup bucket {ub}"
+                )
+            vals = np.full(ub, -1, np.int64)  # -1 -> sentinel (trash/pad)
+            vals[1 : 1 + u.size] = u.astype(np.int64) - np.repeat(offs, cnt)
+            if native.available():
+                uniq_wire[k_loc] = native.pack_bits(vals, uniq_bits, ubytes)
+            else:
+                uniq_wire[k_loc] = step_lib.pack_slots(
+                    vals[None, :], np.zeros(1, np.int64), -1, uniq_bits
+                )[0]
+            uniq_counts[k_loc] = cnt
+
+        inv_wire = (
+            inv_shards[0] if self.n_local == 1
+            else np.concatenate(inv_shards, axis=1)
+        )
+        aux_slots, aux_rows, k = self._pack_aux(aux_slot_shards, aux_row_shards)
+
+        sh = self._shardings
+        b_glob = self.ndev * b_loc
+        lo, hi = self.local_ids[0] * b_loc, (self.local_ids[-1] + 1) * b_loc
+        x_local = batch.x[lo:hi]
+        if self.cfg.compute_dtype == "bfloat16":
+            x_local = x_local.astype(jnp.bfloat16)
+        y_local = batch.y[lo:hi]
+        if self.cfg.round_targets:
+            y_local = y_local.astype(np.uint8)
+        ib_glob = inv_wire.shape[1] * self.ndev // self.n_local
+
+        if mask is None:
+            mask_dev = self._dummy_mask(t_count, hi - lo, b_glob)
+            staged = put_global_many(
+                (x_local, inv_wire, uniq_wire.reshape(-1),
+                 uniq_counts.reshape(-1), aux_slots, aux_rows, y_local),
+                (sh["batch0"], sh["slots"], sh["lead"], sh["lead"],
+                 sh["lead"], sh["lead"], sh["batch0"]),
+                ((b_glob,) + x_local.shape[1:],
+                 (t_count, ib_glob),
+                 (self.ndev * ubytes,),
+                 (self.ndev * t_count,),
+                 (self.ndev * k,),
+                 (self.ndev * k, self.geo.dim),
+                 (b_glob,) + y_local.shape[1:]),
+            )
+            return (staged[0], staged[1], mask_dev, staged[2], staged[3],
+                    staged[4], staged[5], staged[6]), stats
+
+        mask_local = mask[:, lo:hi]
+        mask_glob = (t_count, b_glob) + mask.shape[2:]
+        staged = put_global_many(
+            (x_local, inv_wire, mask_local, uniq_wire.reshape(-1),
+             uniq_counts.reshape(-1), aux_slots, aux_rows, y_local),
+            (sh["batch0"], sh["slots"], sh["slots"], sh["lead"], sh["lead"],
+             sh["lead"], sh["lead"], sh["batch0"]),
+            ((b_glob,) + x_local.shape[1:],
+             (t_count, ib_glob),
+             mask_glob,
+             (self.ndev * ubytes,),
+             (self.ndev * t_count,),
+             (self.ndev * k,),
+             (self.ndev * k, self.geo.dim),
+             (b_glob,) + y_local.shape[1:]),
+        )
+        return staged, stats
+
     def _assemble(self, batch: Batch, b_loc: int, for_eval: bool = False):
         """Probe this process's DP shards and build (global) sharded device
         arrays. Multi-hot batches ([T, B, P] + mask) are probed flattened;
@@ -392,6 +601,8 @@ class CachedDlrmTrainer:
         local replicas. Train misses are served from the exchanged window
         store; eval misses are collected and resolved with one fixed
         GlobalRowExchange round (parallel/multihost.py)."""
+        if self._dedup and not for_eval:
+            return self._assemble_dedup(batch, b_loc)
         ls_i = batch.ls_i
         mask = batch.ls_mask
         t_count = ls_i.shape[0]
@@ -415,6 +626,7 @@ class CachedDlrmTrainer:
 
         probe_fn = self._probe_fn
         slots_shards, aux_slot_shards, aux_row_shards = [], [], []
+        stats = _ProbeStats(t_count)
         for k_loc, r in enumerate(self.local_ids):
             sl = slice(r * b_loc, (r + 1) * b_loc)
             if mask is None:
@@ -432,12 +644,7 @@ class CachedDlrmTrainer:
                 self.metrics.eval_hits += int(pr.hit_counts.sum())
                 self.metrics.eval_lookups += pr.num_lookups
             else:
-                self.metrics.hits += int(pr.hit_counts.sum())
-                self.metrics.lookups += pr.num_lookups
-                if self.metrics.table_hits is None:
-                    self.metrics.table_hits = np.zeros(t_count, dtype=np.int64)
-                self.metrics.table_hits += pr.hit_counts
-                self.metrics.table_lookups += pr.num_lookups // t_count
+                stats.add(pr.hit_counts, pr.num_lookups)
 
         if self.multihost and for_eval:
             # ONE exchange per eval batch on every host (collective alignment
@@ -455,30 +662,7 @@ class CachedDlrmTrainer:
             slots_shards[0] if len(slots_shards) == 1
             else np.concatenate(slots_shards, axis=1)
         )
-        # pack misses: pad every shard to a common pow2 bucket so only one
-        # compiled shape per bucket exists (DESIGN.md D6); padding scatters
-        # into the trash row. Multi-host: the bucket is part of the GLOBAL
-        # array shape, so it is fixed (cfg.aux_bucket) rather than negotiated.
-        if self.multihost:
-            k = self._aux_bucket
-        else:
-            k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
-        aux_slots = np.full((self.n_local, k), self.geo.trash_row, dtype=np.int32)
-        aux_rows = np.zeros(
-            (self.n_local, k, self.geo.dim), dtype=self._row_wire_dtype
-        )
-        for k_loc in range(self.n_local):
-            n = aux_slot_shards[k_loc].shape[0]
-            if n > k:
-                raise ValueError(
-                    f"{n} packed miss rows exceed aux bucket {k}; raise "
-                    "--aux-bucket"
-                )
-            aux_slots[k_loc, :n] = aux_slot_shards[k_loc]
-            aux_rows[k_loc, :n] = aux_row_shards[k_loc]
-        # flat per-replica buffers (train/step.py layout contract)
-        aux_slots = aux_slots.reshape(-1)
-        aux_rows = aux_rows.reshape(-1, self.geo.dim)
+        aux_slots, aux_rows, k = self._pack_aux(aux_slot_shards, aux_row_shards)
 
         sh = self._shardings
         b_glob = self.ndev * b_loc
@@ -498,14 +682,7 @@ class CachedDlrmTrainer:
             y_local = y_local.astype(np.uint8)
 
         if mask is None:
-            # the all-False mask never changes: reuse one device constant
-            key = (t_count, hi - lo)
-            mask_dev = self._dummy_masks.get(key)
-            if mask_dev is None:
-                mask_dev = put_global(
-                    np.zeros(key, dtype=bool), sh["slots"], (t_count, b_glob)
-                )
-                self._dummy_masks[key] = mask_dev
+            mask_dev = self._dummy_mask(t_count, hi - lo, b_glob)
             staged = put_global_many(
                 (x_local, slots, aux_slots, aux_rows, y_local),
                 (sh["batch0"], sh["slots"], sh["lead"], sh["lead"], sh["batch0"]),
@@ -515,11 +692,13 @@ class CachedDlrmTrainer:
                  (self.ndev * k, self.geo.dim),
                  (b_glob,) + y_local.shape[1:]),
             )
-            return staged[0], staged[1], mask_dev, staged[2], staged[3], staged[4]
+            inputs = (staged[0], staged[1], mask_dev, staged[2], staged[3],
+                      staged[4])
+            return inputs if for_eval else (inputs, stats)
 
         mask_local = mask[:, lo:hi]
         mask_glob = (t_count, b_glob) + mask.shape[2:]
-        return put_global_many(
+        inputs = put_global_many(
             (x_local, slots, mask_local, aux_slots, aux_rows, y_local),
             (sh["batch0"], sh["slots"], sh["slots"], sh["lead"], sh["lead"],
              sh["batch0"]),
@@ -530,6 +709,7 @@ class CachedDlrmTrainer:
              (self.ndev * k, self.geo.dim),
              (b_glob,) + y_local.shape[1:]),
         )
+        return inputs if for_eval else (inputs, stats)
 
     # ------------------------------------------------------------------ train
     def _start_pipeline(self) -> None:
@@ -541,11 +721,28 @@ class CachedDlrmTrainer:
         if not self._pipeline_started:
             from cdlrm_tpu.train.pipeline import AssemblyPipeline
 
+            cfg = self.cfg
+            epoch0, j0 = self._cursor
             self.eviction_manager.start()
+            # the prefetcher resumes at the cursor's WINDOW start; a
+            # mid-window cursor makes the pipeline emit WINDOW_REPLAY so the
+            # already-applied insert plan is not repeated
+            self.prefetcher = LookaheadPrefetcher(
+                cache_stream_fn=self._cache_stream,
+                master=self.master,
+                lookahead=cfg.lookahead,
+                batch_fifo_size=cfg.batch_fifo_size,
+                cache_workers=cfg.cache_workers,
+                nepochs=cfg.nepochs,
+                backend=cfg.prefetch_backend,
+                start_epoch=epoch0,
+                skip_batches=(j0 // cfg.lookahead) * cfg.lookahead,
+            )
             self.prefetcher.start()
             self._pipe = AssemblyPipeline(
-                self, self.cfg.nepochs, self.cfg.lookahead,
-                max(1, self.cfg.pipeline_depth),
+                self, cfg.nepochs, cfg.lookahead,
+                max(1, cfg.pipeline_depth),
+                start_epoch=epoch0, start_j=j0,
             )
             self._pipe.start()
             self._stream_done = False
@@ -558,7 +755,7 @@ class CachedDlrmTrainer:
         signals. Periodicities (print/test/agg/checkpoint) are on
         global_step; the reference uses the per-epoch batch index
         (main_no_ddp.py:418,458,479), identical within an epoch."""
-        from cdlrm_tpu.train.pipeline import WINDOW_BOUNDARY
+        from cdlrm_tpu.train.pipeline import WINDOW_BOUNDARY, WINDOW_REPLAY
 
         cfg = self.cfg
         self._start_pipeline()
@@ -598,15 +795,30 @@ class CachedDlrmTrainer:
                 if item is None:
                     self._stream_done = True
                     break
-                if item is WINDOW_BOUNDARY:
+                if item is WINDOW_BOUNDARY or item is WINDOW_REPLAY:
                     window = self.prefetcher.get_window()
                     if window is None:
                         break
-                    self._apply_refill(window)
+                    if item is WINDOW_REPLAY:
+                        # mid-window resume: the checkpointed occupancy and
+                        # controller RNG already reflect this window's insert
+                        # plan — only rebuild the multi-host window store
+                        if self.multihost:
+                            rows = exchange_window_rows(
+                                self.master, window.uniques, window.rows
+                            )
+                            self._window_store = WindowRowStore(
+                                window.uniques, rows
+                            )
+                    else:
+                        self._apply_refill(window)
                     pipe.notify_refill_applied()
                     continue
 
-                batch, (x, slots, ls_mask, aux_slots, aux_rows, tgt) = item
+                # inputs match the step signature for the active wire format
+                # (plain/wire slots or dedup rank+unique wire)
+                cursor, batch, inputs, probe_stats = item
+                probe_stats.commit(self.metrics)
                 (
                     self.params,
                     self.cache,
@@ -614,11 +826,12 @@ class CachedDlrmTrainer:
                     loss_sum,
                     correct,
                 ) = self.train_step(
-                    self.params, self.cache, self.touched, x, slots, ls_mask,
-                    aux_slots, aux_rows, tgt, self._lr, self._lr_emb,
+                    self.params, self.cache, self.touched, *inputs,
+                    self._lr, self._lr_emb,
                 )
                 pending.append((loss_sum, correct, b))
                 self.global_step += 1
+                self._cursor = (cursor[0], cursor[1] + 1)
                 j = self.global_step
 
                 if self._needs_agg and j % cfg.table_agg_freq == 0:
@@ -742,8 +955,24 @@ class CachedDlrmTrainer:
                 "eviction writeback flush timed out; checkpoint would miss "
                 "in-flight evicted rows (raise --eviction-fifo-timeout)"
             )
-        # multi-host: every host saves its owned master shard; host 0 saves
-        # the (replica-identical) dense params, cache, occupancy, and meta
+        # per-replica state is saved IN FULL: replicas legitimately diverge
+        # between aggregations (local sparse SGD), and `touched` carries the
+        # pending-aggregation set — collapsing either would make a resumed
+        # run diverge from the uninterrupted one. Multi-host: every host
+        # saves its owned master shard + its local cache/touched block;
+        # host 0 additionally saves the replica-identical dense params,
+        # occupancy, and meta.
+        tag = f".h{jax.process_index()}" if self.multihost else ""
+        np.save(
+            os.path.join(path, f"cache{tag}.npy"),
+            np.concatenate([np.asarray(s.data) for s in
+                            self.cache.addressable_shards]),
+        )
+        np.save(
+            os.path.join(path, f"touched{tag}.npy"),
+            np.concatenate([np.asarray(s.data) for s in
+                            self.touched.addressable_shards]),
+        )
         if self.multihost:
             self.master.save(
                 os.path.join(path, f"master.h{jax.process_index()}.npz")
@@ -758,11 +987,12 @@ class CachedDlrmTrainer:
             os.path.join(path, "dense_params.npz"),
             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
         )
-        np.save(os.path.join(path, "cache.npy"), local_shard(self.cache))
         np.savez(os.path.join(path, "occupancy.npz"), **self.controller.state_dict())
         meta = {
             "global_step": self.global_step,
             "rng_state": self.controller.rng.bit_generator.state,
+            # data cursor: resume continues the SAME stream/window alignment
+            "cursor": self._cursor,
         }
         with open(os.path.join(path, "meta.pkl"), "wb") as f:
             pickle.dump(meta, f)
@@ -774,11 +1004,22 @@ class CachedDlrmTrainer:
             leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
         params = jax.tree_util.tree_unflatten(treedef, leaves)
         self.params = step_lib.replicate_for_mesh(params, self.mesh)
-        cache0 = np.load(os.path.join(path, "cache.npy"))
+        # cache/touched were saved as this host's local [n_local*R, D] block
+        # (per-replica state in full — see save_checkpoint); restore mirrors
+        # the constructor's put_global exactly: local portion + global shape.
+        tag = f".h{jax.process_index()}" if self.multihost else ""
+        cache0 = np.load(os.path.join(path, f"cache{tag}.npy"))
+        rows_per_dev = cache0.shape[0] // self.n_local
         self.cache = put_global(
-            np.tile(cache0, (self.n_local, 1)),
+            cache0,
             self._shardings["lead"],
-            (self.ndev * cache0.shape[0], cache0.shape[1]),
+            (self.ndev * rows_per_dev, cache0.shape[1]),
+        )
+        touched0 = np.load(os.path.join(path, f"touched{tag}.npy"))
+        self.touched = put_global(
+            touched0,
+            self._shardings["lead"],
+            (self.ndev * rows_per_dev,),
         )
         with np.load(os.path.join(path, "occupancy.npz")) as data:
             self.controller.load_state_dict(dict(data))
@@ -792,13 +1033,21 @@ class CachedDlrmTrainer:
             meta = pickle.load(f)
         self.global_step = meta["global_step"]
         self.controller.rng.bit_generator.state = meta["rng_state"]
+        if self._pipeline_started:
+            raise RuntimeError(
+                "load_checkpoint after training started: the stream cursor "
+                "cannot be rewound on a running pipeline — load into a fresh "
+                "trainer"
+            )
+        self._cursor = tuple(meta.get("cursor", (0, 0)))
 
     # ---------------------------------------------------------------- cleanup
     def close(self) -> None:
         if self._pipeline_started:
             if self._pipe is not None:
                 self._pipe.stop()
-            self.prefetcher.stop()
+            if self.prefetcher is not None:
+                self.prefetcher.stop()
             self.eviction_fifo.put(None)
 
 

@@ -210,6 +210,131 @@ int64_t cdlrm_probe_table_wirebits(const int32_t* occ, int64_t sets,
   return n_miss;
 }
 
+// Dedup probe: probe + duplicate-slot coalescing in one pass. The device
+// scatter-add is the measured step floor (~100ns/update, PERF.md finding 4)
+// and Zipf index streams are duplicate-heavy, so shipping each lookup as a
+// RANK into a per-step unique-slot list lets the device segment-sum
+// duplicate gradients into a small [U, D] operand and scatter only U rows.
+//
+// Emits, per table:
+//   inv_out:  LSB-first bitstream of inv_bits-wide table-LOCAL ranks in
+//             first-seen order (masked positions -> all-ones sentinel)
+//   uniq_out: [n_uniq] GLOBAL cache rows in first-seen order
+//   miss_pos/miss count: as cdlrm_probe_table (misses get distinct aux
+//             slots, hence distinct ranks — reference miss semantics,
+//             model_no_ddp.py:176-185)
+// rank_scratch: [ways*sets + aux_capacity] int32, all -1 on entry; the
+// kernel self-cleans it by walking its own uniq list before returning.
+int64_t cdlrm_probe_table_dedup(const int32_t* occ, int64_t sets, int64_t ways,
+                                const int64_t* idx, int64_t n,
+                                const uint8_t* valid, int64_t aux_base_local,
+                                int64_t table_offset, int64_t inv_bits,
+                                int32_t* rank_scratch, uint8_t* inv_out,
+                                int32_t* uniq_out, int32_t* miss_pos,
+                                int64_t* n_miss_out) {
+  const int32_t sets32 = (int32_t)sets;
+  const uint32_t sentinel = (uint32_t)((1u << inv_bits) - 1u);
+  const int64_t PF = 16;
+  int64_t n_miss = 0, n_uniq = 0;
+  uint64_t acc = 0;
+  int accbits = 0;
+  uint8_t* p = inv_out;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i + PF < n && (!valid || valid[i + PF])) {
+      const int32_t vp = (int32_t)idx[i + PF];
+      __builtin_prefetch(occ + (int64_t)(vp % sets32) * ways, 0, 1);
+    }
+    uint32_t rank;
+    if (valid && !valid[i]) {
+      rank = sentinel;  // masked padding -> trash rank on device
+    } else {
+      const int32_t v = (int32_t)idx[i];
+      const int32_t s = v % sets32;
+      const int32_t* row = occ + (int64_t)s * ways;
+      int32_t w = -1;
+      for (int64_t k = 0; k < ways; ++k) {
+        if (row[k] == v) {
+          w = (int32_t)k;
+          break;
+        }
+      }
+      int64_t local;
+      if (w >= 0) {
+        local = (int64_t)w * sets + s;
+      } else {
+        miss_pos[n_miss] = (int32_t)i;
+        local = aux_base_local + n_miss;
+        ++n_miss;
+      }
+      int32_t r = rank_scratch[local];
+      if (r < 0) {
+        r = (int32_t)n_uniq;
+        rank_scratch[local] = r;
+        uniq_out[n_uniq++] = (int32_t)(table_offset + local);
+      }
+      rank = (uint32_t)r;
+    }
+    acc |= (uint64_t)(rank & sentinel) << accbits;
+    accbits += (int)inv_bits;
+    while (accbits >= 8) {
+      *p++ = (uint8_t)(acc & 0xFF);
+      acc >>= 8;
+      accbits -= 8;
+    }
+  }
+  if (accbits) *p++ = (uint8_t)(acc & 0xFF);
+  // self-clean the scratch (touched entries only: U <= n)
+  for (int64_t j = 0; j < n_uniq; ++j)
+    rank_scratch[uniq_out[j] - table_offset] = -1;
+  *n_miss_out = n_miss;
+  return n_uniq;
+}
+
+// Dedup batch probe, OpenMP-parallel over tables.
+void cdlrm_probe_batch_dedup(const int32_t* const* occ_ptrs,
+                             const int64_t* sets, int64_t ways, int64_t t_count,
+                             const int64_t* idx, int64_t n,
+                             const uint8_t* valid,
+                             const int64_t* aux_bases_local,
+                             const int64_t* table_offsets, int64_t inv_bits,
+                             int64_t inv_bytes_per_table,
+                             int32_t* const* rank_scratch_ptrs,
+                             uint8_t* inv_out, int32_t* uniq_out,
+                             int64_t* uniq_counts, int32_t* miss_pos,
+                             int64_t* miss_counts) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t t = 0; t < t_count; ++t) {
+    uniq_counts[t] = cdlrm_probe_table_dedup(
+        occ_ptrs[t], sets[t], ways, idx + t * n, n,
+        valid ? valid + t * n : nullptr, aux_bases_local[t], table_offsets[t],
+        inv_bits, rank_scratch_ptrs[t], inv_out + t * inv_bytes_per_table,
+        uniq_out + t * n, miss_pos + t * n, &miss_counts[t]);
+  }
+}
+
+// Pack int64 values (< 0 => all-ones sentinel) into an LSB-first bitstream
+// of `bits`-wide values — the generic wire emitter (train/step.py pack_slots
+// byte layout) for host-assembled buffers like the dedup unique list, where
+// the numpy bit loop costs ~12ms at 65k values and this costs ~0.1ms.
+void cdlrm_pack_bits(const int64_t* vals, int64_t n, int64_t bits,
+                     uint8_t* out) {
+  const uint64_t sentinel = (1ull << bits) - 1ull;
+  uint64_t acc = 0;
+  int accbits = 0;
+  uint8_t* p = out;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t v = vals[i] < 0 ? sentinel : ((uint64_t)vals[i] & sentinel);
+    acc |= v << accbits;
+    accbits += (int)bits;
+    while (accbits >= 8) {
+      *p++ = (uint8_t)(acc & 0xFF);
+      acc >>= 8;
+      accbits -= 8;
+    }
+  }
+  if (accbits) *p++ = (uint8_t)(acc & 0xFF);
+}
+
 // Bitstream batch probe, OpenMP-parallel over tables. out strides by
 // bytes_per_table per table (caller computes wire_bytes(n, bits)).
 void cdlrm_probe_batch_wirebits(const int32_t* const* occ_ptrs,

@@ -189,6 +189,77 @@ def test_wire_roundtrip_unpack(rng, bits):
     assert np.array_equal(back, slots)
 
 
+@pytest.mark.parametrize("bits", [9, 13, 18, 24])
+def test_pack_bits_matches_pack_slots(rng, bits):
+    """The native 1-D bitstream emitter == pack_slots byte-for-byte (the
+    dedup unique wire is packed natively; the device unpack must not care
+    which host wrote it)."""
+    from cdlrm_tpu.train.step import pack_slots, wire_bytes
+
+    n = 1000
+    vals = rng.integers(0, (1 << bits) - 1, n).astype(np.int64)
+    vals[rng.random(n) < 0.2] = -1  # sentinel marks
+    want = pack_slots(vals[None, :], np.zeros(1, np.int64), -1, bits)[0]
+    got = native.pack_bits(vals, bits, wire_bytes(n, bits))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_probe_dedup_native_matches_numpy(rng, masked):
+    """The fused native probe+dedup (csrc cdlrm_probe_batch_dedup) must be
+    bit-identical to the numpy fallback: same first-seen ranks, same unique
+    lists, same aux assembly — with duplicate-heavy streams so coalescing is
+    actually exercised."""
+    ln_emb = [40, 15, 90]
+    geo, ctrl = _controller(rng, ln_emb, cache_size=16, ways=2, aux=512)
+    master = _ZeroMaster(geo.dim)
+    n = 256
+    ls_i = np.stack([rng.integers(0, min(n_t, 12), n) for n_t in ln_emb]).astype(
+        np.int64
+    )  # tiny id range -> heavy duplication
+    valid = (rng.random((3, n)) < 0.6) if masked else None
+    inv_bits = 10
+
+    got = ctrl.probe_dedup(ls_i, master, inv_bits, valid=valid)
+    with mock.patch.object(native, "available", return_value=False):
+        want = ctrl.probe_dedup(ls_i, master, inv_bits, valid=valid)
+    assert np.array_equal(got.inv_wire, want.inv_wire)
+    assert np.array_equal(got.uniq, want.uniq)
+    assert np.array_equal(got.uniq_counts, want.uniq_counts)
+    assert np.array_equal(got.aux_slots, want.aux_slots)
+    assert np.array_equal(got.aux_rows, want.aux_rows)
+    assert np.array_equal(got.hit_counts, want.hit_counts)
+    assert got.num_lookups == want.num_lookups
+    # coalescing really happened
+    assert got.uniq.size < (np.sum(valid) if masked else ls_i.size)
+
+    # decode agrees with the plain probe: rank stream expands back to the
+    # plain path's slot resolution
+    import jax.numpy as jnp
+
+    from cdlrm_tpu.train import step as step_lib
+
+    pr = ctrl.probe(ls_i, master, valid=valid)
+    uniq_bits = step_lib.wire_width(
+        int((geo.ways * geo.sets + geo.aux_capacity).max()) - 1
+    )
+    ub = 1 + got.uniq.size + 3  # arbitrary padding
+    vals = np.full(ub, -1, np.int64)
+    vals[1 : 1 + got.uniq.size] = got.uniq.astype(np.int64) - np.repeat(
+        geo.table_offsets, got.uniq_counts
+    )
+    uniq_wire = step_lib.pack_slots(
+        vals[None, :], np.zeros(1, np.int64), -1, uniq_bits
+    )[0]
+    uniq_slots, ginv = step_lib._decode_dedup(
+        jnp.asarray(got.inv_wire), jnp.asarray(uniq_wire),
+        jnp.asarray(got.uniq_counts.astype(np.int32)), geo, inv_bits,
+        uniq_bits, n,
+    )
+    expanded = np.asarray(uniq_slots)[np.asarray(ginv)].reshape(3, n)
+    assert np.array_equal(expanded, pr.slots)
+
+
 @pytest.mark.parametrize("bits", list(range(9, 25)))
 def test_wire_roundtrip_every_width(bits):
     """Property test at EVERY supported width, bits=9 boundary included, with

@@ -11,8 +11,8 @@ from cdlrm_tpu.cache.prefetcher import EvictionManager, LookaheadPrefetcher
 
 
 def make_stream(batches):
-    def fn():
-        return iter(batches)
+    def fn(skip=0):
+        return iter(batches[skip:])
 
     return fn
 
@@ -114,7 +114,7 @@ def test_eviction_manager_timeout_exit(rng):
 def test_prefetcher_error_propagates(rng):
     master = MasterTables([10], 4, rng)
 
-    def bad_stream():
+    def bad_stream(skip=0):
         def gen():
             yield np.array([[50]])  # out of range -> gather raises
 

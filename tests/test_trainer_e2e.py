@@ -110,6 +110,67 @@ def test_checkpoint_resume_bitexact(tmp_path):
     assert tr2.global_step >= 25
 
 
+def test_midstream_resume_equals_uninterrupted(tmp_path):
+    """(train 18, checkpoint, fresh trainer, resume 20 more) must be
+    step-for-step identical to an uninterrupted train-38 — including refill
+    windows and prefetcher alignment (VERDICT r1 item 4; the data cursor).
+    18 is deliberately mid-window (lookahead 4). Fully-resident geometry
+    keeps the comparison exact: no miss-row staging races with eviction
+    writebacks."""
+    ln_emb = np.array([40, 25, 60])
+    b = 16
+
+    def cfg_fn():
+        cfg = make_cfg(
+            mini_batch_size=b, world_size=4, cache_size=64, num_ways=2,
+            lookahead=4, table_agg_freq=5,
+        )
+        cfg.finalize(ln_emb=ln_emb)
+        return cfg
+
+    def ds_fn():
+        from cdlrm_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(
+            m_den=13, ln_emb=ln_emb, data_size=b * 50, mini_batch_size=b,
+            num_indices_per_lookup=1, num_indices_per_lookup_fixed=True,
+            round_targets=True, seed=11,
+        )
+
+    # uninterrupted run
+    tr = CachedDlrmTrainer(cfg_fn(), ds_fn())
+    tr.train(max_steps=38, log_fn=lambda s: None)
+    cache_ref = np.asarray(tr.cache).copy()
+    occ_ref = [o.copy() for o in tr.controller.occupancy]
+    params_ref = {k: [(np.asarray(w), np.asarray(bb)) for w, bb in v]
+                  for k, v in tr.params.items()}
+    tr.close()
+
+    # interrupted at 18 (mid-window), resumed in a FRESH trainer
+    tr1 = CachedDlrmTrainer(cfg_fn(), ds_fn())
+    tr1.train(max_steps=18, log_fn=lambda s: None)
+    assert tr1._cursor == (0, 18)
+    ck = str(tmp_path / "mid")
+    tr1.save_checkpoint(ck)
+    tr1.close()
+
+    tr2 = CachedDlrmTrainer(cfg_fn(), ds_fn())
+    tr2.load_checkpoint(ck)
+    assert tr2._cursor == (0, 18)
+    tr2.train(max_steps=38, log_fn=lambda s: None)
+    assert tr2.global_step == 38
+    tr2.close()
+
+    for a, bb in zip(tr2.controller.occupancy, occ_ref):
+        np.testing.assert_array_equal(a, bb)
+    np.testing.assert_allclose(np.asarray(tr2.cache), cache_ref, rtol=1e-6,
+                               atol=1e-7)
+    for k in ("bot", "top"):
+        for (w, bi), (wo, bo) in zip(tr2.params[k], params_ref[k]):
+            np.testing.assert_allclose(np.asarray(w), wo, rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(bi), bo, rtol=1e-6, atol=1e-7)
+
+
 def test_strict_bias_divergence_mode():
     cfg = make_cfg(strict_bias_divergence=True)
     ds = LearnableDataset(cfg.ln_emb, num_batches=10)
@@ -147,6 +208,91 @@ def test_config_sanity_check_raises():
     cfg = Config(arch_sparse_feature_size=8, arch_mlp_bot="13-16", arch_mlp_top="4-1")
     with pytest.raises(ValueError, match="bottom MLP out"):
         cfg.finalize(ln_emb=np.array([10]))
+
+
+@pytest.mark.parametrize("pooled", [False, True])
+def test_dedup_matches_plain_path(pooled):
+    """The dedup wire format (rank stream + unique list, train/step.py
+    body_dedup) must reproduce the plain path's training exactly: the
+    scatter-add coalesces duplicate-slot gradients identically whether XLA
+    does it (plain) or the take-transpose segment-sum does (dedup). Heavy
+    duplication (tiny id range) stresses the coalescing.
+
+    The geometry is deliberately eviction-heavy (70 ids into 11 sets x 4
+    ways), and WHEN an eviction writeback lands in the master relative to
+    the prefetcher's window gathers is timing-dependent BY DESIGN (async
+    writeback thread — parity with the reference's cache manager process).
+    An exact two-run comparison therefore freezes the master: the writeback
+    thread is never started, so every miss reads identical (init) master
+    values in both runs while the eviction/insert traffic itself is still
+    fully exercised."""
+    ln_emb = np.array([50, 20, 70])
+
+    class DupHeavyDataset:
+        m_den = 13
+
+        def __init__(self, num_batches=24, batch=64, seed=4):
+            self.ln_emb = ln_emb
+            self.num_batches, self.batch, self.seed = num_batches, batch, seed
+
+        def __len__(self):
+            return self.num_batches
+
+        def batches(self):
+            rng = np.random.default_rng(self.seed)
+            for _ in range(self.num_batches):
+                x = rng.random((self.batch, self.m_den)).astype(np.float32)
+                y = (x[:, 0] > 0.5).astype(np.float32)[:, None]
+                if pooled:
+                    p = 3
+                    ls = np.stack(
+                        [rng.integers(0, n, (self.batch, p)) for n in ln_emb]
+                    )
+                    mask = rng.random((3, self.batch, p)) < 0.7
+                    mask[:, :, 0] = True
+                    yield Batch(x, ls, mask, y)
+                else:
+                    ls = np.stack(
+                        [rng.integers(0, n, self.batch) for n in ln_emb]
+                    )
+                    yield Batch(x, ls, None, y)
+
+    def run(dedup):
+        cfg = make_cfg(
+            world_size=4, cache_size=32, num_ways=4, lookahead=3,
+            table_agg_freq=5, dedup_lookups=dedup, eviction_fifo_size=64,
+        )
+        cfg.finalize(ln_emb=ln_emb)
+        tr = CachedDlrmTrainer(cfg, DupHeavyDataset(), mesh=None)
+        tr.eviction_manager.start = lambda: None  # freeze master (docstring)
+        assert tr._dedup == dedup
+        tr.train(max_steps=20, log_fn=lambda s: None)
+        out = (
+            np.asarray(tr.cache).copy(),
+            {k: [(np.asarray(w), np.asarray(b)) for w, b in v]
+             for k, v in (tr.params or {}).items()},
+            tr.metrics.loss_sum,
+            tr.metrics.hits,
+            tr.metrics.lookups,
+        )
+        tr.close()
+        return out
+
+    cache_p, params_p, loss_p, hits_p, lk_p = run(False)
+    cache_d, params_d, loss_d, hits_d, lk_d = run(True)
+    assert (hits_p, lk_p) == (hits_d, lk_d)
+    np.testing.assert_allclose(loss_d, loss_p, rtol=1e-5)
+    trash = -1  # last row: unspecified by contract (geometry.py)
+    R = cache_p.shape[0] // 4
+    keep = np.ones(cache_p.shape[0], bool)
+    for r in range(4):
+        keep[r * R + R - 1] = False
+    np.testing.assert_allclose(cache_d[keep], cache_p[keep], rtol=1e-4,
+                               atol=1e-6)
+    for k in ("bot", "top"):
+        for (w, b), (wo, bo) in zip(params_d[k], params_p[k]):
+            np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(b, bo, rtol=1e-5, atol=1e-7)
 
 
 def test_cached_equals_fulltable_when_fully_resident():
