@@ -39,6 +39,7 @@ def build_dataset(cfg: Config):
             data_generation=cfg.data_generation,
             trace_file=cfg.data_trace_file,
             enable_padding=cfg.data_trace_enable_padding,
+            trace_model=cfg.data_trace_model,
             seed=cfg.numpy_rand_seed,
         )
         test = SyntheticDataset(
@@ -46,10 +47,15 @@ def build_dataset(cfg: Config):
             ln_emb=cfg.ln_emb,
             data_size=max(cfg.test_mini_batch_size * 4, cfg.mini_batch_size),
             mini_batch_size=cfg.test_mini_batch_size,
+            # eval batches must share the train stream's pooled width: the
+            # trainer compiles one eval step for [T, B, P] + mask
+            num_indices_per_lookup=cfg.num_indices_per_lookup,
+            num_indices_per_lookup_fixed=cfg.num_indices_per_lookup_fixed,
             round_targets=cfg.round_targets,
             data_generation=cfg.data_generation,
             trace_file=cfg.data_trace_file,
             enable_padding=cfg.data_trace_enable_padding,
+            trace_model=cfg.data_trace_model,
             seed=cfg.numpy_rand_seed + 1,
         )
         return train, test, cfg

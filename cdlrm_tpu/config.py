@@ -51,6 +51,9 @@ class Config:
     processed_data_file: str = ""
     data_randomize: str = "total"  # total | day | none
     data_trace_enable_padding: bool = False
+    data_trace_model: str = "lru"  # lru | rand — which stack-distance trace
+    #   generator drives data_generation='synthetic' (the reference hard-codes
+    #   lru and keeps rand commented out, dlrm_data_pytorch.py:850-854)
     max_ind_range: int = -1
     data_sub_sample_rate: float = 0.0
     num_indices_per_lookup: int = 10
@@ -100,7 +103,11 @@ class Config:
     mlperf_auc_threshold: float = 0.0
     mlperf_bin_loader: bool = False
     mlperf_bin_shuffle: bool = False
-    large_batch: bool = False
+    large_batch: bool = False  # parsed for reference-CLI parity only: the
+    #   reference uses it to gate the terabyte streaming loader on
+    #   large_batch AND memory_map (dlrm_data_pytorch.py:387); here the
+    #   streaming loader is selected by memory_map alone — it has no
+    #   small-batch penalty (per-day npz + carry stitching, data/criteo.py)
 
     # ---- distributed (main_no_ddp.py:127-137) ----
     world_size: int = 1  # number of DP shards (devices along the 'dp' mesh axis)

@@ -92,10 +92,17 @@ def generate_uniform_batch(
 # ---------------------------------------------------------------------------
 
 
-def trace_profile(trace: Sequence[int]) -> Tuple[List[int], List[int], List[int]]:
+def trace_profile(
+    trace: Sequence[int], enable_padding: bool = False
+) -> Tuple[List[int], List[int], List[int]]:
     """Profile a reference trace into (final stack, stack distances, first
     accesses) — the LRU stack-distance model (dlrm_data_pytorch.py:956-1001).
-    Distances use depth l - i (consecutive repeats have distance 1)."""
+    Distances use depth l - i (consecutive repeats have distance 1).
+
+    ``enable_padding`` (dlrm_data_pytorch.py:985-995): long traces with small
+    cardinality c produce few new (sd=0) samples relative to trace length l,
+    so the fitted distribution under-weights new references; pad ceil(l/c)
+    zero-distances to put new samples on par with the per-line average."""
     rstack: List[int] = []
     stack_distances: List[int] = []
     line_accesses: List[int] = []
@@ -115,6 +122,10 @@ def trace_profile(trace: Sequence[int]) -> Tuple[List[int], List[int], List[int]
             line_accesses.insert(0, r)
             rstack.append(r)
             pos[r] = True
+    if enable_padding and stack_distances:
+        l = len(stack_distances)
+        c = max(1, max(stack_distances))  # all-new trace: max sd is 0
+        stack_distances = stack_distances + [0] * int(np.ceil(l / c))
     return rstack, stack_distances, line_accesses
 
 
@@ -163,6 +174,37 @@ def trace_generate_lru(
     return out
 
 
+def trace_generate_rand(
+    rng: np.random.Generator,
+    line_accesses: List[int],
+    list_sd: List[int],
+    cumm_sd: List[float],
+    out_trace_len: int,
+    enable_padding: bool = False,
+) -> List[int]:
+    """Generate a synthetic trace from a stack-distance distribution WITHOUT
+    maintaining LRU recency (dlrm_data_pytorch.py:933-953, the reference's
+    commented-out alternative to the LRU model at :850): new (sd=0)
+    references rotate the first-access list exactly as the LRU variant, but
+    an existing reference reads position l-sd without moving it to the MRU
+    end — repeat accesses don't reshape the stack."""
+    line_accesses = list(line_accesses)
+    max_sd = list_sd[-1]
+    l = len(line_accesses)
+    i = 0
+    out = []
+    for _ in range(out_trace_len):
+        sd = _sample_stack_distance(rng, list_sd, cumm_sd, max_sd, i, enable_padding)
+        if sd == 0:  # new reference
+            ref = line_accesses.pop(0)
+            line_accesses.append(ref)
+            i += 1
+        else:  # existing reference; stack NOT reordered
+            ref = line_accesses[l - sd]
+        out.append(ref)
+    return out
+
+
 def read_dist_from_file(path: str):
     """Load (line_accesses, list_sd, cumm_sd) written one-list-per-line."""
     with open(path) as f:
@@ -190,10 +232,13 @@ def generate_synthetic_batch(
     trace_file: str,
     enable_padding: bool = False,
     round_targets: bool = False,
+    trace_model: str = "lru",
 ) -> Batch:
     """Trace-driven synthetic batch (dlrm_data_pytorch.py:809-880): per-table
     stack-distance distribution files (trace_file with 'j' replaced by the
-    table id) drive an LRU-model index stream."""
+    table id) drive an LRU-model index stream. ``trace_model``: 'lru'
+    (reference default, :854) or 'rand' (the :850 alternative — no recency
+    reordering on repeat accesses)."""
     x = rng.random((n, m_den), dtype=np.float32)
     y = rng.random((n, 1), dtype=np.float32)
     if round_targets:
@@ -211,7 +256,8 @@ def generate_synthetic_batch(
                 cnt = p
             else:
                 cnt = max(1, int(np.round(float(rng.random()) * min(size, p))))
-            refs = trace_generate_lru(
+            gen = trace_generate_lru if trace_model == "lru" else trace_generate_rand
+            refs = gen(
                 rng, line_accesses, list_sd, cumm_sd, cnt, enable_padding
             )
             group = np.unique(np.asarray(refs, dtype=np.int64))
@@ -242,6 +288,7 @@ class SyntheticDataset:
     data_generation: str = "random"
     trace_file: str = ""
     enable_padding: bool = False
+    trace_model: str = "lru"  # 'lru' | 'rand' (dlrm_data_pytorch.py:850-854)
     seed: int = 123
 
     def __post_init__(self):
@@ -284,6 +331,7 @@ class SyntheticDataset:
                     self.trace_file,
                     self.enable_padding,
                     self.round_targets,
+                    self.trace_model,
                 )
             else:
                 raise ValueError(f"unsupported data_generation: {self.data_generation}")

@@ -5,6 +5,7 @@ from cdlrm_tpu.data.synthetic import (
     SyntheticDataset,
     generate_uniform_batch,
     trace_generate_lru,
+    trace_generate_rand,
     trace_profile,
     write_dist_to_file,
     read_dist_from_file,
@@ -75,3 +76,63 @@ def test_trace_profile_and_lru_roundtrip(rng, tmp_path):
     out = trace_generate_lru(rng, la, lv, lc, 50)
     assert set(out) <= {1, 2, 3, 4}
     assert len(out) == 50
+
+
+def test_trace_profile_padding():
+    """enable_padding appends ceil(l/c) zero-distances (reference
+    dlrm_data_pytorch.py:985-995): l=10 samples, max distance c=4 (the final
+    access of 2 is 4 deep) -> ceil(10/4)=3 padding zeros on top of the 4
+    genuine first-accesses."""
+    trace = [1, 2, 3, 1, 2, 3, 1, 1, 4, 2]
+    _, sds, _ = trace_profile(trace)
+    _, sds_pad, _ = trace_profile(trace, enable_padding=True)
+    assert max(sds) == 4 and len(sds) == 10
+    assert len(sds_pad) == len(sds) + 3
+    assert sds_pad[len(sds):] == [0, 0, 0]
+    # degenerate all-new trace: c clamps to 1 instead of dividing by zero
+    _, sds_new, _ = trace_profile([7, 8, 9], enable_padding=True)
+    assert sds_new == [0, 0, 0, 0, 0, 0]
+
+
+def test_trace_generate_rand_no_recency_reorder(rng):
+    """The rand model (dlrm_data_pytorch.py:933-953) reads position l-sd
+    without LRU reordering. With a distribution forcing sd=2 always
+    (cumm=[1.0] at value 2) and stack [10, 20, 30] (l=3), every access
+    reads index l-sd=1 -> 20, repeatedly — whereas the LRU model would
+    rotate 20 to the MRU end and return a different element next."""
+    la = [10, 20, 30]
+    out = trace_generate_rand(rng, la, [2], [1.0], 5)
+    assert out == [20, 20, 20, 20, 20]
+    out_lru = trace_generate_lru(rng, la, [2], [1.0], 5)
+    assert out_lru == [20, 20, 20, 20, 20] or out_lru != out  # lru reorders
+    # sd=0 path: both models rotate the first-access list identically
+    out0 = trace_generate_rand(rng, [1, 2, 3], [0], [1.0], 4)
+    assert out0 == [1, 2, 3, 1]
+
+
+def test_synthetic_dataset_trace_model_rand(rng, tmp_path):
+    """SyntheticDataset(trace_model='rand') flows through
+    generate_synthetic_batch and yields in-range multi-hot batches."""
+    import collections
+
+    trace = [1, 2, 3, 1, 2, 3, 1, 1, 4, 2]
+    _, sds, accesses = trace_profile(trace)
+    cnt = collections.Counter(sds)
+    vals = sorted(cnt)
+    total = sum(cnt.values())
+    cumm = np.cumsum([cnt[v] / total for v in vals]).tolist()
+    for t in range(2):
+        write_dist_to_file(str(tmp_path / f"dist_{t}.log"), accesses, vals, cumm)
+    ds = SyntheticDataset(
+        m_den=4, ln_emb=[8, 6], data_size=16, mini_batch_size=8,
+        num_indices_per_lookup=3, num_indices_per_lookup_fixed=False,
+        data_generation="synthetic", trace_file=str(tmp_path / "dist_j.log"),
+        trace_model="rand", seed=7,
+    )
+    batches = list(ds.batches())
+    assert len(batches) == 2
+    for b in batches:
+        assert b.ls_i.shape == (2, 8, 3) and b.ls_mask.shape == (2, 8, 3)
+        for t, size in enumerate([8, 6]):
+            assert b.ls_i[t][b.ls_mask[t]].max() < size
+            assert b.ls_mask[t].any(axis=-1).all()  # >=1 valid per lookup
