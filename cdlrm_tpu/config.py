@@ -123,7 +123,13 @@ class Config:
     # ---- TPU-native additions (no reference equivalent) ----
     use_cache: bool = True  # False = full tables resident in HBM (small configs)
     compute_dtype: str = "float32"  # float32 | bfloat16 (MXU-friendly matmuls)
-    refill_broadcast: bool = True  # faithful rank-0 cache broadcast at refill
+    refill_broadcast: str = "strict"  # strict | delta | off. strict =
+    #   faithful rank-0 whole-cache broadcast at refill (reference
+    #   main_no_ddp.py:317-321); delta = ship only evicted rows and let the
+    #   replica-identical insert scatter carry the new values — trajectory-
+    #   equal to strict when table_agg_freq divides lookahead, at O(E*D)
+    #   instead of O(R*D) collective bytes per refill; off = no collective
+    #   (single-device)
     strict_bias_divergence: bool = False  # reproduce reference bias non-sync bug
     aux_capacity: int = -1  # miss-row slots per table per step; -1 = local batch
     pin_cores: bool = False  # sched_setaffinity pinning of pipeline threads
@@ -191,6 +197,30 @@ class Config:
         self.ln_top = [num_int] + _int_list(self.arch_mlp_top)
 
         # sanity checks (reference main_no_ddp.py:571-609)
+        if self.refill_broadcast is True:  # legacy bool spelling
+            self.refill_broadcast = "strict"
+        elif self.refill_broadcast is False:
+            self.refill_broadcast = "off"
+        if self.refill_broadcast not in ("strict", "delta", "off"):
+            raise ValueError(
+                f"refill_broadcast must be strict|delta|off, got "
+                f"{self.refill_broadcast!r}"
+            )
+        if (
+            self.refill_broadcast == "delta"
+            and self.table_agg_freq > 0
+            and self.lookahead % self.table_agg_freq != 0
+        ):
+            import warnings
+
+            warnings.warn(
+                "refill_broadcast='delta' is trajectory-equal to 'strict' "
+                "only when table_agg_freq divides lookahead (every refill "
+                f"then follows an aggregation); got freq={self.table_agg_freq}"
+                f", lookahead={self.lookahead} — replicas may keep divergent "
+                "untouched rows across refills",
+                stacklevel=2,
+            )
         if self.qr_flag:
             if self.qr_operation == "concat" and 2 * m_spa != m_den_out:
                 raise ValueError(

@@ -52,7 +52,15 @@ class StepConfig(NamedTuple):
     loss_threshold: float = 0.0
     table_agg_op: str = "mean"
     strict_bias_divergence: bool = False
-    refill_broadcast: bool = True
+    # 'strict' | 'delta' | 'off' (bools accepted: True='strict', False='off').
+    # strict = faithful rank-0 whole-cache psum broadcast at refill
+    # (reference main_no_ddp.py:317-321, ~2*R*D*4 bytes over ICI per refill);
+    # delta = broadcast only the evicted rows and let the (replica-identical)
+    # insert buffer carry the new values — trajectory-equal to strict when
+    # table_agg_freq divides lookahead (every refill is then immediately
+    # preceded by an aggregation, so replicas are already identical);
+    # off = no collective (single-device).
+    refill_broadcast: object = "strict"
     compute_dtype: Optional[str] = None  # None/'float32' | 'bfloat16'
     # wire packing: slots arrive as a [T, BYTES] uint8 bitstream of
     # wire_bits-wide table-LOCAL ids (unpacked + offset on device). Cuts
@@ -492,11 +500,24 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
     from global replica 0 (the reference gathers them on rank 0,
     main_no_ddp.py:196-199), so every host's local shard holds identical
     values — multi-host writeback needs no extra exchange
-    (parallel/multihost.py)."""
+    (parallel/multihost.py).
+
+    refill_broadcast='delta' (StepConfig doc) skips the O(R*D) whole-cache
+    psum: the insert buffer is already replica-identical (staged replicated,
+    P() spec), so the broadcast's purpose — propagating inserted rows — is
+    served by the scatter itself. The evicted-row broadcast stays (it is
+    O(E*D), and writeback correctness needs replica-identical values)."""
+    mode = cfg.refill_broadcast
+    if mode is True:
+        mode = "strict"
+    elif mode is False:
+        mode = "off"
+    if mode not in ("strict", "delta", "off"):
+        raise ValueError(f"unsupported refill_broadcast mode: {mode!r}")
 
     def body(cache, insert_slots, insert_rows, evict_slots):
         evicted = jnp.take(cache, evict_slots, axis=0)
-        if cfg.refill_broadcast:
+        if mode in ("strict", "delta"):
             idx = jax.lax.axis_index(DP_AXIS)
             evicted = jax.lax.psum(
                 jnp.where(idx == 0, evicted, jnp.zeros_like(evicted)), DP_AXIS
@@ -504,7 +525,7 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
         if cfg.wire_rows_bf16:
             evicted = evicted.astype(jnp.bfloat16)  # halve the D2H writeback
         cache = cache.at[insert_slots].set(insert_rows.astype(jnp.float32))
-        if cfg.refill_broadcast:
+        if mode == "strict":
             idx = jax.lax.axis_index(DP_AXIS)
             contrib = jnp.where(idx == 0, cache, jnp.zeros_like(cache))
             cache = jax.lax.psum(contrib, DP_AXIS)

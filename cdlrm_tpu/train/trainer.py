@@ -152,10 +152,13 @@ class CachedDlrmTrainer:
             ), "mesh devices must be process-contiguous along dp"
             # owned-range writeback relies on evicted rows being broadcast
             # from replica 0 (train/step.py make_refill_step); without the
-            # broadcast every host would write back its own divergent values
-            assert cfg.refill_broadcast, (
-                "multi-host execution requires refill_broadcast=True"
-            )
+            # broadcast every host would write back its own divergent values.
+            # Both strict and delta keep the evicted-row broadcast.
+            if cfg.refill_broadcast in (False, "off"):
+                raise ValueError(
+                    "multi-host execution requires refill_broadcast="
+                    "'strict' or 'delta' (evicted-row broadcast)"
+                )
         if pooled_width is None:
             # data-driven inference: datasets are restartable by contract
             # (see class docstring), so peek the first batch — single-index
@@ -257,7 +260,9 @@ class CachedDlrmTrainer:
             loss_threshold=cfg.loss_threshold,
             table_agg_op=cfg.table_agg_op,
             strict_bias_divergence=cfg.strict_bias_divergence,
-            refill_broadcast=cfg.refill_broadcast,
+            # single replica: every refill collective is the identity — drop
+            # them from the compiled step regardless of the requested mode
+            refill_broadcast=("off" if self.ndev == 1 else cfg.refill_broadcast),
             compute_dtype=cfg.compute_dtype,
             wire_pack=self._wire_pack,
             wire_bits=self._wire_bits,

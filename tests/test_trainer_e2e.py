@@ -381,3 +381,42 @@ def test_cached_equals_fulltable_when_fully_resident():
             cache[slots], np.asarray(tables[t])[ids], rtol=2e-4, atol=1e-6
         )
     tr.close()
+
+
+def test_refill_delta_matches_strict():
+    """refill_broadcast='delta' (evicted-row broadcast only, no O(R*D)
+    whole-cache psum) must be trajectory-equal to 'strict' when
+    table_agg_freq divides lookahead: every refill is then immediately
+    preceded by an aggregation, so replicas are already bit-identical and
+    the strict broadcast is a no-op. Same frozen-master setup as
+    test_dedup_matches_plain_path (async writeback landing is
+    timing-dependent by design)."""
+    ln_emb = np.array([60, 30, 90])
+
+    def run(mode):
+        cfg = make_cfg(
+            world_size=4, cache_size=32, num_ways=4, lookahead=4,
+            table_agg_freq=2, refill_broadcast=mode, eviction_fifo_size=64,
+        )
+        cfg.finalize(ln_emb=ln_emb)
+        ds = LearnableDataset(ln_emb, num_batches=26, batch=64, seed=6)
+        tr = CachedDlrmTrainer(cfg, ds, mesh=None)
+        tr.eviction_manager.start = lambda: None  # freeze master
+        tr.train(max_steps=24, log_fn=lambda s: None)
+        out = (
+            np.asarray(tr.cache).copy(),
+            {k: [(np.asarray(w), np.asarray(b)) for w, b in v]
+             for k, v in tr.params.items()},
+            tr.metrics.loss_sum,
+        )
+        tr.close()
+        return out
+
+    cache_s, params_s, loss_s = run("strict")
+    cache_d, params_d, loss_d = run("delta")
+    np.testing.assert_allclose(loss_d, loss_s, rtol=1e-6)
+    np.testing.assert_allclose(cache_d, cache_s, rtol=1e-6, atol=1e-7)
+    for k in ("bot", "top"):
+        for (w, b), (wo, bo) in zip(params_d[k], params_s[k]):
+            np.testing.assert_allclose(w, wo, rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(b, bo, rtol=1e-6, atol=1e-7)
