@@ -338,6 +338,27 @@ class HostCacheController:
         )
 
     # ----------------------------------------------------------------- insert
+    def count_misses(
+        self, ls_i: np.ndarray, valid: Optional[np.ndarray] = None
+    ) -> int:
+        """Total miss count of one probe batch [T, N] against the CURRENT
+        occupancy — the residency half of :meth:`probe` without slot/aux/row
+        work. Read-only and deterministic, so every multi-host peer computes
+        identical values from the shared index stream + identical occupancy
+        metadata: the basis of the per-window negotiated aux bucket
+        (trainer._window_aux_bucket) that replaces the worst-case
+        T * aux_capacity staging shape."""
+        geo = self.geo
+        total = 0
+        for t in range(ls_i.shape[0]):
+            idx = ls_i[t].astype(np.int32, copy=False)
+            occ = self.occupancy[t][idx % np.int32(geo.sets[t])]  # [N, ways]
+            miss = ~(occ == idx[:, None]).any(axis=1)
+            if valid is not None:
+                miss &= valid[t]
+            total += int(miss.sum())
+        return total
+
     def plan_insert(
         self,
         uniques: Sequence[np.ndarray],

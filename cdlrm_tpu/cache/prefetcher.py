@@ -59,6 +59,10 @@ class WindowData:
     uniques: List[np.ndarray]  # [T] arrays of sorted unique indices
     rows: List[np.ndarray]  # [T] arrays [U_t, D] of master rows
     num_batches: int  # batches covered by this window
+    # raw window entries (ls_i [T, B] or (ls_i [T, B, P], mask)), kept only
+    # when keep_batches=True: the trainer's per-window negotiated aux bucket
+    # needs the exact index stream to count post-refill misses
+    batches: Optional[List] = None
 
 
 def _pin_current_thread(core: int) -> None:
@@ -172,6 +176,7 @@ class LookaheadPrefetcher(threading.Thread):
         backend: str = "thread",
         start_epoch: int = 0,
         skip_batches: int = 0,
+        keep_batches: bool = False,
     ):
         """backend: 'thread' (default — numpy gathers release the GIL) or
         'process' (reference-style mp pool; requires mmap-backed MasterTables
@@ -187,6 +192,7 @@ class LookaheadPrefetcher(threading.Thread):
         self.lookahead = max(1, lookahead)
         self.start_epoch = start_epoch
         self.skip_batches = skip_batches
+        self.keep_batches = keep_batches
         self.fifo: "queue.Queue" = queue.Queue(maxsize=batch_fifo_size)
         self.cache_workers = max(1, cache_workers)
         self.nepochs = nepochs
@@ -256,6 +262,7 @@ class LookaheadPrefetcher(threading.Thread):
             uniques=[r[0] for r in results],
             rows=[r[1] for r in results],
             num_batches=len(window),
+            batches=list(window) if self.keep_batches else None,
         )
 
     def _make_pool(self):

@@ -296,29 +296,34 @@ def exchange_window_rows(
 class GlobalRowExchange:
     """Cross-host row fetch for ids outside the current window (eval misses).
 
-    Two fixed-shape collectives per call regardless of content, so every
-    host's collective sequence stays aligned: (1) allgather everyone's
-    request ids, (2) allgather per-host contributions (zeros for un-owned
-    positions) and sum. O(H^2 * cap * dim) transfer — eval-only; a
-    request-routed exchange is the known optimization."""
+    Request-routed, two collectives per call, every host's sequence aligned:
+
+    1. allgather everyone's request (table, id) lists — O(H * cap) int64s.
+    2. each host packs ONLY the rows it OWNS across all requests (ownership
+       is a pure function of the id, so after step 1 every host knows the
+       exact packing layout of every other host with zero metadata
+       exchange); one allgather of those packed rows — O(H * cap * dim)
+       received bytes per host, vs the O(H^2 * cap * dim) of a
+       contribution-matrix exchange (each uniformly-sharded host owns ~1/H
+       of each requester's cap, so its payload is ~cap rows TOTAL across
+       all H requesters).
+
+    The per-call payload shape (max owned count over hosts) is data-dependent
+    but identical on every host — the same symmetric-varying-shape pattern as
+    exchange_window_rows."""
 
     def __init__(self, master: ShardedMasterTables, capacity: int):
         self.master = master
         self.capacity = int(capacity)
 
-    def fetch(self, requests: List[Tuple[int, np.ndarray]]) -> List[np.ndarray]:
-        """requests: [(table, ids)] with sum(len(ids)) <= capacity. Returns
-        rows aligned with each request."""
-        from jax.experimental import multihost_utils
-
-        H = self.master.shard.num_hosts
-        dim = self.master.dim
+    # -- pure parts (unit-testable at any simulated H without a cluster) ----
+    def _pack_requests(self, requests: List[Tuple[int, np.ndarray]]) -> np.ndarray:
+        """[(table, ids)] -> the fixed-shape [3, cap] allgather payload."""
         counts = [ids.size for _, ids in requests]
         total = int(np.sum(counts)) if counts else 0
         if total > self.capacity:
             raise ValueError(f"{total} eval miss rows exceed exchange capacity "
                              f"{self.capacity}")
-        # pack (table, id) into one id-space so one allgather carries both
         tbl = np.zeros(self.capacity, np.int64)
         ids = np.zeros(self.capacity, np.int64)
         n = 0
@@ -326,21 +331,79 @@ class GlobalRowExchange:
             tbl[n : n + i.size] = t
             ids[n : n + i.size] = i
             n += i.size
-        payload = np.stack([tbl, ids, np.full_like(tbl, n)])  # [3, cap]
-        all_req = np.asarray(multihost_utils.process_allgather(payload))  # [H,3,cap]
-        contrib = np.zeros((H, self.capacity, dim), np.float32)
-        for h in range(H):
-            h_n = int(all_req[h, 2, 0])
-            h_tbl, h_ids = all_req[h, 0, :h_n], all_req[h, 1, :h_n]
-            for t in np.unique(h_tbl):
-                sel = h_tbl == t
-                contrib[h, :h_n][sel] = self.master.gather_owned_of(
-                    int(t), h_ids[sel]
+        return np.stack([tbl, ids, np.full_like(tbl, n)])  # [3, cap]
+
+    def _owner_map(self, all_req: np.ndarray) -> np.ndarray:
+        """[H, cap] owner of every requester slot (-1 = unused padding).
+        Identical on every host — pure function of the gathered requests."""
+        H = all_req.shape[0]
+        shard = self.master.shard
+        owners = np.full((H, self.capacity), -1, dtype=np.int64)
+        for g in range(H):
+            g_n = int(all_req[g, 2, 0])
+            g_tbl, g_ids = all_req[g, 0, :g_n], all_req[g, 1, :g_n]
+            for t in np.unique(g_tbl):
+                sel = g_tbl == t
+                owners[g, :g_n][sel] = shard.owner_of(
+                    g_ids[sel], self.master.ln_emb[int(t)]
                 )
-        summed = np.asarray(
+        return owners
+
+    def _contribution(
+        self, all_req: np.ndarray, owners: np.ndarray, pad_to: int
+    ) -> np.ndarray:
+        """[pad_to, dim] rows this host owns, packed in (requester, slot)
+        order — the layout every peer reconstructs from `owners` alone."""
+        me = self.master.shard.host_id
+        H = all_req.shape[0]
+        buf = np.zeros((pad_to, self.master.dim), np.float32)
+        k = 0
+        for g in range(H):
+            pos = np.flatnonzero(owners[g] == me)
+            if pos.size == 0:
+                continue
+            g_tbl = all_req[g, 0, pos]
+            g_ids = all_req[g, 1, pos]
+            rows = np.zeros((pos.size, self.master.dim), np.float32)
+            for t in np.unique(g_tbl):
+                sel = g_tbl == t
+                rows[sel] = self.master.gather_owned_of(int(t), g_ids[sel])
+            buf[k : k + pos.size] = rows
+            k += pos.size
+        return buf
+
+    def _assemble(self, owners: np.ndarray, gathered: np.ndarray) -> np.ndarray:
+        """[cap, dim] rows answering THIS host's request, scattered back from
+        each owner's packed contribution."""
+        me = self.master.shard.host_id
+        H = owners.shape[0]
+        mine = np.zeros((self.capacity, self.master.dim), np.float32)
+        for h in range(H):
+            # my slots owned by h sit after every earlier requester's
+            # h-owned slots in h's buffer (the packing order above)
+            off = int((owners[:me] == h).sum())
+            pos = np.flatnonzero(owners[me] == h)
+            if pos.size:
+                mine[pos] = gathered[h, off : off + pos.size]
+        return mine
+
+    def fetch(self, requests: List[Tuple[int, np.ndarray]]) -> List[np.ndarray]:
+        """requests: [(table, ids)] with sum(len(ids)) <= capacity. Returns
+        rows aligned with each request."""
+        from jax.experimental import multihost_utils
+
+        H = self.master.shard.num_hosts
+        payload = self._pack_requests(requests)
+        all_req = np.asarray(multihost_utils.process_allgather(payload))  # [H,3,cap]
+        owners = self._owner_map(all_req)
+        # per-owner packed sizes — identical on every host, so the varying
+        # payload shape stays collective-aligned
+        pad_to = max(1, int(max((owners == h).sum() for h in range(H))))
+        contrib = self._contribution(all_req, owners, pad_to)
+        gathered = np.asarray(
             multihost_utils.process_allgather(contrib)
-        ).sum(axis=0)  # [H, cap, dim]
-        mine = summed[self.master.shard.host_id]
+        )  # [H, pad_to, dim]
+        mine = self._assemble(owners, gathered)
         out, n = [], 0
         for t, i in requests:
             out.append(mine[n : n + i.size])

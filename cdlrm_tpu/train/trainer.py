@@ -324,14 +324,18 @@ class CachedDlrmTrainer:
         self.prefetcher: Optional[LookaheadPrefetcher] = None
         # multi-host state: exchanged-window miss store + eval row exchange.
         # The packed-miss bucket is part of the compiled GLOBAL array shape,
-        # so it must be host-count-invariant: default to the worst case
-        # (every table misses every lookup — cold start); tune down with
-        # --aux-bucket once steady-state hit rates are known.
+        # so it must be host-count-invariant. TRAIN batches get a per-window
+        # NEGOTIATED bucket (zero communication: occupancy metadata and the
+        # index stream are host-identical, so every host computes the same
+        # exact post-refill miss counts — _window_aux_bucket); --aux-bucket
+        # caps it. EVAL misses are not window-bounded, so eval keeps the
+        # worst case (every lookup misses).
         self._window_store: Optional[WindowRowStore] = None
         self._aux_bucket = (
             cfg.aux_bucket if cfg.aux_bucket > 0
             else len(cfg.ln_emb) * self.geo.aux_capacity
         )
+        self._aux_bucket_window: Optional[int] = None  # negotiated per window
         self._row_exchange = (
             GlobalRowExchange(
                 self.master,
@@ -401,6 +405,9 @@ class CachedDlrmTrainer:
             rows = exchange_window_rows(self.master, window.uniques, rows)
             self._window_store = WindowRowStore(window.uniques, rows)
         plan = self.controller.plan_insert(window.uniques, rows)
+        if self.multihost:
+            # occupancy is final for this window — negotiate the miss bucket
+            self._aux_bucket_window = self._window_aux_bucket(window)
         ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
         ins_rows = pad_to_bucket(plan.insert_rows, 0.0).astype(
             self._row_wire_dtype, copy=False
@@ -433,14 +440,49 @@ class CachedDlrmTrainer:
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
 
+    def _window_aux_bucket(self, window: WindowData) -> int:
+        """Exact per-window miss bucket, identically computable on EVERY host
+        with zero communication: the index stream is globally shared and
+        occupancy metadata is bit-identical across hosts (module doc,
+        parallel/multihost.py), so the post-refill per-replica miss counts —
+        and hence the pow2 bucket — agree everywhere. Replaces the
+        worst-case T * aux_capacity staging shape (at Terabyte geometry that
+        was ~50 MB/step of mostly-padding H2D). Cost: one count-only
+        residency pass over the window (all ndev replicas, not just local
+        ones — the bucket is the GLOBAL max), amortized over lookahead
+        steps."""
+        if window.batches is None:
+            return self._aux_bucket
+        b_loc = self.cfg.local_batch_size
+        worst = 1
+        for entry in window.batches:
+            ls, mask = entry if isinstance(entry, tuple) else (entry, None)
+            t_count = ls.shape[0]
+            for r in range(self.ndev):
+                sl = slice(r * b_loc, (r + 1) * b_loc)
+                m = self.controller.count_misses(
+                    ls[:, sl].reshape(t_count, -1),
+                    valid=(
+                        None if mask is None
+                        else mask[:, sl].reshape(t_count, -1)
+                    ),
+                )
+                worst = max(worst, m)
+        return min(pow2_bucket(worst), self._aux_bucket)
+
     # ------------------------------------------------------------------ batch
-    def _pack_aux(self, aux_slot_shards, aux_row_shards):
+    def _pack_aux(self, aux_slot_shards, aux_row_shards, for_eval=False):
         """Pack per-replica miss rows into a common pow2 bucket (DESIGN.md
         D6); padding scatters into the trash row. Multi-host: the bucket is
-        part of the GLOBAL array shape, so it is fixed (cfg.aux_bucket)
-        rather than negotiated. Returns flat [n_local*k] buffers + k."""
+        part of the GLOBAL array shape, so it must be host-symmetric — train
+        batches use the per-window negotiated bucket (_window_aux_bucket),
+        eval the worst case (eval misses are not window-bounded). Returns
+        flat [n_local*k] buffers + k."""
         if self.multihost:
-            k = self._aux_bucket
+            k = (
+                self._aux_bucket if for_eval or self._aux_bucket_window is None
+                else self._aux_bucket_window
+            )
         else:
             k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
         aux_slots = np.full((self.n_local, k), self.geo.trash_row, dtype=np.int32)
@@ -667,7 +709,9 @@ class CachedDlrmTrainer:
             slots_shards[0] if len(slots_shards) == 1
             else np.concatenate(slots_shards, axis=1)
         )
-        aux_slots, aux_rows, k = self._pack_aux(aux_slot_shards, aux_row_shards)
+        aux_slots, aux_rows, k = self._pack_aux(
+            aux_slot_shards, aux_row_shards, for_eval=for_eval
+        )
 
         sh = self._shardings
         b_glob = self.ndev * b_loc
@@ -742,6 +786,9 @@ class CachedDlrmTrainer:
                 backend=cfg.prefetch_backend,
                 start_epoch=epoch0,
                 skip_batches=(j0 // cfg.lookahead) * cfg.lookahead,
+                # multi-host: windows carry their raw index arrays so the
+                # per-window aux bucket can be negotiated (_window_aux_bucket)
+                keep_batches=self.multihost,
             )
             self.prefetcher.start()
             self._pipe = AssemblyPipeline(
@@ -807,13 +854,18 @@ class CachedDlrmTrainer:
                     if item is WINDOW_REPLAY:
                         # mid-window resume: the checkpointed occupancy and
                         # controller RNG already reflect this window's insert
-                        # plan — only rebuild the multi-host window store
+                        # plan — only rebuild the multi-host window store and
+                        # re-derive the negotiated miss bucket (occupancy is
+                        # already post-refill for this window)
                         if self.multihost:
                             rows = exchange_window_rows(
                                 self.master, window.uniques, window.rows
                             )
                             self._window_store = WindowRowStore(
                                 window.uniques, rows
+                            )
+                            self._aux_bucket_window = (
+                                self._window_aux_bucket(window)
                             )
                     else:
                         self._apply_refill(window)

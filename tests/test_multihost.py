@@ -171,3 +171,86 @@ def test_two_process_pooled_multihot(tmp_path):
         single["losses"], duo[0]["losses"],
     )
     assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
+
+
+def test_routed_row_exchange_simulated_h4(rng):
+    """GlobalRowExchange's request-routed protocol at a simulated H=4: the
+    pure parts (_pack_requests / _owner_map / _contribution / _assemble) are
+    driven directly, with the two process_allgathers replaced by stacking —
+    every host must reconstruct exactly the rows a full (unsharded) master
+    would return, and the routed payload must be O(cap) rows per host, not
+    O(H*cap) (VERDICT r1 item 7)."""
+    from cdlrm_tpu.parallel.multihost import GlobalRowExchange
+
+    ln_emb, dim, H, cap = [97, 215, 31], 8, 4, 48
+    masters = [
+        ShardedMasterTables(ln_emb, dim, RowShard(h, H),
+                            np.random.default_rng(5))
+        for h in range(H)
+    ]
+    whole = ShardedMasterTables(ln_emb, dim, RowShard(0, 1),
+                                np.random.default_rng(5))
+    exs = [GlobalRowExchange(m, cap) for m in masters]
+
+    # distinct random request lists per host (some empty tables, duplicates)
+    reqs = []
+    for h in range(H):
+        r = []
+        for t, n in enumerate(ln_emb):
+            k = int(rng.integers(0, cap // len(ln_emb)))
+            r.append((t, rng.integers(0, n, k)))
+        reqs.append(r)
+
+    # collective 1: allgather the packed requests
+    all_req = np.stack([exs[h]._pack_requests(reqs[h]) for h in range(H)])
+    owner_maps = [exs[h]._owner_map(all_req) for h in range(H)]
+    for om in owner_maps[1:]:  # the layout plan is host-identical
+        np.testing.assert_array_equal(om, owner_maps[0])
+    owners = owner_maps[0]
+    pad_to = max(1, int(max((owners == h).sum() for h in range(H))))
+    # routed payload is O(cap), not O(H*cap): every request slot has exactly
+    # one owner, so the summed payload equals the total live request count
+    assert sum(int((owners == h).sum()) for h in range(H)) == int(
+        (owners >= 0).sum()
+    ) <= H * cap
+
+    # collective 2: allgather the packed owned rows
+    gathered = np.stack(
+        [exs[h]._contribution(all_req, owners, pad_to) for h in range(H)]
+    )
+    for h in range(H):
+        mine = exs[h]._assemble(owners, gathered)
+        n = 0
+        for t, ids in reqs[h]:
+            expect = whole.tables[t][np.asarray(ids, np.int64)]
+            np.testing.assert_array_equal(mine[n : n + ids.size], expect)
+            n += ids.size
+
+
+def test_count_misses_matches_probe(rng):
+    """HostCacheController.count_misses (the window aux-bucket negotiation
+    primitive) must agree exactly with probe's per-occurrence miss counts,
+    with and without validity masks."""
+    from cdlrm_tpu.cache.geometry import CacheGeometry
+    from cdlrm_tpu.cache.host_cache import HostCacheController
+    from cdlrm_tpu.cache.master import MasterTables
+
+    ln_emb = np.array([50, 80])
+    geo = CacheGeometry.build(ln_emb, dim=4, cache_size=16, ways=2,
+                              aux_capacity=64)
+    ctl = HostCacheController(geo, seed=3)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    # make some ids resident
+    uniq = [np.unique(rng.integers(0, n, 20)) for n in ln_emb]
+    rows = [master.gather(t, u) for t, u in enumerate(uniq)]
+    ctl.plan_insert(uniq, rows)
+
+    ls = np.stack([rng.integers(0, n, 32) for n in ln_emb])
+    pr = ctl.probe(ls, master)
+    misses = int(pr.num_lookups - pr.hit_counts.sum())
+    assert ctl.count_misses(ls) == misses
+
+    valid = rng.random((2, 32)) < 0.6
+    prv = ctl.probe(ls, master, valid=valid)
+    missesv = int(prv.num_lookups - prv.hit_counts.sum())
+    assert ctl.count_misses(ls, valid=valid) == missesv
