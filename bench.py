@@ -92,6 +92,10 @@ def main():
         # PCIe hosts, a loss on this ~30MB/s tunnel, so default off here;
         # BENCH_DEDUP=1 for the A/B
         dedup_lookups=os.environ.get("BENCH_DEDUP", "0") == "1",
+        # scan blocks: one dispatch per 10 steps (dispatch+sync on this
+        # tunnel is ~3.5ms/step of the wall; config.py scan_steps).
+        # BENCH_SCAN=1 for the A/B.
+        scan_steps=int(os.environ.get("BENCH_SCAN", "10")),
     )
     cfg.finalize(ln_emb=ln_emb)
 

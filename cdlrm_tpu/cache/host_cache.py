@@ -89,7 +89,22 @@ class InsertPlan:
 
 
 class HostCacheController:
-    def __init__(self, geometry: CacheGeometry, seed: int = 0):
+    def __init__(
+        self, geometry: CacheGeometry, seed: int = 0,
+        ln_emb: Optional[np.ndarray] = None, slot_map: bool = False,
+    ):
+        """``slot_map`` (requires ``ln_emb``): maintain a flat id->cache-row
+        direct map alongside the set-associative occupancy. The occupancy
+        stays the POLICY structure (insert/evict, way protection); the map is
+        a redundant O(1) index that turns the per-lookup probe from a
+        random-DRAM occupancy walk (~145ns/lookup measured at headline
+        geometry) into one vectorized numpy gather (~8ns/lookup) — the probe
+        was the measured host-side wall of the pipelined step (PERF.md round
+        2). Memory: 4 bytes per embedding id (26 MB at the bench geometry,
+        ~4 GB at full 40M-id Terabyte — small next to the master tables the
+        host already holds). Outputs are bit-identical to the occupancy
+        probe (invariant maintained by plan_insert; pinned in
+        tests/test_cache.py)."""
         self.geo = geometry
         # [-1]-initialized occupancy, reference model_no_ddp.py:144-147.
         # int32: embedding ids are < 2^31 for every supported dataset and the
@@ -104,6 +119,28 @@ class HostCacheController:
             [geometry.aux_base(t) for t in range(geometry.num_tables)], np.int64
         )
         self._rank_scratch: Optional[List[np.ndarray]] = None  # dedup probe
+        self._slot_map: Optional[np.ndarray] = None
+        self._id_bases: Optional[np.ndarray] = None
+        if slot_map:
+            if ln_emb is None:
+                raise ValueError("slot_map=True requires ln_emb")
+            ln = np.asarray(ln_emb, dtype=np.int64)
+            self._id_bases = np.concatenate([[0], np.cumsum(ln)[:-1]])
+            self._slot_map = np.full(int(ln.sum()), -1, dtype=np.int32)
+
+    def rebuild_slot_map(self) -> None:
+        """Re-derive the direct map from the occupancy (checkpoint load)."""
+        if self._slot_map is None:
+            return
+        geo = self.geo
+        self._slot_map[...] = -1
+        for t, occ in enumerate(self.occupancy):
+            sets_t = occ.shape[0]
+            set_idx, way = np.nonzero(occ >= 0)
+            ids = occ[set_idx, way].astype(np.int64)
+            self._slot_map[self._id_bases[t] + ids] = (
+                geo.table_offsets[t] + way * sets_t + set_idx
+            ).astype(np.int32)
 
     def _dedup_scratch(self) -> List[np.ndarray]:
         if self._rank_scratch is None:
@@ -131,6 +168,8 @@ class HostCacheController:
         """
         geo = self.geo
         t_count, b = ls_i.shape
+        if self._slot_map is not None:
+            return self._probe_map(ls_i, master, valid)
         if native.available():
             return self._probe_native(ls_i, master, valid)
         slots = np.empty((t_count, b), dtype=np.int32)
@@ -177,13 +216,57 @@ class HostCacheController:
         num_lookups = int(valid.sum()) if valid is not None else t_count * b
         return ProbeResult(slots, aux_slots, aux_rows, hit_counts, num_lookups)
 
+    def _probe_map(
+        self, ls_i: np.ndarray, master, valid: Optional[np.ndarray] = None,
+    ) -> ProbeResult:
+        """Direct-map probe: one vectorized gather into the flat id->row map
+        replaces the per-lookup occupancy walk; identical outputs (class
+        docstring). Misses and aux assignment follow the same batch-order
+        rule as :meth:`probe`."""
+        geo = self.geo
+        t_count, b = ls_i.shape
+        gidx = ls_i + self._id_bases[:, None]
+        slots = self._slot_map[gidx]  # [T, b] int32, -1 = not resident
+        miss_all = slots < 0
+        if valid is not None:
+            miss_all &= valid
+        aux_slot_parts, aux_row_parts = [], []
+        hit_counts = np.zeros(t_count, dtype=np.int64)
+        for t in range(t_count):
+            miss_pos = np.flatnonzero(miss_all[t])
+            n_miss = miss_pos.size
+            if n_miss > geo.aux_capacity:
+                raise ValueError(
+                    f"table {t}: {n_miss} misses exceed aux capacity "
+                    f"{geo.aux_capacity}; raise --aux-capacity"
+                )
+            if n_miss:
+                aux = self._aux_bases[t] + np.arange(n_miss)
+                slots[t, miss_pos] = aux
+                aux_slot_parts.append(aux.astype(np.int32))
+                aux_row_parts.append(master.gather(t, ls_i[t][miss_pos]))
+            n_valid = b if valid is None else int(valid[t].sum())
+            hit_counts[t] = n_valid - n_miss
+        if valid is not None:
+            slots[~valid] = geo.trash_row
+        if aux_slot_parts:
+            aux_slots = np.concatenate(aux_slot_parts)
+            aux_rows = np.concatenate(aux_row_parts)
+        else:
+            aux_slots = np.zeros(0, dtype=np.int32)
+            aux_rows = np.zeros((0, geo.dim), dtype=np.float32)
+        num_lookups = int(valid.sum()) if valid is not None else t_count * b
+        return ProbeResult(slots, aux_slots, aux_rows, hit_counts, num_lookups)
+
     def probe_wire(
         self, ls_i: np.ndarray, master, bits: int,
         valid: Optional[np.ndarray] = None,
     ) -> ProbeResult:
         """Probe emitting slots as the ``bits``-wide table-local bitstream
         ([T, wire_bytes(N, bits)] uint8; train/step.py pack_slots layout) —
-        fused probe+pack in the native layer, falling back to probe + pack."""
+        fused probe+pack in the native layer, falling back to probe + pack.
+        With the direct map enabled, the map probe + native per-table bit
+        pack is the fastest path (~1.3ms vs ~15ms at headline geometry)."""
         from cdlrm_tpu.train.step import pack_slots, wire_bytes, wire_width
 
         geo = self.geo
@@ -192,6 +275,23 @@ class HostCacheController:
             raise ValueError(
                 f"wire bits={bits} cannot address local slots up to "
                 f"{max_local} (need >= {wire_width(max_local)})"
+            )
+        if self._slot_map is not None:
+            pr = self._probe_map(ls_i, master, valid=valid)
+            if native.available():
+                t_count, n = ls_i.shape
+                nbytes = wire_bytes(n, bits)
+                wire = np.empty((t_count, nbytes), np.uint8)
+                # local slot values; trash -> negative sentinel
+                local = pr.slots.astype(np.int64) - geo.table_offsets[:, None]
+                if valid is not None:
+                    local[~valid] = -1
+                for t in range(t_count):
+                    wire[t] = native.pack_bits(local[t], bits, nbytes)
+            else:
+                wire = pack_slots(pr.slots, geo.table_offsets, geo.trash_row, bits)
+            return ProbeResult(
+                wire, pr.aux_slots, pr.aux_rows, pr.hit_counts, pr.num_lookups
             )
         if not native.available():
             pr = self.probe(ls_i, master, valid=valid)
@@ -348,6 +448,11 @@ class HostCacheController:
         metadata: the basis of the per-window negotiated aux bucket
         (trainer._window_aux_bucket) that replaces the worst-case
         T * aux_capacity staging shape."""
+        if self._slot_map is not None:
+            miss = self._slot_map[ls_i + self._id_bases[:, None]] < 0
+            if valid is not None:
+                miss &= valid
+            return int(miss.sum())
         geo = self.geo
         total = 0
         for t in range(ls_i.shape[0]):
@@ -458,10 +563,19 @@ class HostCacheController:
 
             # commit: occupancy + staged insert rows
             occ[cand_set, ways_assign] = cand_u
-            ins_slots.append(
-                (geo.table_offsets[t] + ways_assign * sets_t + cand_set).astype(np.int32)
-            )
+            new_slots = (
+                geo.table_offsets[t] + ways_assign * sets_t + cand_set
+            ).astype(np.int32)
+            ins_slots.append(new_slots)
             ins_rows.append(np.asarray(rows[t], dtype=np.float32)[cand_rowpos])
+            if self._slot_map is not None:
+                # evicted ids leave; inserted ids take their (set, way) rows.
+                # Evicted and inserted id sets are disjoint (candidates are
+                # misses, old occupants are resident), so order is free.
+                base = self._id_bases[t]
+                if evicting.any():
+                    self._slot_map[base + old[evicting].astype(np.int64)] = -1
+                self._slot_map[base + cand_u.astype(np.int64)] = new_slots
 
         def _cat(parts, dtype, width=None):
             if not parts:
@@ -505,3 +619,4 @@ class HostCacheController:
     def load_state_dict(self, state: dict) -> None:
         for t in range(len(self.occupancy)):
             self.occupancy[t][...] = state[f"occ_{t}"]
+        self.rebuild_slot_map()

@@ -137,6 +137,19 @@ class Config:
     master_init: str = "uniform"  # uniform | tile | virtual (see cache/master.py)
     master_mmap_dir: str = ""  # file-back master tables here (enables process prefetch)
     pipeline_depth: int = 2  # batches probed/staged ahead of the device step
+    scan_steps: int = 1  # >1 compiles lax.scan blocks of consecutive train
+    #   steps: ONE dispatch per block instead of per step (the measured wall
+    #   gap on a tunneled chip is ~3.5ms/step of dispatch+sync). Blocks are
+    #   capped at window/print/test/agg/checkpoint boundaries, so every
+    #   cadence fires at exactly the same global step; per-step metrics come
+    #   back stacked. Forced to 1 with dedup_lookups (variable buckets).
+    probe_impl: str = "auto"  # auto | map | setassoc. 'map' keeps a flat
+    #   id->cache-row direct map beside the occupancy: the host probe becomes
+    #   one vectorized gather (~8ns/lookup vs ~145ns for the occupancy walk —
+    #   the probe was the measured host wall of the pipelined step). Costs
+    #   4 bytes of host RAM per embedding id; 'auto' enables it when that
+    #   total is <= slot_map_max_bytes.
+    slot_map_max_bytes: int = 1 << 32  # 4 GiB (small next to host masters)
     pack_wire: bool = True  # 3-byte slot ids + narrow dtypes on host->device
     #   transfers (lossless; auto-disabled for tables >= 2^24 cache rows)
     enable_profiling: bool = False  # real jax.profiler trace around training
@@ -197,6 +210,12 @@ class Config:
         self.ln_top = [num_int] + _int_list(self.arch_mlp_top)
 
         # sanity checks (reference main_no_ddp.py:571-609)
+        if self.scan_steps > 1 and self.pipeline_depth < self.scan_steps + 2:
+            # a scan block consumes scan_steps staged batches at once; the
+            # assembly pipeline must run at least that far ahead or the
+            # device idles while the rest of the block stages (measured
+            # 17 -> 32 ms/it at depth 2, scan 10)
+            self.pipeline_depth = self.scan_steps + 2
         if self.refill_broadcast is True:  # legacy bool spelling
             self.refill_broadcast = "strict"
         elif self.refill_broadcast is False:

@@ -76,10 +76,13 @@ class StepConfig(NamedTuple):
     # duplicate-slot coalescing (host_cache.py probe_dedup): lookups arrive
     # as bit-packed first-seen ranks into a per-step unique-slot list; the
     # step gathers unique rows once, expands by rank (fast gather), and the
-    # sparse update segment-sums duplicates into a small [U, D] operand
-    # before ONE scatter of U rows — measured 5.0ms vs 9.6ms for the plain
-    # 106k-duplicate scatter at headline shape (Zipf U~0.55N). Costs ~+80KB
-    # per-step H2D (inverse + unique wire vs slot wire).
+    # sparse update segment-sums duplicates before scattering only U unique
+    # rows. Measured in situ (PERF.md round 2): XLA:TPU scatter-add costs
+    # ~90ns PER UPDATE ROW regardless of formulation — the take-VJP segment
+    # sum is itself an N-update scatter, so at the bench distribution
+    # (U~0.57N) the device step is a wash (13.5 vs 13.4 ms); the win scales
+    # with duplication (U~0.2N true-Zipf streams: scatter 9.4 -> ~3.4 ms).
+    # Costs ~+30KB per-step H2D (inverse + unique wire vs slot wire).
     dedup: bool = False
     inv_bits: int = 13  # rank wire width: >= wire_width(lookups_per_table-1)
     uniq_bits: int = 24  # unique-list wire width (== wire_bits)
@@ -260,9 +263,18 @@ def _spec_leading():
 
 
 def make_cached_train_step(
-    mesh: Mesh, geo: CacheGeometry, cfg: StepConfig, pooled_width: int = 0
+    mesh: Mesh, geo: CacheGeometry, cfg: StepConfig, pooled_width: int = 0,
+    block: int = 1,
 ) -> Callable:
     """Build the jitted DP train step.
+
+    ``block`` > 1 compiles a SCAN-BLOCK variant: one dispatch runs ``block``
+    consecutive train steps via lax.scan over per-batch inputs passed flat
+    (batch-major groups of 6) and stacked inside the program. Per-step
+    outputs (loss_sum, correct) come back stacked [block]. Semantically
+    step-for-step identical to ``block`` single calls (pinned in
+    tests/test_trainer_e2e.py); the point is dispatch amortization — the
+    classic drive-the-TPU-with-big-programs pattern.
 
     ``pooled_width`` > 0 enables multi-hot bags: slots come flattened
     [T, B*P], ls_mask [T, B, P] marks real positions, and pooling is a masked
@@ -395,6 +407,53 @@ def make_cached_train_step(
         return params, cache, touched, loss_sum, correct
 
     lead = _spec_leading()
+    if block > 1:
+        if cfg.dedup:
+            raise NotImplementedError(
+                "scan blocks with the dedup wire are not supported yet "
+                "(per-batch unique buckets vary; trainer forces block=1)"
+            )
+
+        def scanned(params, cache, touched, *rest):
+            # rest = block * 6 per-batch inputs (x, slots, ls_mask,
+            # aux_slots, aux_rows, targets) + (lr, lr_embeds). Stacking
+            # happens INSIDE the compiled program, so staging stays one
+            # (pipelined) put per batch and dispatch cost is paid once per
+            # BLOCK: on thin dispatch links (tunneled TPU, busy hosts) the
+            # per-step overhead divides by the block size.
+            lr, lr_embeds = rest[-2], rest[-1]
+            flat = rest[:-2]  # batch-major: block groups of 6
+            stacked = tuple(
+                jnp.stack([flat[j * 6 + i] for j in range(block)])
+                for i in range(6)
+            )
+
+            def f(carry, xs):
+                p, c, t = carry
+                p, c, t, ls, corr = body(p, c, t, *xs, lr, lr_embeds)
+                return (p, c, t), (ls, corr)
+
+            (params, cache, touched), (loss, corr) = jax.lax.scan(
+                f, (params, cache, touched), stacked
+            )
+            return params, cache, touched, loss, corr
+
+        batch_specs = (
+            P(DP_AXIS),  # x
+            P(None, DP_AXIS),  # slots
+            P(None, DP_AXIS),  # ls_mask
+            lead,  # aux_slots
+            lead,  # aux_rows
+            P(DP_AXIS),  # targets
+        )
+        shardmapped = jax.shard_map(
+            scanned,
+            mesh=mesh,
+            in_specs=(lead, lead, lead) + batch_specs * block + (P(), P()),
+            out_specs=(lead, lead, lead, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(shardmapped, donate_argnums=(1, 2))
     if cfg.dedup:
         shardmapped = jax.shard_map(
             body_dedup,

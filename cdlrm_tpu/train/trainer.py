@@ -195,7 +195,14 @@ class CachedDlrmTrainer:
                 cfg.ln_emb, cfg.m_spa, rng, init=cfg.master_init,
                 mmap_dir=cfg.master_mmap_dir or None,
             )
-        self.controller = HostCacheController(self.geo, seed=cfg.numpy_rand_seed)
+        use_map = cfg.probe_impl == "map" or (
+            cfg.probe_impl == "auto"
+            and int(np.sum(cfg.ln_emb)) * 4 <= cfg.slot_map_max_bytes
+        )
+        self.controller = HostCacheController(
+            self.geo, seed=cfg.numpy_rand_seed,
+            ln_emb=cfg.ln_emb, slot_map=use_map,
+        )
 
         # dense params (replicated with a leading device axis)
         params = init_dlrm(rng, cfg.ln_bot, cfg.ln_top)
@@ -280,6 +287,11 @@ class CachedDlrmTrainer:
         self.train_step = step_lib.make_cached_train_step(
             self.mesh, self.geo, scfg, self.pooled_width
         )
+        # scan blocks: one dispatch per `scan_steps` train steps (dispatch
+        # amortization; config.py). Dedup's per-batch unique buckets vary in
+        # shape, so scan is forced off there.
+        self._scan_block = 1 if self._dedup else max(1, cfg.scan_steps)
+        self._scan_cache: dict = {}  # block size -> compiled scan step
         self.eval_step = step_lib.make_cached_eval_step(
             self.mesh, self.geo, scfg, self.pooled_width
         )
@@ -405,8 +417,10 @@ class CachedDlrmTrainer:
             rows = exchange_window_rows(self.master, window.uniques, rows)
             self._window_store = WindowRowStore(window.uniques, rows)
         plan = self.controller.plan_insert(window.uniques, rows)
-        if self.multihost:
+        if self.multihost or self._scan_block > 1:
             # occupancy is final for this window — negotiate the miss bucket
+            # (multihost: host-symmetric shape; scan: batches stacked in one
+            # block must share the aux bucket shape)
             self._aux_bucket_window = self._window_aux_bucket(window)
         ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
         ins_rows = pad_to_bucket(plan.insert_rows, 0.0).astype(
@@ -478,7 +492,7 @@ class CachedDlrmTrainer:
         batches use the per-window negotiated bucket (_window_aux_bucket),
         eval the worst case (eval misses are not window-bounded). Returns
         flat [n_local*k] buffers + k."""
-        if self.multihost:
+        if self.multihost or (self._scan_block > 1 and not for_eval):
             k = (
                 self._aux_bucket if for_eval or self._aux_bucket_window is None
                 else self._aux_bucket_window
@@ -786,9 +800,11 @@ class CachedDlrmTrainer:
                 backend=cfg.prefetch_backend,
                 start_epoch=epoch0,
                 skip_batches=(j0 // cfg.lookahead) * cfg.lookahead,
-                # multi-host: windows carry their raw index arrays so the
-                # per-window aux bucket can be negotiated (_window_aux_bucket)
-                keep_batches=self.multihost,
+                # windows carry their raw index arrays when the per-window
+                # aux bucket must be derived (_window_aux_bucket): multihost
+                # (host-symmetric shapes) and scan blocks (stacked batches
+                # share shapes)
+                keep_batches=self.multihost or self._scan_block > 1,
             )
             self.prefetcher.start()
             self._pipe = AssemblyPipeline(
@@ -799,6 +815,20 @@ class CachedDlrmTrainer:
             self._pipe.start()
             self._stream_done = False
             self._pipeline_started = True
+
+    def _get_scan_step(self, size: int):
+        """Compiled scan-block step for ``size`` consecutive batches
+        (train/step.py make_cached_train_step(block=size)); cached per size —
+        blocks only take sizes in {scan_steps} plus cadence/window
+        remainders, so the variant count stays small."""
+        fn = self._scan_cache.get(size)
+        if fn is None:
+            fn = step_lib.make_cached_train_step(
+                self.mesh, self.geo, self.step_cfg, self.pooled_width,
+                block=size,
+            )
+            self._scan_cache[size] = fn
+        return fn
 
     def train(self, max_steps: Optional[int] = None, log_fn=print) -> TrainMetrics:
         """Main loop: consumes batches pre-probed by the AssemblyPipeline
@@ -825,16 +855,142 @@ class CachedDlrmTrainer:
             # No eager ops on the global arrays: multi-host eager dispatch
             # would need every process to enqueue identical programs — a
             # deadlock hazard; reading addressable shards is purely local.
+            # idx selects the step's slice of a scan block's stacked [K]
+            # outputs (None = scalar single-step outputs).
             vals = jax.device_get(
-                [x.addressable_shards[0].data for ls, c, _ in pending
+                [x.addressable_shards[0].data for ls, c, _, _ in pending
                  for x in (ls, c)]
             )
-            for i, (_, _, n) in enumerate(pending):
-                self.metrics.loss_sum += float(vals[2 * i])
-                self.metrics.correct += float(vals[2 * i + 1])
+            for i, (_, _, n, idx) in enumerate(pending):
+                ls_v, c_v = vals[2 * i], vals[2 * i + 1]
+                if idx is not None:
+                    ls_v, c_v = ls_v[idx], c_v[idx]
+                self.metrics.loss_sum += float(ls_v)
+                self.metrics.correct += float(c_v)
                 self.metrics.examples += n
                 self.metrics.steps += 1
             pending.clear()
+
+        def cadence_dist(j, f):
+            return f - (j % f) if f and f > 0 else 1 << 30
+
+        def block_cap():
+            """Largest scan block starting at the current step that cannot
+            cross a cadence boundary — every freq-gated action still fires
+            at exactly its global step."""
+            j = self.global_step
+            cap = self._scan_block
+            if max_steps is not None:
+                cap = min(cap, max_steps - j)
+            if self._needs_agg:
+                cap = min(cap, cadence_dist(j, cfg.table_agg_freq))
+            cap = min(cap, cadence_dist(j, cfg.print_freq))
+            if self.test_dataset is not None and cfg.test_freq > 0:
+                cap = min(cap, cadence_dist(j, cfg.test_freq))
+            if cfg.checkpoint_freq > 0 and cfg.save_model:
+                cap = min(cap, cadence_dist(j, cfg.checkpoint_freq))
+            return max(1, cap)
+
+        def after_step(cursor):
+            """Per-step bookkeeping + cadences. Scan blocks are capped at
+            every cadence boundary (block_cap), so freq-gated actions fire
+            at exactly the same global steps as single-step execution."""
+            nonlocal window_t0
+            self.global_step += 1
+            self._cursor = (cursor[0], cursor[1] + 1)
+            j = self.global_step
+
+            if self._needs_agg and j % cfg.table_agg_freq == 0:
+                self.cache, self.touched = self.agg_step(self.cache, self.touched)
+
+            if j % cfg.print_freq == 0:
+                flush_pending()
+                dt = time.perf_counter() - window_t0
+                m = self.metrics
+                # ms/it excludes the amortized refill cost, which is
+                # reported separately — reference semantics
+                # (main_no_ddp.py:458-473)
+                ms_it = 1000.0 * max(0.0, dt - m.caching_overhead_s) / max(1, m.steps)
+                overhead_ms = 1000.0 * m.caching_overhead_s / max(1, m.steps)
+                self.last_window = {
+                    "ms_per_iter": ms_it,
+                    "caching_overhead_ms": overhead_ms,
+                    "loss": m.loss_sum / max(1, m.examples),
+                    "accuracy": m.correct / max(1, m.examples),
+                    "hit_rate": m.hit_rate,  # train probes only
+                    "eval_hit_rate": m.eval_hit_rate,
+                    "steps": m.steps,
+                }
+                log_fn(
+                    f"Step {j}: {ms_it:.2f} ms/it, caching overhead "
+                    f"{overhead_ms:.3f} ms/it, loss "
+                    f"{m.loss_sum / max(1, m.examples):.5f}, "
+                    f"acc {m.correct / max(1, m.examples):.5f}, "
+                    f"hit-rate {m.hit_rate:.4f}"
+                )
+                self.metrics.train_time_s += dt
+                m.steps = 0
+                m.examples = 0
+                m.loss_sum = 0.0
+                m.correct = 0.0
+                m.caching_overhead_s = 0.0
+                window_t0 = time.perf_counter()
+
+            if (
+                self.test_dataset is not None
+                and cfg.test_freq > 0
+                and j % cfg.test_freq == 0
+            ):
+                acc, auc = self.evaluate(log_fn=log_fn)
+                if (
+                    cfg.mlperf_acc_threshold > 0
+                    and acc >= cfg.mlperf_acc_threshold
+                ) or (
+                    cfg.mlperf_auc_threshold > 0
+                    and not np.isnan(auc)
+                    and auc >= cfg.mlperf_auc_threshold
+                ):
+                    log_fn(
+                        f"MLPerf threshold reached (acc={acc:.5f}, "
+                        f"auc={auc:.5f}); stopping"
+                    )
+                    self._stop_requested = True
+
+            if (
+                cfg.checkpoint_freq > 0
+                and j % cfg.checkpoint_freq == 0
+                and cfg.save_model
+            ):
+                self.save_checkpoint(cfg.save_model)
+
+        def run_block(items):
+            """One dispatch for len(items) consecutive steps (scan block;
+            train/step.py make_cached_train_step(block=...)), or the plain
+            single-step call. Per-step metric handling is identical."""
+            for _, _, _, st in items:
+                st.commit(self.metrics)
+            if len(items) == 1:
+                cursor, _, inputs, _ = items[0]
+                (
+                    self.params, self.cache, self.touched, loss_sum, correct,
+                ) = self.train_step(
+                    self.params, self.cache, self.touched, *inputs,
+                    self._lr, self._lr_emb,
+                )
+                pending.append((loss_sum, correct, b, None))
+                after_step(cursor)
+            else:
+                fn = self._get_scan_step(len(items))
+                flat = [a for _, _, inputs, _ in items for a in inputs]
+                (
+                    self.params, self.cache, self.touched, loss_v, corr_v,
+                ) = fn(
+                    self.params, self.cache, self.touched, *flat,
+                    self._lr, self._lr_emb,
+                )
+                for i, (cursor, _, _, _) in enumerate(items):
+                    pending.append((loss_v, corr_v, b, i))
+                    after_step(cursor)
 
         window_t0 = time.perf_counter()
         try:
@@ -843,11 +999,24 @@ class CachedDlrmTrainer:
                     break
                 if self._stop_requested:
                     break
-                item = pipe.get()
-                if item is None:
+                items, stream_end, boundary = [], False, None
+                cap = block_cap()
+                while len(items) < cap:
+                    item = pipe.get()
+                    if item is None:
+                        stream_end = True
+                        break
+                    if item is WINDOW_BOUNDARY or item is WINDOW_REPLAY:
+                        boundary = item
+                        break
+                    items.append(item)
+                if items:
+                    run_block(items)
+                if stream_end:
                     self._stream_done = True
                     break
-                if item is WINDOW_BOUNDARY or item is WINDOW_REPLAY:
+                if boundary is not None:
+                    item = boundary
                     window = self.prefetcher.get_window()
                     if window is None:
                         break
@@ -864,95 +1033,13 @@ class CachedDlrmTrainer:
                             self._window_store = WindowRowStore(
                                 window.uniques, rows
                             )
+                        if self.multihost or self._scan_block > 1:
                             self._aux_bucket_window = (
                                 self._window_aux_bucket(window)
                             )
                     else:
                         self._apply_refill(window)
                     pipe.notify_refill_applied()
-                    continue
-
-                # inputs match the step signature for the active wire format
-                # (plain/wire slots or dedup rank+unique wire)
-                cursor, batch, inputs, probe_stats = item
-                probe_stats.commit(self.metrics)
-                (
-                    self.params,
-                    self.cache,
-                    self.touched,
-                    loss_sum,
-                    correct,
-                ) = self.train_step(
-                    self.params, self.cache, self.touched, *inputs,
-                    self._lr, self._lr_emb,
-                )
-                pending.append((loss_sum, correct, b))
-                self.global_step += 1
-                self._cursor = (cursor[0], cursor[1] + 1)
-                j = self.global_step
-
-                if self._needs_agg and j % cfg.table_agg_freq == 0:
-                    self.cache, self.touched = self.agg_step(self.cache, self.touched)
-
-                if j % cfg.print_freq == 0:
-                    flush_pending()
-                    dt = time.perf_counter() - window_t0
-                    m = self.metrics
-                    # ms/it excludes the amortized refill cost, which is
-                    # reported separately — reference semantics
-                    # (main_no_ddp.py:458-473)
-                    ms_it = 1000.0 * max(0.0, dt - m.caching_overhead_s) / max(1, m.steps)
-                    overhead_ms = 1000.0 * m.caching_overhead_s / max(1, m.steps)
-                    self.last_window = {
-                        "ms_per_iter": ms_it,
-                        "caching_overhead_ms": overhead_ms,
-                        "loss": m.loss_sum / max(1, m.examples),
-                        "accuracy": m.correct / max(1, m.examples),
-                        "hit_rate": m.hit_rate,  # train probes only
-                        "eval_hit_rate": m.eval_hit_rate,
-                        "steps": m.steps,
-                    }
-                    log_fn(
-                        f"Step {j}: {ms_it:.2f} ms/it, caching overhead "
-                        f"{overhead_ms:.3f} ms/it, loss "
-                        f"{m.loss_sum / max(1, m.examples):.5f}, "
-                        f"acc {m.correct / max(1, m.examples):.5f}, "
-                        f"hit-rate {m.hit_rate:.4f}"
-                    )
-                    self.metrics.train_time_s += dt
-                    m.steps = 0
-                    m.examples = 0
-                    m.loss_sum = 0.0
-                    m.correct = 0.0
-                    m.caching_overhead_s = 0.0
-                    window_t0 = time.perf_counter()
-
-                if (
-                    self.test_dataset is not None
-                    and cfg.test_freq > 0
-                    and j % cfg.test_freq == 0
-                ):
-                    acc, auc = self.evaluate(log_fn=log_fn)
-                    if (
-                        cfg.mlperf_acc_threshold > 0
-                        and acc >= cfg.mlperf_acc_threshold
-                    ) or (
-                        cfg.mlperf_auc_threshold > 0
-                        and not np.isnan(auc)
-                        and auc >= cfg.mlperf_auc_threshold
-                    ):
-                        log_fn(
-                            f"MLPerf threshold reached (acc={acc:.5f}, "
-                            f"auc={auc:.5f}); stopping"
-                        )
-                        self._stop_requested = True
-
-                if (
-                    cfg.checkpoint_freq > 0
-                    and j % cfg.checkpoint_freq == 0
-                    and cfg.save_model
-                ):
-                    self.save_checkpoint(cfg.save_model)
         finally:
             # the pipeline persists across train() calls; close() stops it
             pass

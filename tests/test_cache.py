@@ -144,3 +144,47 @@ def test_master_writeback_average():
     np.testing.assert_allclose(master.tables[0][[2, 5]], rows)
     master.writeback(0, np.array([2]), np.zeros((1, 4), np.float32), average=True)
     np.testing.assert_allclose(master.tables[0][2], 0.5 * np.ones(4))
+
+
+@pytest.mark.parametrize("use_valid", [False, True])
+def test_slot_map_probe_bit_identical(use_valid):
+    """The direct-map probe (slot_map=True; the O(1) host probe) must be
+    bit-identical to the occupancy-walk probe across a random stream of
+    probes and refills with evictions — slots, aux assignment, hit counts,
+    and the packed wire. Also pins rebuild_slot_map (checkpoint load)."""
+    from cdlrm_tpu.train.step import wire_width
+
+    ln_emb = (100, 7, 63)
+    rng = np.random.default_rng(42)
+    geo = CacheGeometry.build(ln_emb, 4, 10, 2, 32)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    a = HostCacheController(geo, seed=5)
+    b = HostCacheController(geo, seed=5, ln_emb=np.asarray(ln_emb),
+                            slot_map=True)
+    bits = wire_width(int((geo.ways * geo.sets + geo.aux_capacity).max()) - 1)
+    for step in range(12):
+        ls = np.stack([rng.integers(0, n, 24) for n in ln_emb])
+        valid = (rng.random((3, 24)) < 0.8) if use_valid else None
+        pa = a.probe(ls, master, valid=valid)
+        pb = b.probe(ls, master, valid=valid)
+        np.testing.assert_array_equal(pa.slots, pb.slots)
+        np.testing.assert_array_equal(pa.aux_slots, pb.aux_slots)
+        np.testing.assert_allclose(pa.aux_rows, pb.aux_rows)
+        assert pa.hit_counts.tolist() == pb.hit_counts.tolist()
+        assert pa.num_lookups == pb.num_lookups
+        wa = a.probe_wire(ls, master, bits, valid=valid)
+        wb = b.probe_wire(ls, master, bits, valid=valid)
+        np.testing.assert_array_equal(wa.slots, wb.slots)  # packed bytes
+        assert a.count_misses(ls, valid=valid) == b.count_misses(ls, valid=valid)
+        # refill every 3 steps (drives insertions AND evictions)
+        if step % 3 == 2:
+            uniq = [np.unique(ls[t]) for t in range(3)]
+            rows = [master.gather(t, u) for t, u in enumerate(uniq)]
+            a.plan_insert(uniq, rows)
+            b.plan_insert(uniq, rows)
+            for oa, ob in zip(a.occupancy, b.occupancy):
+                np.testing.assert_array_equal(oa, ob)
+    # checkpoint-load path: rebuild from occupancy must reproduce the map
+    live = b._slot_map.copy()
+    b.rebuild_slot_map()
+    np.testing.assert_array_equal(live, b._slot_map)

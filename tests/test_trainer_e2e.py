@@ -420,3 +420,78 @@ def test_refill_delta_matches_strict():
         for (w, b), (wo, bo) in zip(params_d[k], params_s[k]):
             np.testing.assert_allclose(w, wo, rtol=1e-6, atol=1e-7)
             np.testing.assert_allclose(b, bo, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("pooled", [False, True])
+def test_scan_block_matches_single_step(pooled):
+    """scan_steps=K (one lax.scan dispatch per K steps) must be
+    step-for-step identical to single-step execution — including the agg
+    cadence firing at the same global steps (blocks are capped at cadence
+    boundaries) and per-step metrics. Frozen-master setup as in
+    test_dedup_matches_plain_path."""
+    ln_emb = np.array([50, 20, 70])
+
+    class DupHeavyDataset:
+        m_den = 13
+
+        def __init__(self, num_batches=26, batch=32, seed=4):
+            self.ln_emb = ln_emb
+            self.num_batches, self.batch, self.seed = num_batches, batch, seed
+
+        def __len__(self):
+            return self.num_batches
+
+        def batches(self):
+            rng = np.random.default_rng(self.seed)
+            for _ in range(self.num_batches):
+                x = rng.random((self.batch, self.m_den)).astype(np.float32)
+                y = (x[:, 0] > 0.5).astype(np.float32)[:, None]
+                if pooled:
+                    p = 3
+                    ls = np.stack(
+                        [rng.integers(0, n, (self.batch, p)) for n in ln_emb]
+                    )
+                    mask = rng.random((3, self.batch, p)) < 0.7
+                    mask[:, :, 0] = True
+                    yield Batch(x, ls, mask, y)
+                else:
+                    ls = np.stack(
+                        [rng.integers(0, n, self.batch) for n in ln_emb]
+                    )
+                    yield Batch(x, ls, None, y)
+
+    def run(scan):
+        cfg = make_cfg(
+            mini_batch_size=32, world_size=4, cache_size=32, num_ways=4,
+            lookahead=6, table_agg_freq=3, scan_steps=scan,
+            eviction_fifo_size=64, print_freq=5,
+        )
+        cfg.finalize(ln_emb=ln_emb)
+        tr = CachedDlrmTrainer(cfg, DupHeavyDataset(), mesh=None)
+        tr.eviction_manager.start = lambda: None  # freeze master
+        assert tr._scan_block == scan
+        tr.train(max_steps=22, log_fn=lambda s: None)
+        out = (
+            np.asarray(tr.cache).copy(),
+            {k: [(np.asarray(w), np.asarray(b)) for w, b in v]
+             for k, v in tr.params.items()},
+            tr.metrics.loss_sum,
+            tr.metrics.hits,
+            tr.metrics.lookups,
+            tr.global_step,
+            tr._cursor,
+        )
+        tr.close()
+        return out
+
+    base = run(1)
+    scanned = run(4)  # 4 does not divide lookahead 6 or agg 3: remainders
+    assert base[5] == scanned[5] == 22
+    assert base[6] == scanned[6]
+    assert (base[3], base[4]) == (scanned[3], scanned[4])
+    np.testing.assert_allclose(scanned[2], base[2], rtol=1e-5)
+    np.testing.assert_allclose(scanned[0], base[0], rtol=1e-5, atol=1e-7)
+    for k in ("bot", "top"):
+        for (w, bb), (wo, bo) in zip(scanned[1][k], base[1][k]):
+            np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(bb, bo, rtol=1e-5, atol=1e-7)
