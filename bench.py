@@ -96,6 +96,10 @@ def main():
         # tunnel is ~3.5ms/step of the wall; config.py scan_steps).
         # BENCH_SCAN=1 for the A/B.
         scan_steps=int(os.environ.get("BENCH_SCAN", "10")),
+        # fp8 dense-feature wire: the wall on this tunnel is the H2D link
+        # (PERF.md round 2) and x is the second-largest payload. Lossy
+        # (config.py); BENCH_FP8=0 for the A/B.
+        wire_x_fp8=os.environ.get("BENCH_FP8", "1") == "1",
     )
     cfg.finalize(ln_emb=ln_emb)
 
@@ -166,6 +170,9 @@ def main():
             "tables": num_tables, "dim": dim, "batch": batch,
             "cache_sets": int(cfg.cache_sets), "ways": ways,
             "lookahead": lookahead, "compute_dtype": "bfloat16",
+            "scan_steps": cfg.scan_steps,
+            "x_wire": "fp8" if cfg.wire_x_fp8 else "bf16",
+            "dedup": cfg.dedup_lookups,
         },
     }
     print(json.dumps(result))

@@ -157,6 +157,10 @@ class Config:
     profile_dir: str = "./jax_trace"  # where --enable-profiling writes traces
     wire_rows_bf16: bool = False  # ship refill/miss/evicted ROWS as bf16 —
     #   halves the dominant refill traffic; lossy once per staged row
+    wire_x_fp8: bool = False  # ship dense features as float8_e4m3 (1 byte):
+    #   halves the second-largest per-step H2D payload on thin host links.
+    #   LOSSY (3 mantissa bits vs bf16's 8); compute upcasts at step entry.
+    #   Gate on a convergence check for your data before production use.
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
     #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
     #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)

@@ -207,6 +207,14 @@ def _decode_dedup(
     return uniq_slots, ginv.reshape(-1)
 
 
+def _upcast_x(x, cdtype):
+    """Dense features shipped as fp8 (Config.wire_x_fp8) are upcast once at
+    step entry; compute always runs at cdtype (or f32)."""
+    if x.dtype == jnp.float8_e4m3fn:
+        return x.astype(cdtype if cdtype is not None else jnp.float32)
+    return x
+
+
 def _sgd(tree, grads, lr):
     return jax.tree_util.tree_map(lambda w, g: w - lr * g, tree, grads)
 
@@ -329,6 +337,7 @@ def make_cached_train_step(
     def body(params, cache, touched, x, slots, ls_mask, aux_slots, aux_rows,
              targets, lr, lr_embeds):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
+        x = _upcast_x(x, cdtype)
         b_loc = targets.shape[0]
         if cfg.wire_pack:
             n_lk = b_loc * max(1, pooled_width)
@@ -371,6 +380,7 @@ def make_cached_train_step(
     def body_dedup(params, cache, touched, x, inv_wire, ls_mask, uniq_wire,
                    uniq_counts, aux_slots, aux_rows, targets, lr, lr_embeds):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
+        x = _upcast_x(x, cdtype)
         b_loc = targets.shape[0]
         n_lk = b_loc * max(1, pooled_width)
         targets = targets.astype(jnp.float32)
@@ -515,6 +525,7 @@ def make_cached_eval_step(
 
     def body(params, cache, x, slots, ls_mask, aux_slots, aux_rows):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
+        x = _upcast_x(x, cdtype)
         b_loc = x.shape[0]
         if cfg.wire_pack:
             n_lk = b_loc * max(1, pooled_width)

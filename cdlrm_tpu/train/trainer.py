@@ -610,7 +610,9 @@ class CachedDlrmTrainer:
         b_glob = self.ndev * b_loc
         lo, hi = self.local_ids[0] * b_loc, (self.local_ids[-1] + 1) * b_loc
         x_local = batch.x[lo:hi]
-        if self.cfg.compute_dtype == "bfloat16":
+        if self.cfg.wire_x_fp8:
+            x_local = x_local.astype(jnp.float8_e4m3fn)
+        elif self.cfg.compute_dtype == "bfloat16":
             x_local = x_local.astype(jnp.bfloat16)
         y_local = batch.y[lo:hi]
         if self.cfg.round_targets:
@@ -738,7 +740,9 @@ class CachedDlrmTrainer:
         # casts to bf16 anyway, uint8 0/1 targets
         slots_glob = (t_count, n_glob)
         x_local = batch.x[lo:hi]
-        if self.cfg.compute_dtype == "bfloat16":
+        if self.cfg.wire_x_fp8:
+            x_local = x_local.astype(jnp.float8_e4m3fn)
+        elif self.cfg.compute_dtype == "bfloat16":
             x_local = x_local.astype(jnp.bfloat16)
         y_local = batch.y[lo:hi]
         if self.cfg.round_targets:

@@ -495,3 +495,20 @@ def test_scan_block_matches_single_step(pooled):
         for (w, bb), (wo, bo) in zip(scanned[1][k], base[1][k]):
             np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-7)
             np.testing.assert_allclose(bb, bo, rtol=1e-5, atol=1e-7)
+
+
+def test_wire_x_fp8_trains():
+    """fp8 dense-feature wire (Config.wire_x_fp8): the step upcasts at entry
+    and the learnable signal still trains; eval runs through the same wire."""
+    cfg = make_cfg(wire_x_fp8=True)
+    ds = LearnableDataset(cfg.ln_emb, num_batches=60)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=20, log_fn=lambda s: None)
+    early = tr.metrics.loss_sum / tr.metrics.examples
+    tr.metrics.loss_sum = tr.metrics.correct = 0.0
+    tr.metrics.examples = tr.metrics.steps = 0
+    m = tr.train(max_steps=60, log_fn=lambda s: None)
+    acc, _ = tr.evaluate(log_fn=lambda s: None)
+    tr.close()
+    assert m.loss_sum / m.examples < early  # learnable signal survives fp8
+    assert 0.0 <= acc <= 1.0
