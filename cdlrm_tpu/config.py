@@ -229,6 +229,10 @@ class Config:
                 f"refill_broadcast must be strict|delta|off, got "
                 f"{self.refill_broadcast!r}"
             )
+        if self.probe_impl not in ("auto", "map", "setassoc"):
+            raise ValueError(
+                f"probe_impl must be auto|map|setassoc, got {self.probe_impl!r}"
+            )
         if (
             self.refill_broadcast == "delta"
             and self.table_agg_freq > 0

@@ -59,6 +59,10 @@ def main():
         numpy_rand_seed=7,
         master_init="virtual",  # single-proc baseline matches sharded masters
         batch_fifo_size=4,
+        # multi_window also exercises scan blocks across hosts: block caps
+        # are pure functions of shared state, so every host runs identical
+        # block sizes and the in-scan collectives stay aligned
+        scan_steps=3 if mode == "multi_window" else 1,
     )
     cfg.finalize()
 
