@@ -338,9 +338,9 @@ class HostCacheController:
             aux_local = (geo.ways * geo.sets).astype(np.int64)
             inv_wire, uniq_tn, uniq_counts, miss_pos, miss_counts = (
                 native.probe_batch_dedup(
-                    self.occupancy, ls_i, aux_local, geo.table_offsets,
-                    geo.ways, inv_bits, inv_bytes, self._dedup_scratch(),
-                    valid=valid,
+                    self.occupancy, ls_i, aux_local, geo.aux_capacity,
+                    geo.table_offsets, geo.ways, inv_bits, inv_bytes,
+                    self._dedup_scratch(), valid=valid,
                 )
             )
             base = self._finish_native_probe(

@@ -281,7 +281,22 @@ class CriteoBinDataset:
         return np.arange(self.num_entries)
 
     def batches(self, skip: int = 0) -> Iterator[Batch]:
-        for i in self.batch_order()[skip:]:
+        """``skip`` counts FULL batches — the same unit as the trainer's data
+        cursor, which drops the partial last batch before counting. Under
+        shuffle the partial entry lands at a random permuted position, so
+        skipping raw entries would desynchronize the resumed stream by one
+        whenever the partial precedes the resume point."""
+        order = self.batch_order()
+        if skip and os.path.getsize(self.data_file) % self.bytes_per_entry:
+            partial = self.num_entries - 1  # last entry is the short one
+            full_mask = order != partial
+            n_skipped = np.cumsum(full_mask)
+            # first position where `skip` full batches lie strictly before it
+            start = int(np.searchsorted(n_skipped, skip) + 1)
+            order = order[start:]
+        elif skip:
+            order = order[skip:]
+        for i in order:
             yield self.get_batch(int(i))
 
 

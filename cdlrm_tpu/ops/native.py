@@ -129,8 +129,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cdlrm_pack_bits.argtypes = [_PI64, _I64, _I64, _PU8]
         lib.cdlrm_probe_batch_dedup.restype = None
         lib.cdlrm_probe_batch_dedup.argtypes = [
-            _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _PI64, _I64,
-            _I64, _PPI32, _PU8, _PI32, _PI64, _PI32, _PI64,
+            _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _I64, _PI64,
+            _I64, _I64, _PPI32, _PU8, _PI32, _PI64, _PI32, _PI64,
         ]
         lib.cdlrm_unique_i64.restype = _I64
         lib.cdlrm_unique_i64.argtypes = [_PI64, _I64, _I64, _PI64]
@@ -273,6 +273,7 @@ def probe_batch_dedup(
     occupancy: List[np.ndarray],
     ls_i: np.ndarray,
     aux_bases_local: np.ndarray,
+    aux_capacity: int,
     table_offsets: np.ndarray,
     ways: int,
     inv_bits: int,
@@ -309,8 +310,8 @@ def probe_batch_dedup(
         vptr = _p(valid, _PU8)
     lib.cdlrm_probe_batch_dedup(
         occ_ptrs, _p(sets, _PI64), ways, t_count, _p(ls_i, _PI64), n, vptr,
-        _p(auxb, _PI64), _p(offs, _PI64), inv_bits, inv_bytes_per_table,
-        scratch_ptrs, _p(inv_wire, _PU8), _p(uniq, _PI32),
+        _p(auxb, _PI64), int(aux_capacity), _p(offs, _PI64), inv_bits,
+        inv_bytes_per_table, scratch_ptrs, _p(inv_wire, _PU8), _p(uniq, _PI32),
         _p(uniq_counts, _PI64), _p(miss_pos, _PI32), _p(miss_counts, _PI64),
     )
     return inv_wire, uniq, uniq_counts, miss_pos, miss_counts

@@ -134,6 +134,18 @@ class AssemblyPipeline(threading.Thread):
                     if not self._put(((epoch, j), batch, inputs, stats)):
                         return
                     j += 1
+                if replay:
+                    # the resumed epoch had NO remaining full batches (the
+                    # checkpoint landed exactly on its end, mid-window): the
+                    # prefetcher still re-produces the cursor's window, so it
+                    # must be consumed (without re-applying its insert plan)
+                    # or every later window would be off by one
+                    win += 1
+                    if not self._put(WINDOW_REPLAY):
+                        return
+                    if not self._wait_for_window(win):
+                        return
+                    replay = False
         except BaseException as e:
             self.error = e
         finally:

@@ -306,10 +306,20 @@ class CachedDlrmTrainer:
             * len(cfg.ln_emb)
             * max(1, pooled_width)
         )
-        bucket = (
-            cfg.table_agg_bucket if cfg.table_agg_bucket > 0
-            else pow2_bucket(min(union_bound, R))
-        )
+        if cfg.table_agg_bucket > 0:
+            if cfg.table_agg_bucket < min(union_bound, R):
+                # the sparse union exchange SILENTLY truncates past its
+                # bucket (jnp.nonzero(size=...)); an undersized user bucket
+                # would drop touched rows from aggregation — fail fast
+                raise ValueError(
+                    f"--table-agg-bucket {cfg.table_agg_bucket} is below the "
+                    f"exact touched-union bound {min(union_bound, R)} "
+                    f"(table_agg_freq * batch * tables * pooled width, capped "
+                    "at cache rows); aggregation would silently drop rows"
+                )
+            bucket = cfg.table_agg_bucket
+        else:
+            bucket = pow2_bucket(min(union_bound, R))
         self.agg_step = step_lib.make_aggregate_step(
             self.mesh, scfg,
             union_bucket=bucket if bucket <= R // 2 else None,
@@ -860,13 +870,19 @@ class CachedDlrmTrainer:
             # would need every process to enqueue identical programs — a
             # deadlock hazard; reading addressable shards is purely local.
             # idx selects the step's slice of a scan block's stacked [K]
-            # outputs (None = scalar single-step outputs).
-            vals = jax.device_get(
-                [x.addressable_shards[0].data for ls, c, _, _ in pending
-                 for x in (ls, c)]
-            )
-            for i, (_, _, n, idx) in enumerate(pending):
-                ls_v, c_v = vals[2 * i], vals[2 * i + 1]
+            # outputs (None = scalar single-step outputs). A block's K
+            # entries all reference the SAME two stacked arrays — fetch
+            # each distinct array once, not K times.
+            pos: dict = {}
+            fetch: List = []
+            for ls, c, _, _ in pending:
+                for x in (ls, c):
+                    if id(x) not in pos:
+                        pos[id(x)] = len(fetch)
+                        fetch.append(x.addressable_shards[0].data)
+            vals = jax.device_get(fetch)
+            for ls, c, n, idx in pending:
+                ls_v, c_v = vals[pos[id(ls)]], vals[pos[id(c)]]
                 if idx is not None:
                     ls_v, c_v = ls_v[idx], c_v[idx]
                 self.metrics.loss_sum += float(ls_v)

@@ -228,10 +228,10 @@ int64_t cdlrm_probe_table_wirebits(const int32_t* occ, int64_t sets,
 int64_t cdlrm_probe_table_dedup(const int32_t* occ, int64_t sets, int64_t ways,
                                 const int64_t* idx, int64_t n,
                                 const uint8_t* valid, int64_t aux_base_local,
-                                int64_t table_offset, int64_t inv_bits,
-                                int32_t* rank_scratch, uint8_t* inv_out,
-                                int32_t* uniq_out, int32_t* miss_pos,
-                                int64_t* n_miss_out) {
+                                int64_t aux_capacity, int64_t table_offset,
+                                int64_t inv_bits, int32_t* rank_scratch,
+                                uint8_t* inv_out, int32_t* uniq_out,
+                                int32_t* miss_pos, int64_t* n_miss_out) {
   const int32_t sets32 = (int32_t)sets;
   const uint32_t sentinel = (uint32_t)((1u << inv_bits) - 1u);
   const int64_t PF = 16;
@@ -262,8 +262,14 @@ int64_t cdlrm_probe_table_dedup(const int32_t* occ, int64_t sets, int64_t ways,
       if (w >= 0) {
         local = (int64_t)w * sets + s;
       } else {
-        miss_pos[n_miss] = (int32_t)i;
-        local = aux_base_local + n_miss;
+        // scratch is sized aux_base_local + aux_capacity: clamp overflow
+        // misses to the last aux slot (memory-safe garbage) and keep
+        // counting — the Python-side guard raises the aux-capacity
+        // ValueError from the true count before any output is consumed
+        const int64_t aux_rank =
+            n_miss < aux_capacity ? n_miss : aux_capacity - 1;
+        if (n_miss < n) miss_pos[n_miss] = (int32_t)i;
+        local = aux_base_local + (aux_rank < 0 ? 0 : aux_rank);
         ++n_miss;
       }
       int32_t r = rank_scratch[local];
@@ -296,6 +302,7 @@ void cdlrm_probe_batch_dedup(const int32_t* const* occ_ptrs,
                              const int64_t* idx, int64_t n,
                              const uint8_t* valid,
                              const int64_t* aux_bases_local,
+                             int64_t aux_capacity,
                              const int64_t* table_offsets, int64_t inv_bits,
                              int64_t inv_bytes_per_table,
                              int32_t* const* rank_scratch_ptrs,
@@ -306,8 +313,9 @@ void cdlrm_probe_batch_dedup(const int32_t* const* occ_ptrs,
   for (int64_t t = 0; t < t_count; ++t) {
     uniq_counts[t] = cdlrm_probe_table_dedup(
         occ_ptrs[t], sets[t], ways, idx + t * n, n,
-        valid ? valid + t * n : nullptr, aux_bases_local[t], table_offsets[t],
-        inv_bits, rank_scratch_ptrs[t], inv_out + t * inv_bytes_per_table,
+        valid ? valid + t * n : nullptr, aux_bases_local[t], aux_capacity,
+        table_offsets[t], inv_bits, rank_scratch_ptrs[t],
+        inv_out + t * inv_bytes_per_table,
         uniq_out + t * n, miss_pos + t * n, &miss_counts[t]);
   }
 }

@@ -270,3 +270,53 @@ def test_terabyte_mode_preprocess_and_stream(tmp_path):
     test = CriteoStreamingDataset(prefix, [days - 1], 16, split="test")
     total = sum(b.x.shape[0] for b in test.batches())
     assert total == -(-per_day // 2)
+
+
+def test_bin_shuffle_skip_counts_full_batches(prepared, tmp_path):
+    """batches(skip=k) under shuffle must skip k FULL batches — the data
+    cursor's unit (the trainer drops partials before counting). With the
+    partial entry at a random permuted position, skipping raw entries would
+    shift the resumed stream by one whenever the partial precedes the
+    resume point (review finding, round 2)."""
+    d, raw, prefix, pro = prepared
+    train_files = [f"{prefix}_{i}_reordered.npz" for i in range(DAYS - 1)]
+    bin_path = str(tmp_path / "train_data.bin")
+    numpy_to_binary(train_files, bin_path, split="train")
+    counts_file = str(d / "train_fea_count.npz")
+    bs = 13  # 80 samples -> 6 full batches + 1 partial (2 rows)
+    found_partial_before = False
+    for seed in range(40):
+        ds = CriteoBinDataset(bin_path, counts_file, batch_size=bs,
+                              shuffle=True, seed=seed)
+        assert os.path.getsize(bin_path) % ds.bytes_per_entry != 0
+        full_stream = [b for b in ds.batches() if b.x.shape[0] == bs]
+        order = ds.batch_order()
+        partial_pos = int(np.flatnonzero(order == ds.num_entries - 1))
+        for k in (1, 3, 5):
+            resumed = [b for b in ds.batches(skip=k) if b.x.shape[0] == bs]
+            assert len(resumed) == len(full_stream) - k
+            for a, bch in zip(full_stream[k:], resumed):
+                np.testing.assert_array_equal(a.ls_i, bch.ls_i)
+                np.testing.assert_array_equal(a.y, bch.y)
+            if partial_pos < k + 1:
+                found_partial_before = True
+    assert found_partial_before  # the regression-triggering layout occurred
+
+
+def test_dedup_probe_aux_overflow_raises():
+    """Misses beyond aux capacity must raise the aux-capacity ValueError on
+    the native dedup path too (previously wrote the rank scratch out of
+    bounds before the guard could fire — review finding, round 2)."""
+    import pytest
+
+    from cdlrm_tpu.cache.geometry import CacheGeometry
+    from cdlrm_tpu.cache.host_cache import HostCacheController
+    from cdlrm_tpu.cache.master import MasterTables
+
+    ln_emb = (200,)
+    geo = CacheGeometry.build(ln_emb, 4, 16, 2, aux_capacity=8)
+    ctrl = HostCacheController(geo, seed=0)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    ls = np.arange(32, dtype=np.int64)[None, :]  # 32 cold misses > aux 8
+    with pytest.raises(ValueError, match="aux capacity"):
+        ctrl.probe_dedup(ls, master, inv_bits=9)

@@ -512,3 +512,54 @@ def test_wire_x_fp8_trains():
     tr.close()
     assert m.loss_sum / m.examples < early  # learnable signal survives fp8
     assert 0.0 <= acc <= 1.0
+
+
+def test_resume_at_epoch_end_midwindow(tmp_path):
+    """Checkpoint landing exactly at an epoch's end, mid-window (13 batches,
+    lookahead 5): the resumed epoch has no remaining batches, but the
+    prefetcher still re-produces the cursor's window — the pipeline must
+    consume it (WINDOW_REPLAY) or every later window is off by one (review
+    finding, round 2). Resumed run must equal the uninterrupted 2-epoch
+    run."""
+    ln_emb = np.array([40, 25, 60])
+    b = 16
+
+    def cfg_fn():
+        cfg = make_cfg(
+            mini_batch_size=b, world_size=4, cache_size=64, num_ways=2,
+            lookahead=5, table_agg_freq=4, nepochs=2,
+        )
+        cfg.finalize(ln_emb=ln_emb)
+        return cfg
+
+    def ds_fn():
+        return SyntheticDataset(
+            m_den=13, ln_emb=ln_emb, data_size=b * 13, mini_batch_size=b,
+            num_indices_per_lookup=1, num_indices_per_lookup_fixed=True,
+            round_targets=True, seed=17,
+        )
+
+    tr = CachedDlrmTrainer(cfg_fn(), ds_fn())
+    tr.train(max_steps=26, log_fn=lambda s: None)
+    assert tr.global_step == 26  # both epochs fully consumed
+    cache_ref = np.asarray(tr.cache).copy()
+    occ_ref = [o.copy() for o in tr.controller.occupancy]
+    tr.close()
+
+    tr1 = CachedDlrmTrainer(cfg_fn(), ds_fn())
+    tr1.train(max_steps=13, log_fn=lambda s: None)
+    assert tr1._cursor == (0, 13)  # exact epoch end, mid-window (13 % 5 != 0)
+    ck = str(tmp_path / "epoch_end")
+    tr1.save_checkpoint(ck)
+    tr1.close()
+
+    tr2 = CachedDlrmTrainer(cfg_fn(), ds_fn())
+    tr2.load_checkpoint(ck)
+    tr2.train(max_steps=26, log_fn=lambda s: None)
+    assert tr2.global_step == 26
+    tr2.close()
+
+    for a, bb in zip(tr2.controller.occupancy, occ_ref):
+        np.testing.assert_array_equal(a, bb)
+    np.testing.assert_allclose(np.asarray(tr2.cache), cache_ref, rtol=1e-6,
+                               atol=1e-7)
