@@ -87,6 +87,58 @@ def main():
         }
     )
 
+    # --- sparse-update formulations (PERF.md finding 8: the scatter floor) ---
+    # chained-donation timing: block_until_ready can return early on tunneled
+    # backends, so chain N donated calls and end on a scalar D2H
+    def timeit_scatter(body, args, iters=10):
+        from jax.sharding import PartitionSpec as P
+
+        from cdlrm_tpu.parallel.mesh import DP_AXIS, make_dp_mesh
+
+        mesh = make_dp_mesh(1)
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(DP_AXIS),) + tuple(P(None) for _ in args),
+            out_specs=P(DP_AXIS), check_vma=False)
+        f = jax.jit(sm, donate_argnums=(0,))
+        c = jnp.zeros((R_CACHE, DIMS), jnp.float32)
+        c = f(c, *args); c = f(c, *args); _ = float(c[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = f(c, *args)
+        _ = float(c[0, 0])
+        return (time.perf_counter() - t0) / iters
+
+    R_CACHE, DIMS, N_UPD = 3_520_000, 128, 26 * 4096
+    UB = 1 << 16
+    rngs = np.random.Generator(np.random.SFC64(0))
+    u = rngs.random(N_UPD, dtype=np.float32)
+    slots_np = np.minimum(
+        np.exp(u * np.log(R_CACHE - 2)).astype(np.int64), R_CACHE - 2
+    ).astype(np.int32)
+    uniq_np = np.unique(slots_np)
+    uniq_pad = np.full(UB, R_CACHE - 1, np.int32)
+    uniq_pad[: uniq_np.size] = uniq_np
+    ginv_np = np.searchsorted(uniq_np, slots_np).astype(np.int32)
+    slots_d = jnp.asarray(slots_np)
+    uniq_d = jnp.asarray(uniq_pad)
+    ginv_d = jnp.asarray(ginv_np)
+    grads = jnp.asarray(rngs.random((N_UPD, DIMS), np.float32))
+
+    dt = timeit_scatter(lambda c, s, g: c.at[s].add(g), (slots_d, grads))
+    results.append({"kernel": f"scatter_add/{N_UPD}_dup_rows",
+                    "ms": round(dt * 1e3, 2),
+                    "ns_per_update": round(dt * 1e9 / N_UPD, 1)})
+
+    def seg(c, gi, uq, g):
+        su = jnp.zeros((UB, DIMS), g.dtype).at[gi].add(g)
+        return c.at[uq].add(su)
+
+    dt = timeit_scatter(seg, (ginv_d, uniq_d, grads))
+    results.append({"kernel": f"scatter_add/segsum_{UB}_unique",
+                    "ms": round(dt * 1e3, 2),
+                    "unique": int(uniq_np.size)})
+
     for r in results:
         print(json.dumps(r))
 
