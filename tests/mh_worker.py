@@ -38,8 +38,9 @@ def main():
 
     world = jax.device_count()
     pooled = mode == "pooled"
-    steps = 16 if mode == "one_window" else 24
-    lookahead = steps + 4 if mode == "one_window" else 4
+    soak = mode == "soak"
+    steps = 16 if mode == "one_window" else (200 if soak else 24)
+    lookahead = steps + 4 if mode == "one_window" else (6 if soak else 4)
     cfg = Config(
         arch_sparse_feature_size=8,
         arch_embedding_size="300-500-200",
@@ -51,7 +52,6 @@ def main():
         num_ways=4,
         loss_function="bce",
         lookahead=lookahead,
-        table_agg_freq=6,
         print_freq=4,
         round_targets=True,
         num_indices_per_lookup=3 if pooled else 1,
@@ -62,7 +62,12 @@ def main():
         # multi_window also exercises scan blocks across hosts: block caps
         # are pure functions of shared state, so every host runs identical
         # block sizes and the in-scan collectives stay aligned
-        scan_steps=3 if mode == "multi_window" else 1,
+        scan_steps=3 if mode == "multi_window" else (5 if mode == "soak" else 1),
+        # soak: every round-2 feature at once — scan blocks, insert-delta
+        # refill (agg freq 3 divides lookahead 6 -> trajectory-equal),
+        # eviction-heavy geometry, per-window negotiated miss bucket
+        refill_broadcast="delta" if mode == "soak" else "strict",
+        table_agg_freq=3 if mode == "soak" else 6,
     )
     cfg.finalize()
 

@@ -254,3 +254,22 @@ def test_count_misses_matches_probe(rng):
     prv = ctl.probe(ls, master, valid=valid)
     missesv = int(prv.num_lookups - prv.hit_counts.sum())
     assert ctl.count_misses(ls, valid=valid) == missesv
+
+
+@pytest.mark.slow
+def test_two_process_soak_all_features(tmp_path):
+    """200-step 2-process soak with every round-2 feature on at once (scan
+    blocks, insert-delta refill, negotiated miss bucket, direct-map probe,
+    eviction-heavy geometry): trajectories must match the single-process run
+    of the same global mesh, and the eviction writeback volume must agree —
+    the combination stress that unit tests cannot cover."""
+    single = _run_cluster(1, 4, 0, "soak", tmp_path)[0]
+    duo = _run_cluster(2, 2, 12416, "soak", tmp_path)
+    assert all(r["multihost"] for r in duo)
+    assert np.allclose(duo[0]["losses"], duo[1]["losses"], rtol=1e-5)
+    assert np.allclose(single["losses"], duo[0]["losses"], rtol=2e-3), (
+        single["losses"], duo[0]["losses"],
+    )
+    assert single["acc"] == pytest.approx(duo[0]["acc"], abs=5e-3)
+    # both topologies must actually exercise eviction writeback
+    assert single["rows_written"] > 0 and duo[0]["rows_written"] > 0
