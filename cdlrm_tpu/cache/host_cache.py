@@ -277,19 +277,20 @@ class HostCacheController:
                 f"{max_local} (need >= {wire_width(max_local)})"
             )
         if self._slot_map is not None:
-            pr = self._probe_map(ls_i, master, valid=valid)
             if native.available():
-                t_count, n = ls_i.shape
-                nbytes = wire_bytes(n, bits)
-                wire = np.empty((t_count, nbytes), np.uint8)
-                # local slot values; trash -> negative sentinel
-                local = pr.slots.astype(np.int64) - geo.table_offsets[:, None]
-                if valid is not None:
-                    local[~valid] = -1
-                for t in range(t_count):
-                    wire[t] = native.pack_bits(local[t], bits, nbytes)
-            else:
-                wire = pack_slots(pr.slots, geo.table_offsets, geo.trash_row, bits)
+                # fully fused: one C pass does map gather + miss detection +
+                # bit pack (cdlrm_map_probe_batch_wire)
+                ls64 = np.ascontiguousarray(ls_i, dtype=np.int64)
+                wire, miss_pos, miss_counts = native.map_probe_batch_wire(
+                    self._slot_map, self._id_bases, ls64,
+                    geo.table_offsets, (geo.ways * geo.sets).astype(np.int64),
+                    bits, wire_bytes(ls_i.shape[1], bits), valid=valid,
+                )
+                return self._finish_native_probe(
+                    wire, miss_pos, miss_counts, ls64, master, valid
+                )
+            pr = self._probe_map(ls_i, master, valid=valid)
+            wire = pack_slots(pr.slots, geo.table_offsets, geo.trash_row, bits)
             return ProbeResult(
                 wire, pr.aux_slots, pr.aux_rows, pr.hit_counts, pr.num_lookups
             )

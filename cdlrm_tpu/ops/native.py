@@ -125,6 +125,11 @@ def _load() -> Optional[ctypes.CDLL]:
             _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _I64, _I64,
             _PU8, _PI32, _PI64,
         ]
+        lib.cdlrm_map_probe_batch_wire.restype = None
+        lib.cdlrm_map_probe_batch_wire.argtypes = [
+            _PI32, _PI64, _I64, _PI64, _I64, _PU8, _PI64, _PI64, _I64, _I64,
+            _PU8, _PI32, _PI64,
+        ]
         lib.cdlrm_pack_bits.restype = None
         lib.cdlrm_pack_bits.argtypes = [_PI64, _I64, _I64, _PU8]
         lib.cdlrm_probe_batch_dedup.restype = None
@@ -315,6 +320,41 @@ def probe_batch_dedup(
         _p(uniq_counts, _PI64), _p(miss_pos, _PI32), _p(miss_counts, _PI64),
     )
     return inv_wire, uniq, uniq_counts, miss_pos, miss_counts
+
+
+def map_probe_batch_wire(
+    map_flat: np.ndarray,
+    id_bases: np.ndarray,
+    ls_i: np.ndarray,
+    table_offsets: np.ndarray,
+    aux_bases_local: np.ndarray,
+    bits: int,
+    bytes_per_table: int,
+    valid: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused direct-map probe + bit-pack (csrc cdlrm_map_probe_batch_wire).
+    Returns (wire [T, bytes] uint8, miss_pos [T, N] int32, miss_counts [T])."""
+    lib = _load()
+    assert lib is not None
+    t_count, n = ls_i.shape
+    ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
+    _check_id_range(ls_i)
+    bases = np.ascontiguousarray(id_bases, dtype=np.int64)
+    offs = np.ascontiguousarray(table_offsets, dtype=np.int64)
+    auxb = np.ascontiguousarray(aux_bases_local, dtype=np.int64)
+    wire = np.zeros((t_count, bytes_per_table), dtype=np.uint8)
+    miss_pos = np.empty((t_count, n), dtype=np.int32)
+    miss_counts = np.empty(t_count, dtype=np.int64)
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, dtype=np.uint8)
+        vptr = _p(valid, _PU8)
+    lib.cdlrm_map_probe_batch_wire(
+        _p(map_flat, _PI32), _p(bases, _PI64), t_count, _p(ls_i, _PI64), n,
+        vptr, _p(offs, _PI64), _p(auxb, _PI64), bits, bytes_per_table,
+        _p(wire, _PU8), _p(miss_pos, _PI32), _p(miss_counts, _PI64),
+    )
+    return wire, miss_pos, miss_counts
 
 
 def pack_bits(vals: np.ndarray, bits: int, out_bytes: int) -> np.ndarray:

@@ -210,6 +210,69 @@ int64_t cdlrm_probe_table_wirebits(const int32_t* occ, int64_t sets,
   return n_miss;
 }
 
+// Direct-map probe + bit-pack in one pass (the fastest host probe path:
+// cache/host_cache.py probe_impl=map). The flat id->row map replaces the
+// occupancy walk; per lookup: one map load, miss test, local-slot compute,
+// bitstream emit. ~4x fewer memory touches than numpy gather + pack.
+int64_t cdlrm_map_probe_table_wirebits(const int32_t* map_flat,
+                                       int64_t id_base, const int64_t* idx,
+                                       int64_t n, const uint8_t* valid,
+                                       int64_t table_offset,
+                                       int64_t aux_base_local, int64_t bits,
+                                       int32_t* miss_pos, uint8_t* out) {
+  const uint32_t sentinel = (uint32_t)((1u << bits) - 1u);
+  const int64_t PF = 16;
+  int64_t n_miss = 0;
+  uint64_t acc = 0;
+  int accbits = 0;
+  uint8_t* p = out;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i + PF < n && (!valid || valid[i + PF]))
+      __builtin_prefetch(map_flat + id_base + idx[i + PF], 0, 1);
+    uint32_t slot;
+    if (valid && !valid[i]) {
+      slot = sentinel;  // masked padding -> trash row
+    } else {
+      const int32_t m = map_flat[id_base + idx[i]];
+      if (m >= 0) {
+        slot = (uint32_t)((int64_t)m - table_offset);
+      } else {
+        miss_pos[n_miss] = (int32_t)i;
+        slot = (uint32_t)(aux_base_local + n_miss);
+        ++n_miss;
+      }
+    }
+    acc |= (uint64_t)(slot & sentinel) << accbits;
+    accbits += (int)bits;
+    while (accbits >= 8) {
+      *p++ = (uint8_t)(acc & 0xFF);
+      acc >>= 8;
+      accbits -= 8;
+    }
+  }
+  if (accbits) *p++ = (uint8_t)(acc & 0xFF);
+  return n_miss;
+}
+
+// Batch variant, OpenMP-parallel over tables.
+void cdlrm_map_probe_batch_wire(const int32_t* map_flat,
+                                const int64_t* id_bases, int64_t t_count,
+                                const int64_t* idx, int64_t n,
+                                const uint8_t* valid,
+                                const int64_t* table_offsets,
+                                const int64_t* aux_bases_local, int64_t bits,
+                                int64_t bytes_per_table, uint8_t* out,
+                                int32_t* miss_pos, int64_t* miss_counts) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t t = 0; t < t_count; ++t) {
+    miss_counts[t] = cdlrm_map_probe_table_wirebits(
+        map_flat, id_bases[t], idx + t * n, n,
+        valid ? valid + t * n : nullptr, table_offsets[t],
+        aux_bases_local[t], bits, miss_pos + t * n,
+        out + t * bytes_per_table);
+  }
+}
+
 // Dedup probe: probe + duplicate-slot coalescing in one pass. The device
 // scatter-add is the measured step floor (~100ns/update, PERF.md finding 4)
 // and Zipf index streams are duplicate-heavy, so shipping each lookup as a
