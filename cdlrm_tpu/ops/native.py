@@ -340,6 +340,17 @@ def map_probe_batch_wire(
     ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
     _check_id_range(ls_i)
     bases = np.ascontiguousarray(id_bases, dtype=np.int64)
+    # OOB guard: the C kernel indexes map_flat[base + id] unchecked (the
+    # occupancy kernels are intrinsically safe via mod-sets; the map is not).
+    # Per-table: each table's ids must stay inside its own map segment.
+    ends = np.append(bases[1:], map_flat.shape[0])
+    seg_max = ls_i.max(axis=1) + bases
+    if (seg_max >= ends).any():
+        t = int(np.argmax(seg_max >= ends))
+        raise ValueError(
+            f"table {t}: lookup id {int(ls_i[t].max())} out of range for its "
+            f"slot-map segment (size {int(ends[t] - bases[t])})"
+        )
     offs = np.ascontiguousarray(table_offsets, dtype=np.int64)
     auxb = np.ascontiguousarray(aux_bases_local, dtype=np.int64)
     wire = np.zeros((t_count, bytes_per_table), dtype=np.uint8)
