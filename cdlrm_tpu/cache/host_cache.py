@@ -465,6 +465,32 @@ class HostCacheController:
             total += int(miss.sum())
         return total
 
+    def count_dedup_uniques(
+        self, ls_i: np.ndarray, valid: Optional[np.ndarray] = None
+    ) -> int:
+        """Exact per-batch unique-slot count of the dedup wire
+        (probe_dedup's sum(uniq_counts)) against CURRENT occupancy: per
+        table, distinct RESIDENT ids each map to one distinct slot, and
+        every MISSING occurrence gets its own aux slot (reference
+        model_no_ddp.py:176-185 — dedup never merges miss rows). Pure
+        function of host-identical state, so every multi-host peer derives
+        the same per-window dedup bucket with zero communication (the same
+        principle as count_misses / the aux bucket)."""
+        total = 0
+        for t in range(ls_i.shape[0]):
+            ids = ls_i[t] if valid is None else ls_i[t][valid[t]]
+            if ids.size == 0:
+                continue
+            if self._slot_map is not None:
+                resident = self._slot_map[self._id_bases[t] + ids] >= 0
+            else:
+                idx = ids.astype(np.int32, copy=False)
+                occ = self.occupancy[t][idx % np.int32(self.geo.sets[t])]
+                resident = (occ == idx[:, None]).any(axis=1)
+            total += int(np.unique(ids[resident]).size)
+            total += int((~resident).sum())
+        return total
+
     def plan_insert(
         self,
         uniques: Sequence[np.ndarray],

@@ -142,7 +142,8 @@ class Config:
     #   gap on a tunneled chip is ~3.5ms/step of dispatch+sync). Blocks are
     #   capped at window/print/test/agg/checkpoint boundaries, so every
     #   cadence fires at exactly the same global step; per-step metrics come
-    #   back stacked. Forced to 1 with dedup_lookups (variable buckets).
+    #   back stacked. Compatible with dedup_lookups (per-window negotiated
+    #   unique buckets keep wire shapes block-stable).
     probe_impl: str = "auto"  # auto | map | setassoc. 'map' keeps a flat
     #   id->cache-row direct map beside the occupancy: the host probe becomes
     #   one vectorized gather (~8ns/lookup vs ~145ns for the occupancy walk —

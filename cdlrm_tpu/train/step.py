@@ -419,28 +419,48 @@ def make_cached_train_step(
     lead = _spec_leading()
     if block > 1:
         if cfg.dedup:
-            raise NotImplementedError(
-                "scan blocks with the dedup wire are not supported yet "
-                "(per-batch unique buckets vary; trainer forces block=1)"
+            # dedup wire: 8 per-batch inputs; shapes are block-stable
+            # because the trainer fixes the aux AND unique buckets per
+            # window (_window_aux_bucket / _window_dedup_bucket)
+            body_fn = body_dedup
+            batch_specs = (
+                P(DP_AXIS),  # x
+                P(None, DP_AXIS),  # inv_wire
+                P(None, DP_AXIS),  # ls_mask
+                lead,  # uniq_wire
+                lead,  # uniq_counts
+                lead,  # aux_slots
+                lead,  # aux_rows
+                P(DP_AXIS),  # targets
             )
+        else:
+            body_fn = body
+            batch_specs = (
+                P(DP_AXIS),  # x
+                P(None, DP_AXIS),  # slots
+                P(None, DP_AXIS),  # ls_mask
+                lead,  # aux_slots
+                lead,  # aux_rows
+                P(DP_AXIS),  # targets
+            )
+        n_in = len(batch_specs)
 
         def scanned(params, cache, touched, *rest):
-            # rest = block * 6 per-batch inputs (x, slots, ls_mask,
-            # aux_slots, aux_rows, targets) + (lr, lr_embeds). Stacking
-            # happens INSIDE the compiled program, so staging stays one
-            # (pipelined) put per batch and dispatch cost is paid once per
-            # BLOCK: on thin dispatch links (tunneled TPU, busy hosts) the
-            # per-step overhead divides by the block size.
+            # rest = block * n_in per-batch inputs + (lr, lr_embeds).
+            # Stacking happens INSIDE the compiled program, so staging stays
+            # one (pipelined) put per batch and dispatch cost is paid once
+            # per BLOCK: on thin dispatch links (tunneled TPU, busy hosts)
+            # the per-step overhead divides by the block size.
             lr, lr_embeds = rest[-2], rest[-1]
-            flat = rest[:-2]  # batch-major: block groups of 6
+            flat = rest[:-2]  # batch-major: block groups of n_in
             stacked = tuple(
-                jnp.stack([flat[j * 6 + i] for j in range(block)])
-                for i in range(6)
+                jnp.stack([flat[j * n_in + i] for j in range(block)])
+                for i in range(n_in)
             )
 
             def f(carry, xs):
                 p, c, t = carry
-                p, c, t, ls, corr = body(p, c, t, *xs, lr, lr_embeds)
+                p, c, t, ls, corr = body_fn(p, c, t, *xs, lr, lr_embeds)
                 return (p, c, t), (ls, corr)
 
             (params, cache, touched), (loss, corr) = jax.lax.scan(
@@ -448,14 +468,6 @@ def make_cached_train_step(
             )
             return params, cache, touched, loss, corr
 
-        batch_specs = (
-            P(DP_AXIS),  # x
-            P(None, DP_AXIS),  # slots
-            P(None, DP_AXIS),  # ls_mask
-            lead,  # aux_slots
-            lead,  # aux_rows
-            P(DP_AXIS),  # targets
-        )
         shardmapped = jax.shard_map(
             scanned,
             mesh=mesh,

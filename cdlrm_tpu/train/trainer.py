@@ -288,9 +288,9 @@ class CachedDlrmTrainer:
             self.mesh, self.geo, scfg, self.pooled_width
         )
         # scan blocks: one dispatch per `scan_steps` train steps (dispatch
-        # amortization; config.py). Dedup's per-batch unique buckets vary in
-        # shape, so scan is forced off there.
-        self._scan_block = 1 if self._dedup else max(1, cfg.scan_steps)
+        # amortization; config.py). With dedup, per-window negotiated unique
+        # buckets keep the wire shapes block-stable (_window_dedup_bucket).
+        self._scan_block = max(1, cfg.scan_steps)
         self._scan_cache: dict = {}  # block size -> compiled scan step
         self.eval_step = step_lib.make_cached_eval_step(
             self.mesh, self.geo, scfg, self.pooled_width
@@ -379,11 +379,14 @@ class CachedDlrmTrainer:
             functools.partial(self.controller.probe_wire, bits=self._wire_bits)
             if self._wire_pack else self.controller.probe
         )
-        # dedup: host-invariant worst-case unique bucket for multi-host
-        # (local U differs per host; the bucket is a compiled global shape)
+        # dedup: worst-case unique bucket (the bucket is a compiled global
+        # shape); multihost/scan runs replace it with the per-window
+        # negotiated value (_window_dedup_bucket), derived identically on
+        # every host from shared metadata
         self._dedup_bucket = pow2_bucket(
             1 + len(cfg.ln_emb) * b_loc * max(1, pooled_width), min_size=1024
         )
+        self._dedup_bucket_window: Optional[int] = None
         self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
         self._pipe = None
@@ -432,6 +435,8 @@ class CachedDlrmTrainer:
             # (multihost: host-symmetric shape; scan: batches stacked in one
             # block must share the aux bucket shape)
             self._aux_bucket_window = self._window_aux_bucket(window)
+            if self._dedup:
+                self._dedup_bucket_window = self._window_dedup_bucket(window)
         ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
         ins_rows = pad_to_bucket(plan.insert_rows, 0.0).astype(
             self._row_wire_dtype, copy=False
@@ -493,6 +498,30 @@ class CachedDlrmTrainer:
                 )
                 worst = max(worst, m)
         return min(pow2_bucket(worst), self._aux_bucket)
+
+    def _window_dedup_bucket(self, window: WindowData) -> int:
+        """Per-window unique-slot bucket for the dedup wire (+1 for the
+        reserved trash rank) — same zero-communication derivation as
+        _window_aux_bucket, using the exact post-refill dedup unique counts
+        (HostCacheController.count_dedup_uniques)."""
+        if window.batches is None:
+            return self._dedup_bucket
+        b_loc = self.cfg.local_batch_size
+        worst = 1
+        for entry in window.batches:
+            ls, mask = entry if isinstance(entry, tuple) else (entry, None)
+            t_count = ls.shape[0]
+            for r in range(self.ndev):
+                sl = slice(r * b_loc, (r + 1) * b_loc)
+                u = self.controller.count_dedup_uniques(
+                    ls[:, sl].reshape(t_count, -1),
+                    valid=(
+                        None if mask is None
+                        else mask[:, sl].reshape(t_count, -1)
+                    ),
+                )
+                worst = max(worst, u)
+        return min(pow2_bucket(1 + worst, min_size=1024), self._dedup_bucket)
 
     # ------------------------------------------------------------------ batch
     def _pack_aux(self, aux_slot_shards, aux_row_shards, for_eval=False):
@@ -582,11 +611,16 @@ class CachedDlrmTrainer:
             stats.add(dr.hit_counts, dr.num_lookups)
 
         # unique-list bucket: pow2 so compiled variants stay logarithmic;
-        # +1 for the reserved trash rank at position 0. Multi-host: local U
-        # differs per host but the bucket is part of the compiled global
-        # shape, so use the host-invariant worst case.
-        if self.multihost:
-            ub = self._dedup_bucket
+        # +1 for the reserved trash rank at position 0. Multi-host and scan
+        # blocks need a shape fixed across hosts/batches: the per-window
+        # negotiated bucket (derived identically everywhere from shared
+        # metadata, _window_dedup_bucket).
+        if self.multihost or self._scan_block > 1:
+            ub = (
+                self._dedup_bucket_window
+                if self._dedup_bucket_window is not None
+                else self._dedup_bucket
+            )
         else:
             ub = pow2_bucket(1 + max(u.size for u in uniq_lists), min_size=1024)
         uniq_bits = self._wire_bits
@@ -1057,6 +1091,10 @@ class CachedDlrmTrainer:
                             self._aux_bucket_window = (
                                 self._window_aux_bucket(window)
                             )
+                            if self._dedup:
+                                self._dedup_bucket_window = (
+                                    self._window_dedup_bucket(window)
+                                )
                     else:
                         self._apply_refill(window)
                     pipe.notify_refill_applied()

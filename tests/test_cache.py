@@ -188,3 +188,25 @@ def test_slot_map_probe_bit_identical(use_valid):
     live = b._slot_map.copy()
     b.rebuild_slot_map()
     np.testing.assert_array_equal(live, b._slot_map)
+
+
+def test_count_dedup_uniques_matches_probe_dedup(rng):
+    """count_dedup_uniques (the window dedup-bucket negotiation primitive)
+    must equal probe_dedup's sum(uniq_counts) exactly, with and without
+    masks, map and setassoc probes, across refills."""
+    ln_emb = (100, 7, 63)
+    geo = CacheGeometry.build(ln_emb, 4, 10, 2, 64)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    for kw in ({}, dict(ln_emb=np.asarray(ln_emb), slot_map=True)):
+        ctl = HostCacheController(geo, seed=5, **kw)
+        for step in range(8):
+            ls = np.stack([rng.integers(0, n, 24) for n in ln_emb])
+            for valid in (None, rng.random((3, 24)) < 0.8):
+                dr = ctl.probe_dedup(ls, master, inv_bits=9, valid=valid)
+                assert ctl.count_dedup_uniques(ls, valid=valid) == int(
+                    dr.uniq_counts.sum()
+                ), (step, valid is None)
+            if step % 3 == 2:
+                uniq = [np.unique(ls[t]) for t in range(3)]
+                rows = [master.gather(t, u) for t, u in enumerate(uniq)]
+                ctl.plan_insert(uniq, rows)
