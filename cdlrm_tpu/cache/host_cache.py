@@ -447,7 +447,7 @@ class HostCacheController:
         work. Read-only and deterministic, so every multi-host peer computes
         identical values from the shared index stream + identical occupancy
         metadata: the basis of the per-window negotiated aux bucket
-        (trainer._window_aux_bucket) that replaces the worst-case
+        (trainer._window_buckets) that replaces the worst-case
         T * aux_capacity staging shape."""
         if self._slot_map is not None:
             miss = self._slot_map[ls_i + self._id_bases[:, None]] < 0
@@ -469,14 +469,22 @@ class HostCacheController:
         self, ls_i: np.ndarray, valid: Optional[np.ndarray] = None
     ) -> int:
         """Exact per-batch unique-slot count of the dedup wire
-        (probe_dedup's sum(uniq_counts)) against CURRENT occupancy: per
-        table, distinct RESIDENT ids each map to one distinct slot, and
-        every MISSING occurrence gets its own aux slot (reference
-        model_no_ddp.py:176-185 — dedup never merges miss rows). Pure
+        (probe_dedup's sum(uniq_counts)); see count_probe_stats."""
+        return self.count_probe_stats(ls_i, valid=valid)[1]
+
+    def count_probe_stats(
+        self, ls_i: np.ndarray, valid: Optional[np.ndarray] = None
+    ) -> Tuple[int, int]:
+        """One residency pass returning (misses, dedup uniques) of a probe
+        batch [T, N] against CURRENT occupancy. Uniques = per table,
+        distinct RESIDENT ids (each maps to one distinct slot) + every
+        MISSING occurrence (distinct aux slots — reference
+        model_no_ddp.py:176-185: dedup never merges miss rows). Pure
         function of host-identical state, so every multi-host peer derives
-        the same per-window dedup bucket with zero communication (the same
-        principle as count_misses / the aux bucket)."""
-        total = 0
+        the same per-window aux/dedup buckets with zero communication
+        (trainer._window_buckets)."""
+        miss_total = 0
+        uniq_total = 0
         for t in range(ls_i.shape[0]):
             ids = ls_i[t] if valid is None else ls_i[t][valid[t]]
             if ids.size == 0:
@@ -487,9 +495,10 @@ class HostCacheController:
                 idx = ids.astype(np.int32, copy=False)
                 occ = self.occupancy[t][idx % np.int32(self.geo.sets[t])]
                 resident = (occ == idx[:, None]).any(axis=1)
-            total += int(np.unique(ids[resident]).size)
-            total += int((~resident).sum())
-        return total
+            n_miss = int((~resident).sum())
+            miss_total += n_miss
+            uniq_total += int(np.unique(ids[resident]).size) + n_miss
+        return miss_total, uniq_total
 
     def plan_insert(
         self,

@@ -112,7 +112,7 @@ class AssemblyPipeline(threading.Thread):
                 # refill windows are per-epoch (reference j resets)
                 j = self.start_j if epoch == self.start_epoch else 0
                 skip = j
-                for batch in _batches_from(tr.dataset, skip):
+                for batch in _batches_from(tr.dataset, skip, full_size=b):
                     if self._stop_event.is_set():
                         return
                     if batch.x.shape[0] != b:
@@ -152,9 +152,12 @@ class AssemblyPipeline(threading.Thread):
             self._put(_SENTINEL)
 
 
-def _batches_from(dataset, skip: int):
-    """dataset.batches(skip=n) when supported, else iterate-and-drop (duck-
-    typed datasets without a cursor still resume correctly, just slower)."""
+def _batches_from(dataset, skip: int, full_size: Optional[int] = None):
+    """dataset.batches(skip=n) when supported, else iterate-and-drop.
+    ``skip`` counts FULL batches — the data cursor's unit (the consumer
+    drops partial batches before counting) — so the fallback must count
+    only batches of ``full_size`` rows; skipping raw batches would shift a
+    resumed stream by one whenever a partial precedes the cursor."""
     if skip == 0:
         return dataset.batches()
     try:
@@ -162,7 +165,11 @@ def _batches_from(dataset, skip: int):
     except TypeError:
         def gen():
             it = dataset.batches()
-            for _ in range(skip):
-                next(it, None)
+            dropped = 0
+            for bt in it:
+                if full_size is None or bt.x.shape[0] == full_size:
+                    dropped += 1
+                    if dropped >= skip:
+                        break
             yield from it
         return gen()

@@ -421,7 +421,7 @@ def make_cached_train_step(
         if cfg.dedup:
             # dedup wire: 8 per-batch inputs; shapes are block-stable
             # because the trainer fixes the aux AND unique buckets per
-            # window (_window_aux_bucket / _window_dedup_bucket)
+            # window (trainer._window_buckets)
             body_fn = body_dedup
             batch_specs = (
                 P(DP_AXIS),  # x

@@ -289,7 +289,7 @@ class CachedDlrmTrainer:
         )
         # scan blocks: one dispatch per `scan_steps` train steps (dispatch
         # amortization; config.py). With dedup, per-window negotiated unique
-        # buckets keep the wire shapes block-stable (_window_dedup_bucket).
+        # buckets keep the wire shapes block-stable (_window_buckets).
         self._scan_block = max(1, cfg.scan_steps)
         self._scan_cache: dict = {}  # block size -> compiled scan step
         self.eval_step = step_lib.make_cached_eval_step(
@@ -306,7 +306,7 @@ class CachedDlrmTrainer:
             * len(cfg.ln_emb)
             * max(1, pooled_width)
         )
-        if cfg.table_agg_bucket > 0:
+        if cfg.table_agg_bucket > 0 and self._needs_agg:
             if cfg.table_agg_bucket < min(union_bound, R):
                 # the sparse union exchange SILENTLY truncates past its
                 # bucket (jnp.nonzero(size=...)); an undersized user bucket
@@ -349,7 +349,7 @@ class CachedDlrmTrainer:
         # so it must be host-count-invariant. TRAIN batches get a per-window
         # NEGOTIATED bucket (zero communication: occupancy metadata and the
         # index stream are host-identical, so every host computes the same
-        # exact post-refill miss counts — _window_aux_bucket); --aux-bucket
+        # exact post-refill miss counts — _window_buckets); --aux-bucket
         # caps it. EVAL misses are not window-bounded, so eval keeps the
         # worst case (every lookup misses).
         self._window_store: Optional[WindowRowStore] = None
@@ -381,7 +381,7 @@ class CachedDlrmTrainer:
         )
         # dedup: worst-case unique bucket (the bucket is a compiled global
         # shape); multihost/scan runs replace it with the per-window
-        # negotiated value (_window_dedup_bucket), derived identically on
+        # negotiated value (_window_buckets), derived identically on
         # every host from shared metadata
         self._dedup_bucket = pow2_bucket(
             1 + len(cfg.ln_emb) * b_loc * max(1, pooled_width), min_size=1024
@@ -411,7 +411,7 @@ class CachedDlrmTrainer:
         from cdlrm_tpu.train.pipeline import _batches_from
 
         b = self.cfg.mini_batch_size
-        for batch in _batches_from(self.dataset, skip):
+        for batch in _batches_from(self.dataset, skip, full_size=b):
             if batch.x.shape[0] != b:
                 continue
             if batch.ls_mask is not None:
@@ -434,9 +434,7 @@ class CachedDlrmTrainer:
             # occupancy is final for this window — negotiate the miss bucket
             # (multihost: host-symmetric shape; scan: batches stacked in one
             # block must share the aux bucket shape)
-            self._aux_bucket_window = self._window_aux_bucket(window)
-            if self._dedup:
-                self._dedup_bucket_window = self._window_dedup_bucket(window)
+            self._window_buckets(window)
         ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
         ins_rows = pad_to_bucket(plan.insert_rows, 0.0).astype(
             self._row_wire_dtype, copy=False
@@ -469,66 +467,55 @@ class CachedDlrmTrainer:
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
 
-    def _window_aux_bucket(self, window: WindowData) -> int:
-        """Exact per-window miss bucket, identically computable on EVERY host
-        with zero communication: the index stream is globally shared and
-        occupancy metadata is bit-identical across hosts (module doc,
-        parallel/multihost.py), so the post-refill per-replica miss counts —
-        and hence the pow2 bucket — agree everywhere. Replaces the
-        worst-case T * aux_capacity staging shape (at Terabyte geometry that
-        was ~50 MB/step of mostly-padding H2D). Cost: one count-only
+    def _window_buckets(self, window: WindowData) -> None:
+        """Per-window negotiated staging buckets, identically computable on
+        EVERY host with zero communication: the index stream is globally
+        shared and occupancy metadata is bit-identical across hosts (module
+        doc, parallel/multihost.py), so the post-refill per-replica miss and
+        dedup-unique counts — and hence the pow2 buckets — agree everywhere.
+        Replaces the worst-case T * aux_capacity staging shape (at Terabyte
+        geometry that was ~50 MB/step of mostly-padding H2D). Cost: ONE
         residency pass over the window (all ndev replicas, not just local
-        ones — the bucket is the GLOBAL max), amortized over lookahead
-        steps."""
+        ones — the buckets are the GLOBAL max), amortized over lookahead
+        steps; with dedup the same pass yields both counts
+        (HostCacheController.count_probe_stats)."""
         if window.batches is None:
-            return self._aux_bucket
+            self._aux_bucket_window = self._aux_bucket
+            if self._dedup:
+                self._dedup_bucket_window = self._dedup_bucket
+            return
         b_loc = self.cfg.local_batch_size
-        worst = 1
+        worst_miss, worst_uniq = 1, 1
         for entry in window.batches:
             ls, mask = entry if isinstance(entry, tuple) else (entry, None)
             t_count = ls.shape[0]
             for r in range(self.ndev):
                 sl = slice(r * b_loc, (r + 1) * b_loc)
-                m = self.controller.count_misses(
-                    ls[:, sl].reshape(t_count, -1),
-                    valid=(
-                        None if mask is None
-                        else mask[:, sl].reshape(t_count, -1)
-                    ),
+                v = (
+                    None if mask is None
+                    else mask[:, sl].reshape(t_count, -1)
                 )
-                worst = max(worst, m)
-        return min(pow2_bucket(worst), self._aux_bucket)
-
-    def _window_dedup_bucket(self, window: WindowData) -> int:
-        """Per-window unique-slot bucket for the dedup wire (+1 for the
-        reserved trash rank) — same zero-communication derivation as
-        _window_aux_bucket, using the exact post-refill dedup unique counts
-        (HostCacheController.count_dedup_uniques)."""
-        if window.batches is None:
-            return self._dedup_bucket
-        b_loc = self.cfg.local_batch_size
-        worst = 1
-        for entry in window.batches:
-            ls, mask = entry if isinstance(entry, tuple) else (entry, None)
-            t_count = ls.shape[0]
-            for r in range(self.ndev):
-                sl = slice(r * b_loc, (r + 1) * b_loc)
-                u = self.controller.count_dedup_uniques(
-                    ls[:, sl].reshape(t_count, -1),
-                    valid=(
-                        None if mask is None
-                        else mask[:, sl].reshape(t_count, -1)
-                    ),
-                )
-                worst = max(worst, u)
-        return min(pow2_bucket(1 + worst, min_size=1024), self._dedup_bucket)
+                ls_r = ls[:, sl].reshape(t_count, -1)
+                if self._dedup:
+                    m, u = self.controller.count_probe_stats(ls_r, valid=v)
+                    worst_uniq = max(worst_uniq, u)
+                else:
+                    m = self.controller.count_misses(ls_r, valid=v)
+                worst_miss = max(worst_miss, m)
+        self._aux_bucket_window = min(
+            pow2_bucket(worst_miss), self._aux_bucket
+        )
+        if self._dedup:
+            self._dedup_bucket_window = min(
+                pow2_bucket(1 + worst_uniq, min_size=1024), self._dedup_bucket
+            )
 
     # ------------------------------------------------------------------ batch
     def _pack_aux(self, aux_slot_shards, aux_row_shards, for_eval=False):
         """Pack per-replica miss rows into a common pow2 bucket (DESIGN.md
         D6); padding scatters into the trash row. Multi-host: the bucket is
         part of the GLOBAL array shape, so it must be host-symmetric — train
-        batches use the per-window negotiated bucket (_window_aux_bucket),
+        batches use the per-window negotiated bucket (_window_buckets),
         eval the worst case (eval misses are not window-bounded). Returns
         flat [n_local*k] buffers + k."""
         if self.multihost or (self._scan_block > 1 and not for_eval):
@@ -614,7 +601,7 @@ class CachedDlrmTrainer:
         # +1 for the reserved trash rank at position 0. Multi-host and scan
         # blocks need a shape fixed across hosts/batches: the per-window
         # negotiated bucket (derived identically everywhere from shared
-        # metadata, _window_dedup_bucket).
+        # metadata, _window_buckets).
         if self.multihost or self._scan_block > 1:
             ub = (
                 self._dedup_bucket_window
@@ -849,7 +836,7 @@ class CachedDlrmTrainer:
                 start_epoch=epoch0,
                 skip_batches=(j0 // cfg.lookahead) * cfg.lookahead,
                 # windows carry their raw index arrays when the per-window
-                # aux bucket must be derived (_window_aux_bucket): multihost
+                # aux bucket must be derived (_window_buckets): multihost
                 # (host-symmetric shapes) and scan blocks (stacked batches
                 # share shapes)
                 keep_batches=self.multihost or self._scan_block > 1,
@@ -1088,13 +1075,7 @@ class CachedDlrmTrainer:
                                 window.uniques, rows
                             )
                         if self.multihost or self._scan_block > 1:
-                            self._aux_bucket_window = (
-                                self._window_aux_bucket(window)
-                            )
-                            if self._dedup:
-                                self._dedup_bucket_window = (
-                                    self._window_dedup_bucket(window)
-                                )
+                            self._window_buckets(window)
                     else:
                         self._apply_refill(window)
                     pipe.notify_refill_applied()

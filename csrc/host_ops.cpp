@@ -328,12 +328,17 @@ int64_t cdlrm_probe_table_dedup(const int32_t* occ, int64_t sets, int64_t ways,
         // scratch is sized aux_base_local + aux_capacity: clamp overflow
         // misses to the last aux slot (memory-safe garbage) and keep
         // counting — the Python-side guard raises the aux-capacity
-        // ValueError from the true count before any output is consumed
-        const int64_t aux_rank =
-            n_miss < aux_capacity ? n_miss : aux_capacity - 1;
+        // ValueError from the true count before any output is consumed.
+        // aux_capacity == 0 leaves no aux slot at all: emit the sentinel
+        // rank and skip the scratch entirely.
         if (n_miss < n) miss_pos[n_miss] = (int32_t)i;
-        local = aux_base_local + (aux_rank < 0 ? 0 : aux_rank);
         ++n_miss;
+        if (aux_capacity <= 0) {
+          rank = sentinel;
+          goto emit;
+        }
+        local = aux_base_local +
+                (n_miss - 1 < aux_capacity ? n_miss - 1 : aux_capacity - 1);
       }
       int32_t r = rank_scratch[local];
       if (r < 0) {
@@ -343,6 +348,7 @@ int64_t cdlrm_probe_table_dedup(const int32_t* occ, int64_t sets, int64_t ways,
       }
       rank = (uint32_t)r;
     }
+  emit:
     acc |= (uint64_t)(rank & sentinel) << accbits;
     accbits += (int)inv_bits;
     while (accbits >= 8) {

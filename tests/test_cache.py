@@ -210,3 +210,14 @@ def test_count_dedup_uniques_matches_probe_dedup(rng):
                 uniq = [np.unique(ls[t]) for t in range(3)]
                 rows = [master.gather(t, u) for t, u in enumerate(uniq)]
                 ctl.plan_insert(uniq, rows)
+
+
+def test_dedup_probe_aux_capacity_zero_raises(rng):
+    """aux_capacity=0 (no aux region at all): a miss must raise the
+    aux-capacity ValueError, not write the rank scratch out of bounds
+    (review finding, round 2)."""
+    geo = CacheGeometry.build((64,), 4, 8, 2, aux_capacity=0)
+    ctl = HostCacheController(geo, seed=0)
+    master = MasterTables((64,), 4, np.random.default_rng(0))
+    with pytest.raises(ValueError, match="aux capacity"):
+        ctl.probe_dedup(np.array([[5, 6, 7]], np.int64), master, inv_bits=9)
