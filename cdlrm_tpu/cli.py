@@ -99,12 +99,13 @@ def main(argv=None) -> int:
 
     try:
         with profile_trace(cfg.profile_dir if cfg.enable_profiling else None):
-            trainer.train(
-                max_steps=cfg.num_batches if cfg.num_batches > 0 else None
-            )
+            if not cfg.inference_only:
+                trainer.train(
+                    max_steps=cfg.num_batches if cfg.num_batches > 0 else None
+                )
         if test_ds is not None:
             trainer.evaluate()
-        if cfg.save_model:
+        if cfg.save_model and not cfg.inference_only:
             trainer.save_checkpoint(cfg.save_model)
     finally:
         trainer.close()

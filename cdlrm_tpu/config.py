@@ -96,6 +96,10 @@ class Config:
     save_model: str = ""
     load_model: str = ""
     checkpoint_freq: int = -1  # steps; <=0 disables periodic checkpoints
+    inference_only: bool = False  # skip training; evaluate the test stream
+    #   (typically with --load-model). The reference parses this flag but
+    #   never uses it (main_no_ddp.py:140); here it is a real serving-style
+    #   eval path.
 
     # ---- mlperf (main_no_ddp.py:116-124) ----
     mlperf_logging: bool = False

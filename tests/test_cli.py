@@ -235,3 +235,34 @@ def test_convergence_proxy_mlperf_early_stop(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "MLPerf threshold reached" in out
+
+
+def test_cli_inference_only(tmp_path, capsys):
+    """--inference-only (the reference parses it but never uses it,
+    main_no_ddp.py:140): train+save in one invocation, then an eval-only
+    invocation from the checkpoint — no training steps, test metrics
+    printed."""
+    raw = str(tmp_path / "train.txt")
+    write_raw_kaggle(raw, n=120)
+    common = [
+        "--data-generation", "dataset",
+        "--data-set", "kaggle",
+        "--raw-data-file", raw,
+        "--memory-map",
+        "--arch-sparse-feature-size", "8",
+        "--arch-mlp-bot", "13-16-8",
+        "--arch-mlp-top", "8-1",
+        "--mini-batch-size", "16",
+        "--cache-size", "32",
+        "--num-ways", "2",
+        "--lookahead", "2",
+        "--world-size", "8",
+        "--print-freq", "100",
+    ]
+    ck = str(tmp_path / "ckpt")
+    assert cli.main(common + ["--num-batches", "4", "--save-model", ck]) == 0
+    capsys.readouterr()
+    assert cli.main(common + ["--inference-only", "--load-model", ck]) == 0
+    out = capsys.readouterr().out
+    assert "Test accuracy" in out
+    assert "ms/it" not in out  # no training windows ran
