@@ -63,6 +63,12 @@ class WindowData:
     # when keep_batches=True: the trainer's per-window negotiated aux bucket
     # needs the exact index stream to count post-refill misses
     batches: Optional[List] = None
+    # data-stream position of the window's first batch (epoch, full-batch
+    # index): lets the trainer REPLAY the window from the dataset instead of
+    # retaining it when retention would be too large (long-lookahead
+    # configs; trainer._window_buckets)
+    start_epoch: int = 0
+    start_j: int = 0
 
 
 def _pin_current_thread(core: int) -> None:
@@ -224,7 +230,8 @@ class LookaheadPrefetcher(threading.Thread):
                 parts.append(entry[t].reshape(-1))
         return parts
 
-    def _process_window(self, window: List, pool) -> WindowData:
+    def _process_window(self, window: List, pool, epoch: int = 0,
+                        start_j: int = 0) -> WindowData:
         # window entries are ls_i [T, B] or (ls_i [T, B, P], mask)
         num_tables = (
             window[0][0].shape[0] if isinstance(window[0], tuple) else window[0].shape[0]
@@ -263,6 +270,8 @@ class LookaheadPrefetcher(threading.Thread):
             rows=[r[1] for r in results],
             num_batches=len(window),
             batches=list(window) if self.keep_batches else None,
+            start_epoch=epoch,
+            start_j=start_j,
         )
 
     def _make_pool(self):
@@ -282,15 +291,19 @@ class LookaheadPrefetcher(threading.Thread):
                 for epoch in range(self.start_epoch, self.nepochs):
                     skip = self.skip_batches if epoch == self.start_epoch else 0
                     window: List = []
+                    j = skip  # full-batch index of the NEXT stream batch
                     for ls_i in self.cache_stream_fn(skip=skip):
                         if self._stop_event.is_set():
                             return
                         window.append(ls_i)
+                        j += 1
                         if len(window) == self.lookahead:
-                            self.fifo.put(self._process_window(window, pool))
+                            self.fifo.put(self._process_window(
+                                window, pool, epoch, j - len(window)))
                             window = []
                     if window:
-                        self.fifo.put(self._process_window(window, pool))
+                        self.fifo.put(self._process_window(
+                            window, pool, epoch, j - len(window)))
         except BaseException as e:  # surfaced by .get_window()
             self.error = e
         finally:

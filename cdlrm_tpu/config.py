@@ -155,6 +155,12 @@ class Config:
     #   4 bytes of host RAM per embedding id; 'auto' enables it when that
     #   total is <= slot_map_max_bytes.
     slot_map_max_bytes: int = 1 << 32  # 4 GiB (small next to host masters)
+    window_retain_max_bytes: int = 256 << 20  # per-window raw-index retention
+    #   budget for the negotiated staging buckets (_window_buckets): below
+    #   it, windows RETAIN their index arrays; above it (long-lookahead
+    #   configs — the paper runs lookahead=3000, ~5 GB/window at Terabyte
+    #   batch), the trainer REPLAYS the window from the dataset at refill
+    #   instead, trading one extra data pass for O(1) memory.
     pack_wire: bool = True  # 3-byte slot ids + narrow dtypes on host->device
     #   transfers (lossless; auto-disabled for tables >= 2^24 cache rows)
     enable_profiling: bool = False  # real jax.profiler trace around training

@@ -387,6 +387,13 @@ class CachedDlrmTrainer:
             1 + len(cfg.ln_emb) * b_loc * max(1, pooled_width), min_size=1024
         )
         self._dedup_bucket_window: Optional[int] = None
+        # per-window raw-index retention budget for _window_buckets: above
+        # it the window is replayed from the dataset at refill instead
+        self._window_retain_ok = (
+            cfg.lookahead * len(cfg.ln_emb) * cfg.mini_batch_size
+            * max(1, pooled_width) * 8
+            <= cfg.window_retain_max_bytes
+        )
         self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
         self._pipe = None
@@ -478,15 +485,17 @@ class CachedDlrmTrainer:
         residency pass over the window (all ndev replicas, not just local
         ones — the buckets are the GLOBAL max), amortized over lookahead
         steps; with dedup the same pass yields both counts
-        (HostCacheController.count_probe_stats)."""
-        if window.batches is None:
-            self._aux_bucket_window = self._aux_bucket
-            if self._dedup:
-                self._dedup_bucket_window = self._dedup_bucket
-            return
+        (HostCacheController.count_probe_stats). Windows above the retention
+        budget (window_retain_max_bytes) carry no index arrays; the window
+        is REPLAYED from the dataset instead — one extra data pass per
+        window, O(1) memory (the paper's lookahead=3000 regime)."""
+        if window.batches is not None:
+            entries = window.batches
+        else:
+            entries = self._replay_window_entries(window)
         b_loc = self.cfg.local_batch_size
         worst_miss, worst_uniq = 1, 1
-        for entry in window.batches:
+        for entry in entries:
             ls, mask = entry if isinstance(entry, tuple) else (entry, None)
             t_count = ls.shape[0]
             for r in range(self.ndev):
@@ -509,6 +518,29 @@ class CachedDlrmTrainer:
             self._dedup_bucket_window = min(
                 pow2_bucket(1 + worst_uniq, min_size=1024), self._dedup_bucket
             )
+
+    def _replay_window_entries(self, window: WindowData):
+        """Generator re-iterating the window's batches from the dataset
+        (retention-free bucket negotiation): the window's stream position is
+        recorded by the prefetcher (WindowData.start_*), datasets are
+        restartable with full-batch skip, and every host replays the same
+        shared stream — determinism preserved."""
+        from cdlrm_tpu.train.pipeline import _batches_from
+
+        b = self.cfg.mini_batch_size
+        n = 0
+        for batch in _batches_from(
+            self.dataset, window.start_j, full_size=b
+        ):
+            if batch.x.shape[0] != b:
+                continue
+            if batch.ls_mask is not None:
+                yield (batch.ls_i, batch.ls_mask)
+            else:
+                yield batch.ls_i
+            n += 1
+            if n >= window.num_batches:
+                return
 
     # ------------------------------------------------------------------ batch
     def _pack_aux(self, aux_slot_shards, aux_row_shards, for_eval=False):
@@ -836,10 +868,15 @@ class CachedDlrmTrainer:
                 start_epoch=epoch0,
                 skip_batches=(j0 // cfg.lookahead) * cfg.lookahead,
                 # windows carry their raw index arrays when the per-window
-                # aux bucket must be derived (_window_buckets): multihost
+                # staging buckets must be derived (_window_buckets): multihost
                 # (host-symmetric shapes) and scan blocks (stacked batches
-                # share shapes)
-                keep_batches=self.multihost or self._scan_block > 1,
+                # share shapes). Long-lookahead configs exceed the retention
+                # budget; _window_buckets then REPLAYS the window from the
+                # dataset instead (window_retain_max_bytes).
+                keep_batches=(
+                    (self.multihost or self._scan_block > 1)
+                    and self._window_retain_ok
+                ),
             )
             self.prefetcher.start()
             self._pipe = AssemblyPipeline(

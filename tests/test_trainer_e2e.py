@@ -424,9 +424,11 @@ def test_refill_delta_matches_strict():
             np.testing.assert_allclose(b, bo, rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("pooled,dedup", [(False, False), (True, False),
-                                          (False, True)])
-def test_scan_block_matches_single_step(pooled, dedup):
+@pytest.mark.parametrize("pooled,dedup,retain", [
+    (False, False, True), (True, False, True), (False, True, True),
+    (False, True, False),  # replay mode: window re-iterated from the dataset
+])
+def test_scan_block_matches_single_step(pooled, dedup, retain):
     """scan_steps=K (one lax.scan dispatch per K steps) must be
     step-for-step identical to single-step execution — including the agg
     cadence firing at the same global steps (blocks are capped at cadence
@@ -468,6 +470,7 @@ def test_scan_block_matches_single_step(pooled, dedup):
             mini_batch_size=32, world_size=4, cache_size=32, num_ways=4,
             lookahead=6, table_agg_freq=3, scan_steps=scan,
             eviction_fifo_size=64, print_freq=5, dedup_lookups=dedup,
+            window_retain_max_bytes=(256 << 20) if retain else 0,
         )
         cfg.finalize(ln_emb=ln_emb)
         tr = CachedDlrmTrainer(cfg, DupHeavyDataset(), mesh=None)
