@@ -97,9 +97,11 @@ def main():
         # BENCH_SCAN=1 for the A/B.
         scan_steps=int(os.environ.get("BENCH_SCAN", "10")),
         # fp8 dense-feature wire: the wall on this tunnel is the H2D link
-        # (PERF.md round 2) and x is the second-largest payload. Lossy
-        # (config.py); BENCH_FP8=0 for the A/B.
-        wire_x_fp8=os.environ.get("BENCH_FP8", "1") == "1",
+        # (PERF.md round 2) and x is the second-largest payload — but it is
+        # LOSSY (config.py), so the HEADLINE stays on the lossless wire;
+        # BENCH_FP8=1 opts into the fp8 A/B (flag polarity matches
+        # BENCH_DEDUP/BENCH_SCAN: 1 enables the named feature).
+        wire_x_fp8=os.environ.get("BENCH_FP8", "0") == "1",
     )
     cfg.finalize(ln_emb=ln_emb)
 

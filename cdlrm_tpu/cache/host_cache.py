@@ -128,6 +128,28 @@ class HostCacheController:
             self._id_bases = np.concatenate([[0], np.cumsum(ln)[:-1]])
             self._slot_map = np.full(int(ln.sum()), -1, dtype=np.int32)
 
+    def _map_ids(
+        self, ls_i: np.ndarray, valid: Optional[np.ndarray]
+    ) -> np.ndarray:
+        """Per-table range guard for the direct-map paths: the flat map is
+        segmented by table, so an id >= ln_emb[t] would silently index the
+        NEXT table's segment and could return a phantom hit into the wrong
+        table's cache rows (the set-associative probe is intrinsically safe
+        via mod-sets). Masked padding lanes are exempt (replaced by 0, same
+        contract as the native kernel which skips them). Returns the array
+        to index the map with (ls_i, or a masked copy)."""
+        sizes = np.append(self._id_bases[1:], self._slot_map.shape[0]) - self._id_bases
+        ids = ls_i if valid is None else np.where(valid, ls_i, 0)
+        mx = ids.max(axis=1, initial=0)
+        mn = ids.min(axis=1, initial=0)
+        if (mx >= sizes).any() or (mn < 0).any():
+            bad = np.flatnonzero((mx >= sizes) | (mn < 0))[0]
+            raise ValueError(
+                f"table {bad}: lookup id out of range [0, {int(sizes[bad])}) "
+                f"(got min={int(mn[bad])}, max={int(mx[bad])})"
+            )
+        return ids
+
     def rebuild_slot_map(self) -> None:
         """Re-derive the direct map from the occupancy (checkpoint load)."""
         if self._slot_map is None:
@@ -225,7 +247,7 @@ class HostCacheController:
         rule as :meth:`probe`."""
         geo = self.geo
         t_count, b = ls_i.shape
-        gidx = ls_i + self._id_bases[:, None]
+        gidx = self._map_ids(ls_i, valid) + self._id_bases[:, None]
         slots = self._slot_map[gidx]  # [T, b] int32, -1 = not resident
         miss_all = slots < 0
         if valid is not None:
@@ -450,7 +472,8 @@ class HostCacheController:
         (trainer._window_buckets) that replaces the worst-case
         T * aux_capacity staging shape."""
         if self._slot_map is not None:
-            miss = self._slot_map[ls_i + self._id_bases[:, None]] < 0
+            ids = self._map_ids(ls_i, valid)
+            miss = self._slot_map[ids + self._id_bases[:, None]] < 0
             if valid is not None:
                 miss &= valid
             return int(miss.sum())
@@ -490,6 +513,16 @@ class HostCacheController:
             if ids.size == 0:
                 continue
             if self._slot_map is not None:
+                end = (
+                    self._id_bases[t + 1]
+                    if t + 1 < self._id_bases.size
+                    else self._slot_map.shape[0]
+                )
+                if int(ids.max()) >= end - self._id_bases[t] or int(ids.min()) < 0:
+                    raise ValueError(
+                        f"table {t}: lookup id out of range "
+                        f"[0, {int(end - self._id_bases[t])})"
+                    )
                 resident = self._slot_map[self._id_bases[t] + ids] >= 0
             else:
                 idx = ids.astype(np.int32, copy=False)

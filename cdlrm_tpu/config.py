@@ -251,14 +251,19 @@ class Config:
         ):
             import warnings
 
+            # delta's trajectory-equality precondition (train/step.py
+            # make_refill_step) is violated: replicas would keep divergent
+            # untouched rows across refills — a silently different algorithm.
+            # Fall back to the always-correct strict broadcast instead of
+            # training with undocumented dynamics (round-2 advisor finding).
             warnings.warn(
-                "refill_broadcast='delta' is trajectory-equal to 'strict' "
-                "only when table_agg_freq divides lookahead (every refill "
-                f"then follows an aggregation); got freq={self.table_agg_freq}"
-                f", lookahead={self.lookahead} — replicas may keep divergent "
-                "untouched rows across refills",
+                "refill_broadcast='delta' requires table_agg_freq to divide "
+                f"lookahead (got freq={self.table_agg_freq}, lookahead="
+                f"{self.lookahead}); falling back to 'strict' — replicas "
+                "would otherwise keep divergent untouched rows across refills",
                 stacklevel=2,
             )
+            self.refill_broadcast = "strict"
         if self.qr_flag:
             if self.qr_operation == "concat" and 2 * m_spa != m_den_out:
                 raise ValueError(

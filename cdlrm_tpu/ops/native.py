@@ -343,13 +343,17 @@ def map_probe_batch_wire(
     # OOB guard: the C kernel indexes map_flat[base + id] unchecked (the
     # occupancy kernels are intrinsically safe via mod-sets; the map is not).
     # Per-table: each table's ids must stay inside its own map segment.
+    # Masked padding lanes are exempt — the kernel skips them without
+    # gathering (csrc cdlrm_map_probe_table_wirebits), so they carry no input
+    # contract; checking them would reject streams the numpy path accepts.
     ends = np.append(bases[1:], map_flat.shape[0])
-    seg_max = ls_i.max(axis=1) + bases
+    ids_chk = ls_i if valid is None else np.where(valid.astype(bool), ls_i, 0)
+    seg_max = ids_chk.max(axis=1) + bases
     if (seg_max >= ends).any():
         t = int(np.argmax(seg_max >= ends))
         raise ValueError(
-            f"table {t}: lookup id {int(ls_i[t].max())} out of range for its "
-            f"slot-map segment (size {int(ends[t] - bases[t])})"
+            f"table {t}: lookup id {int(ids_chk[t].max())} out of range for "
+            f"its slot-map segment (size {int(ends[t] - bases[t])})"
         )
     offs = np.ascontiguousarray(table_offsets, dtype=np.int64)
     auxb = np.ascontiguousarray(aux_bases_local, dtype=np.int64)

@@ -57,6 +57,10 @@ from cdlrm_tpu.utils.metrics import StreamingAUC, accuracy_count
 from cdlrm_tpu.utils.padding import pad_to_bucket, pow2_bucket
 
 
+# checkpoint layout version written to meta.pkl; see save_checkpoint
+CHECKPOINT_FORMAT_VERSION = 3
+
+
 @dataclass
 class TrainMetrics:
     steps: int = 0
@@ -1209,6 +1213,11 @@ class CachedDlrmTrainer:
         )
         np.savez(os.path.join(path, "occupancy.npz"), **self.controller.state_dict())
         meta = {
+            # format history: v2 = round-2 layout (full local cache block +
+            # touched mask, unversioned); v3 adds this version field. Bump on
+            # any layout change so load_checkpoint can fail with a clear
+            # message instead of an incidental FileNotFoundError/reshape.
+            "format_version": CHECKPOINT_FORMAT_VERSION,
             "global_step": self.global_step,
             "rng_state": self.controller.rng.bit_generator.state,
             # data cursor: resume continues the SAME stream/window alignment
@@ -1218,6 +1227,18 @@ class CachedDlrmTrainer:
             pickle.dump(meta, f)
 
     def load_checkpoint(self, path: str) -> None:
+        # meta first: an incompatible-format checkpoint must fail with a
+        # clear error, not an incidental FileNotFoundError mid-restore
+        # (round-2 advisor finding)
+        with open(os.path.join(path, "meta.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        fmt = meta.get("format_version", 2 if "cursor" in meta else 1)
+        if fmt not in (2, CHECKPOINT_FORMAT_VERSION):
+            raise ValueError(
+                f"incompatible checkpoint format v{fmt} at {path!r} (this "
+                f"build reads v2-v{CHECKPOINT_FORMAT_VERSION}); re-save with "
+                "a matching build"
+            )
         params = step_lib.unreplicate(self.params)
         leaves, treedef = jax.tree_util.tree_flatten(params)
         with np.load(os.path.join(path, "dense_params.npz")) as data:
@@ -1249,8 +1270,6 @@ class CachedDlrmTrainer:
             )
         else:
             self.master.load(os.path.join(path, "master.npz"))
-        with open(os.path.join(path, "meta.pkl"), "rb") as f:
-            meta = pickle.load(f)
         self.global_step = meta["global_step"]
         self.controller.rng.bit_generator.state = meta["rng_state"]
         if self._pipeline_started:

@@ -221,3 +221,36 @@ def test_dedup_probe_aux_capacity_zero_raises(rng):
     master = MasterTables((64,), 4, np.random.default_rng(0))
     with pytest.raises(ValueError, match="aux capacity"):
         ctl.probe_dedup(np.array([[5, 6, 7]], np.int64), master, inv_bits=9)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_slot_map_probe_rejects_out_of_range_ids(masked):
+    """The flat direct map is segmented by table: an id >= ln_emb[t] in a
+    non-last table would silently index the NEXT table's segment and could
+    phantom-hit the wrong table's cache row. Every map path (probe,
+    probe_wire, count_misses, count_probe_stats) must raise instead — except
+    for MASKED padding lanes, which carry no input contract (the native
+    kernel skips them; round-2 advisor findings 1-2)."""
+    ln_emb = (50, 40, 30)
+    geo = CacheGeometry.build(ln_emb, 4, 8, 2, 16)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    ctl = HostCacheController(geo, seed=1, ln_emb=np.asarray(ln_emb),
+                              slot_map=True)
+    ls = np.stack([np.arange(4, dtype=np.int64) for _ in ln_emb])
+    ls[1, 2] = 45  # >= ln_emb[1], but < ln_emb[0]: lands in table 2's segment
+    if masked:
+        valid = np.ones((3, 4), bool)
+        valid[1, 2] = False  # the OOB id is a masked padding lane: accepted
+        ctl.probe(ls, master, valid=valid)
+        ctl.probe_wire(ls, master, bits=9, valid=valid)
+        ctl.count_misses(ls, valid=valid)
+        ctl.count_probe_stats(ls, valid=valid)
+    else:
+        with pytest.raises(ValueError, match="out of range"):
+            ctl.probe(ls, master)
+        with pytest.raises(ValueError, match="out of range"):
+            ctl.probe_wire(ls, master, bits=9)
+        with pytest.raises(ValueError, match="out of range"):
+            ctl.count_misses(ls)
+        with pytest.raises(ValueError, match="out of range"):
+            ctl.count_probe_stats(ls)

@@ -569,3 +569,44 @@ def test_resume_at_epoch_end_midwindow(tmp_path):
         np.testing.assert_array_equal(a, bb)
     np.testing.assert_allclose(np.asarray(tr2.cache), cache_ref, rtol=1e-6,
                                atol=1e-7)
+
+
+def test_delta_with_nondividing_agg_freq_falls_back_to_strict():
+    """delta's trajectory-equality precondition is table_agg_freq | lookahead
+    (train/step.py make_refill_step); finalize must fall back to 'strict'
+    with a warning, not train a silently different algorithm (round-2
+    advisor finding)."""
+    with pytest.warns(UserWarning, match="falling back to 'strict'"):
+        cfg = make_cfg(refill_broadcast="delta", table_agg_freq=3, lookahead=4)
+    assert cfg.refill_broadcast == "strict"
+    # dividing freq keeps delta
+    cfg = make_cfg(refill_broadcast="delta", table_agg_freq=2, lookahead=4)
+    assert cfg.refill_broadcast == "delta"
+
+
+def test_checkpoint_format_version_guard(tmp_path):
+    """An incompatible checkpoint format must fail with a clear ValueError
+    read from meta.pkl, not an incidental FileNotFoundError mid-restore
+    (round-2 advisor finding)."""
+    import pickle
+
+    from cdlrm_tpu.train.trainer import CHECKPOINT_FORMAT_VERSION
+
+    cfg = make_cfg()
+    ds = LearnableDataset(cfg.ln_emb, num_batches=12)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=4, log_fn=lambda s: None)
+    ck = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ck)
+    tr.close()
+
+    with open(f"{ck}/meta.pkl", "rb") as f:
+        meta = pickle.load(f)
+    assert meta["format_version"] == CHECKPOINT_FORMAT_VERSION
+    meta["format_version"] = 1
+    with open(f"{ck}/meta.pkl", "wb") as f:
+        pickle.dump(meta, f)
+    tr2 = CachedDlrmTrainer(make_cfg(), ds, ds)
+    with pytest.raises(ValueError, match="incompatible checkpoint format"):
+        tr2.load_checkpoint(ck)
+    tr2.close()
