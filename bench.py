@@ -87,11 +87,13 @@ def main():
         # ~15 MB/s, so materializing 3+ GB of tables would dominate the run;
         # gather/writeback cost is equivalent (see cache/master.py)
         master_init="virtual",
-        # duplicate-slot coalescing halves the device sparse-update cost
-        # (PERF.md finding 8) but costs ~+80KB/step H2D — a win on real
-        # PCIe hosts, a loss on this ~30MB/s tunnel, so default off here;
-        # BENCH_DEDUP=1 for the A/B
-        dedup_lookups=os.environ.get("BENCH_DEDUP", "0") == "1",
+        # duplicate-slot coalescing (PERF.md findings 8-9): 'auto' — the
+        # production default — lets each window's measured duplication pick
+        # the wire; BENCH_DEDUP=on/off pins it for A/Bs ('1'/'0' accepted)
+        dedup_lookups={"1": "on", "0": "off"}.get(
+            os.environ.get("BENCH_DEDUP", "auto"),
+            os.environ.get("BENCH_DEDUP", "auto"),
+        ),
         # scan blocks: one dispatch per 10 steps (dispatch+sync on this
         # tunnel is ~3.5ms/step of the wall; config.py scan_steps).
         # BENCH_SCAN=1 for the A/B.
@@ -174,7 +176,9 @@ def main():
             "lookahead": lookahead, "compute_dtype": "bfloat16",
             "scan_steps": cfg.scan_steps,
             "x_wire": "fp8" if cfg.wire_x_fp8 else "bf16",
-            "dedup": cfg.dedup_lookups,
+            "dedup": cfg.dedup_lookups,  # requested mode (on|off|auto)
+            # what auto actually chose for the final window (w["dedup"])
+            "dedup_active": bool(w.get("dedup", False)),
         },
     }
     print(json.dumps(result))

@@ -59,14 +59,24 @@ class WindowData:
     uniques: List[np.ndarray]  # [T] arrays of sorted unique indices
     rows: List[np.ndarray]  # [T] arrays [U_t, D] of master rows
     num_batches: int  # batches covered by this window
-    # raw window entries (ls_i [T, B] or (ls_i [T, B, P], mask)), kept only
-    # when keep_batches=True: the trainer's per-window negotiated aux bucket
-    # needs the exact index stream to count post-refill misses
-    batches: Optional[List] = None
+    # shadow-planned refill (host_cache.InsertPlanSpec): the insert/evict
+    # policy is a deterministic function of (occupancy, RNG, window uniques),
+    # so the prefetcher's SHADOW controller computes each window's plan while
+    # it streams — the trainer replays it (apply_plan_spec) instead of
+    # planning on the refill critical path. None when the window's plan was
+    # already applied before a checkpoint (mid-window resume; the trainer's
+    # WINDOW_REPLAY path), or when no shadow is attached (unit tests).
+    plan_spec: Optional[object] = None
+    # post-refill probe statistics (host_cache.WindowStats), computed against
+    # the shadow's POST-plan occupancy while the window is still in memory:
+    # per-(replica, batch) worst miss/unique counts for the negotiated
+    # staging buckets + window totals for the auto-dedup decision. Replaces
+    # the trainer-side retained-batch / dataset-replay stats pass (one whole
+    # extra data read per window at long-lookahead configs — VERDICT r2
+    # item 4).
+    stats: Optional[object] = None
     # data-stream position of the window's first batch (epoch, full-batch
-    # index): lets the trainer REPLAY the window from the dataset instead of
-    # retaining it when retention would be too large (long-lookahead
-    # configs; trainer._window_buckets)
+    # index within it)
     start_epoch: int = 0
     start_j: int = 0
 
@@ -182,7 +192,9 @@ class LookaheadPrefetcher(threading.Thread):
         backend: str = "thread",
         start_epoch: int = 0,
         skip_batches: int = 0,
-        keep_batches: bool = False,
+        shadow=None,
+        stats_spec: Optional[tuple] = None,
+        skip_first_plan: bool = False,
     ):
         """backend: 'thread' (default — numpy gathers release the GIL) or
         'process' (reference-style mp pool; requires mmap-backed MasterTables
@@ -191,14 +203,26 @@ class LookaheadPrefetcher(threading.Thread):
         (start_epoch, skip_batches): resume cursor — the first produced
         window starts at batch ``skip_batches`` of ``start_epoch`` (must be a
         window boundary: trainer passes floor(j/lookahead)*lookahead).
-        ``cache_stream_fn`` must accept a ``skip`` kwarg."""
+        ``cache_stream_fn`` must accept a ``skip`` kwarg.
+
+        ``shadow``: a HostCacheController CLONE of the trainer's controller
+        at pipeline start; this thread advances it one plan_insert_spec per
+        window (WindowData.plan_spec) ahead of the trainer. ``stats_spec`` =
+        (ndev, local_batch, want_uniq): also compute WindowData.stats against
+        the post-plan shadow state. ``skip_first_plan``: the FIRST produced
+        window's plan is already reflected in the shadow's start state
+        (mid-window checkpoint resume) — emit plan_spec=None for it and only
+        collect its stats."""
         super().__init__(daemon=True, name="lookahead-prefetcher")
         self.cache_stream_fn = cache_stream_fn
         self.master = master
         self.lookahead = max(1, lookahead)
         self.start_epoch = start_epoch
         self.skip_batches = skip_batches
-        self.keep_batches = keep_batches
+        self.shadow = shadow
+        self.stats_spec = stats_spec
+        self.skip_first_plan = skip_first_plan
+        self._windows_produced = 0
         self.fifo: "queue.Queue" = queue.Queue(maxsize=batch_fifo_size)
         self.cache_workers = max(1, cache_workers)
         self.nepochs = nepochs
@@ -265,14 +289,74 @@ class LookaheadPrefetcher(threading.Thread):
                 return uniq, self.master.gather(t, uniq)
 
             results = list(pool.map(one_table, range(num_tables)))
+        uniques = [r[0] for r in results]
+
+        plan_spec = None
+        if self.shadow is not None:
+            if self._windows_produced == 0 and self.skip_first_plan:
+                pass  # plan already in the shadow's (checkpointed) state
+            else:
+                plan_spec = self.shadow.plan_insert_spec(uniques)
+        stats = (
+            self._window_stats(window, pool)
+            if self.stats_spec is not None and self.shadow is not None
+            else None
+        )
+        self._windows_produced += 1
         return WindowData(
-            uniques=[r[0] for r in results],
+            uniques=uniques,
             rows=[r[1] for r in results],
             num_batches=len(window),
-            batches=list(window) if self.keep_batches else None,
+            plan_spec=plan_spec,
+            stats=stats,
             start_epoch=epoch,
             start_j=start_j,
         )
+
+    def _window_stats(self, window: List, pool):
+        """Post-plan probe statistics of every (replica, batch) slice in the
+        window (see WindowData.stats). The shadow is read-only here; batch
+        entries parallelize over the worker pool (thread backend — the
+        counting kernels release the GIL; the process backend counts on this
+        thread, its workers cannot see the shadow)."""
+        from cdlrm_tpu.cache.host_cache import WindowStats
+
+        ndev, b_loc, want_uniq = self.stats_spec
+        shadow = self.shadow
+
+        def one_entry(entry):
+            ls, mask = entry if isinstance(entry, tuple) else (entry, None)
+            t_count = ls.shape[0]
+            wm = wu = tl = tu = 0
+            for r in range(ndev):
+                sl = slice(r * b_loc, (r + 1) * b_loc)
+                v = (
+                    None if mask is None
+                    else mask[:, sl].reshape(t_count, -1)
+                )
+                ls_r = ls[:, sl].reshape(t_count, -1)
+                n_lk = ls_r.size if v is None else int(v.sum())
+                if want_uniq:
+                    m, u = shadow.count_probe_stats(ls_r, valid=v)
+                    wu = max(wu, u)
+                    tu += u
+                else:
+                    m = shadow.count_misses(ls_r, valid=v)
+                wm = max(wm, m)
+                tl += n_lk
+            return wm, wu, tl, tu
+
+        if self.backend == "process":
+            parts = [one_entry(e) for e in window]
+        else:
+            parts = list(pool.map(one_entry, window))
+        stats = WindowStats()
+        for wm, wu, tl, tu in parts:
+            stats.worst_miss = max(stats.worst_miss, wm)
+            stats.worst_uniq = max(stats.worst_uniq, wu)
+            stats.total_lookups += tl
+            stats.total_uniq += tu
+        return stats
 
     def _make_pool(self):
         if self.backend == "process":

@@ -155,12 +155,6 @@ class Config:
     #   4 bytes of host RAM per embedding id; 'auto' enables it when that
     #   total is <= slot_map_max_bytes.
     slot_map_max_bytes: int = 1 << 32  # 4 GiB (small next to host masters)
-    window_retain_max_bytes: int = 256 << 20  # per-window raw-index retention
-    #   budget for the negotiated staging buckets (_window_buckets): below
-    #   it, windows RETAIN their index arrays; above it (long-lookahead
-    #   configs — the paper runs lookahead=3000, ~5 GB/window at Terabyte
-    #   batch), the trainer REPLAYS the window from the dataset at refill
-    #   instead, trading one extra data pass for O(1) memory.
     pack_wire: bool = True  # 3-byte slot ids + narrow dtypes on host->device
     #   transfers (lossless; auto-disabled for tables >= 2^24 cache rows)
     enable_profiling: bool = False  # real jax.profiler trace around training
@@ -175,10 +169,17 @@ class Config:
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
     #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
     #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)
-    dedup_lookups: bool = False  # coalesce duplicate slots on the host and
-    #   ship (rank wire + unique list) instead of per-lookup slots: the
-    #   device sparse update shrinks from N to U scatter rows (measured
-    #   ~2x faster update at Zipf U~0.55N, PERF.md). Costs ~+80KB/step H2D.
+    dedup_lookups: str = "auto"  # on | off | auto — coalesce duplicate slots
+    #   on the host and ship (rank wire + unique list) instead of per-lookup
+    #   slots: the device sparse update shrinks from N to U scatter rows
+    #   (break-even near U=0.5N; the win scales with duplication, and
+    #   duplicate-HEAVY streams hit a measured 1000x XLA:TPU scatter cliff
+    #   without it — PERF.md findings 8-9). Costs ~+30KB/step H2D. 'auto'
+    #   (default): each lookahead window's measured duplication picks the
+    #   wire — the shadow stats pass (cache/prefetcher.py) counts
+    #   unique-vs-total lookups per window and enables dedup when
+    #   U <= 0.5 N, so the default config is skew-safe with no tuning.
+    #   Bools accepted (True='on', False='off').
 
     # -- multi-host (parallel/multihost.py; reference is single-node-only,
     # MASTER_ADDR='localhost' at main_no_ddp.py:341) --
@@ -243,6 +244,14 @@ class Config:
         if self.probe_impl not in ("auto", "map", "setassoc"):
             raise ValueError(
                 f"probe_impl must be auto|map|setassoc, got {self.probe_impl!r}"
+            )
+        if self.dedup_lookups is True:  # legacy bool spelling
+            self.dedup_lookups = "on"
+        elif self.dedup_lookups is False:
+            self.dedup_lookups = "off"
+        if self.dedup_lookups not in ("on", "off", "auto"):
+            raise ValueError(
+                f"dedup_lookups must be on|off|auto, got {self.dedup_lookups!r}"
             )
         if (
             self.refill_broadcast == "delta"

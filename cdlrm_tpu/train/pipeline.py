@@ -130,8 +130,13 @@ class AssemblyPipeline(threading.Thread):
                             return
                     if not self._wait_for_window(win):
                         return
-                    inputs, stats = tr._assemble(batch, b_loc)
-                    if not self._put(((epoch, j), batch, inputs, stats)):
+                    # the wire-format flag rides with the item: auto-dedup
+                    # flips tr._dedup only at window boundaries (strictly
+                    # before this thread probes the new window's batches),
+                    # and the consumer picks the matching compiled step per
+                    # block from the flag
+                    inputs, stats, dedup = tr._assemble(batch, b_loc)
+                    if not self._put(((epoch, j), batch, inputs, stats, dedup)):
                         return
                     j += 1
                 if replay:

@@ -37,7 +37,9 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cdlrm_tpu.cache.geometry import CacheGeometry
-from cdlrm_tpu.cache.host_cache import HostCacheController, InsertPlan
+from cdlrm_tpu.cache.host_cache import (
+    HostCacheController, InsertPlan, build_insert_plan,
+)
 from cdlrm_tpu.cache.master import MasterTables
 from cdlrm_tpu.cache.prefetcher import EvictionManager, LookaheadPrefetcher, WindowData
 from cdlrm_tpu.config import Config
@@ -246,15 +248,29 @@ class CachedDlrmTrainer:
         n_train = len(cfg.ln_emb) * b_loc * max(1, pooled_width)
         n_eval = len(cfg.ln_emb) * test_b_loc * max(1, pooled_width)
         # dedup wire: rank stream at the width of per-table lookups + the
-        # unique list at the slot wire width (both need <= WIRE_MAX_BITS)
-        self._dedup = bool(
-            cfg.dedup_lookups and self._wire_bits <= step_lib.WIRE_MAX_BITS
-        )
+        # unique list at the slot wire width (both need <= WIRE_MAX_BITS).
+        # 'auto' (the default) decides PER WINDOW from the shadow stats
+        # pass: dedup wins in proportion to duplication (break-even ~U=0.5N)
+        # and is the guard against the duplicate-heavy scatter cliff
+        # (PERF.md findings 8-9) — _apply_window_stats flips the wire at
+        # window boundaries, where probe format and compiled step always
+        # switch together.
+        dmode = cfg.dedup_lookups
+        if dmode is True:
+            dmode = "on"
+        elif dmode in (False, None):
+            dmode = "off"
+        capable = self._wire_bits <= step_lib.WIRE_MAX_BITS
+        self._dedup_auto = dmode == "auto" and capable
+        self._dedup = dmode == "on" and capable
         n_per_table = b_loc * max(1, pooled_width)
         self._inv_bits = step_lib.wire_width(n_per_table - 1)
         pallas_ok = (
             cfg.use_pallas_lookup
-            and not self._dedup  # dedup's [Ub] gather breaks the block contract
+            # dedup's [Ub] gather breaks the block contract; auto mode may
+            # switch into dedup at any window boundary, so Pallas needs the
+            # wire pinned plain
+            and dmode == "off"
             and jax.default_backend() == "tpu"
             and cfg.m_spa % 128 == 0
             and _blk_ok(n_train)
@@ -280,22 +296,25 @@ class CachedDlrmTrainer:
             use_pallas_lookup=pallas_ok,
             wire_rows_bf16=cfg.wire_rows_bf16,
             track_touched=self._needs_agg,
-            dedup=self._dedup,
+            dedup=False,
             inv_bits=self._inv_bits,
             uniq_bits=self._wire_bits,
         )
         self._row_wire_dtype = (
             jnp.bfloat16 if cfg.wire_rows_bf16 else np.float32
         )
+        # two step-config variants share everything but the wire format; the
+        # compiled-step cache (_get_step) is keyed on (block, dedup) so auto
+        # mode can switch per window without recompiling earlier variants
         self.step_cfg = scfg
-        self.train_step = step_lib.make_cached_train_step(
-            self.mesh, self.geo, scfg, self.pooled_width
+        self.step_cfg_dedup = scfg._replace(
+            dedup=True, use_pallas_lookup=False
         )
         # scan blocks: one dispatch per `scan_steps` train steps (dispatch
         # amortization; config.py). With dedup, per-window negotiated unique
-        # buckets keep the wire shapes block-stable (_window_buckets).
+        # buckets keep the wire shapes block-stable (_apply_window_stats).
         self._scan_block = max(1, cfg.scan_steps)
-        self._scan_cache: dict = {}  # block size -> compiled scan step
+        self._step_cache: dict = {}  # (block size, dedup) -> compiled step
         self.eval_step = step_lib.make_cached_eval_step(
             self.mesh, self.geo, scfg, self.pooled_width
         )
@@ -391,12 +410,12 @@ class CachedDlrmTrainer:
             1 + len(cfg.ln_emb) * b_loc * max(1, pooled_width), min_size=1024
         )
         self._dedup_bucket_window: Optional[int] = None
-        # per-window raw-index retention budget for _window_buckets: above
-        # it the window is replayed from the dataset at refill instead
-        self._window_retain_ok = (
-            cfg.lookahead * len(cfg.ln_emb) * cfg.mini_batch_size
-            * max(1, pooled_width) * 8
-            <= cfg.window_retain_max_bytes
+        # shadow window stats (cache/prefetcher.py): needed whenever staging
+        # buckets must be negotiated per window — multihost (host-symmetric
+        # compiled shapes) or scan blocks (batches stacked in one block
+        # share shapes) — or when auto-dedup needs the duplication signal
+        self._need_stats = (
+            self.multihost or self._scan_block > 1 or self._dedup_auto
         )
         self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
@@ -440,12 +459,18 @@ class CachedDlrmTrainer:
             # window's train misses from it
             rows = exchange_window_rows(self.master, window.uniques, rows)
             self._window_store = WindowRowStore(window.uniques, rows)
-        plan = self.controller.plan_insert(window.uniques, rows)
-        if self.multihost or self._scan_block > 1:
-            # occupancy is final for this window — negotiate the miss bucket
-            # (multihost: host-symmetric shape; scan: batches stacked in one
-            # block must share the aux bucket shape)
-            self._window_buckets(window)
+        if window.plan_spec is not None:
+            # shadow-planned window (cache/prefetcher.py): replay the
+            # occupancy mutations and join the row values — planning already
+            # happened off the refill critical path, on the prefetcher
+            plan = build_insert_plan(window.plan_spec, rows, self.geo.dim)
+            self.controller.apply_plan_spec(window.plan_spec)
+        else:
+            plan = self.controller.plan_insert(window.uniques, rows)
+        # occupancy is final for this window — adopt its negotiated staging
+        # buckets (multihost: host-symmetric shapes; scan: batches stacked
+        # in one block must share shapes)
+        self._apply_window_stats(window)
         ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
         ins_rows = pad_to_bucket(plan.insert_rows, 0.0).astype(
             self._row_wire_dtype, copy=False
@@ -478,73 +503,41 @@ class CachedDlrmTrainer:
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
 
-    def _window_buckets(self, window: WindowData) -> None:
-        """Per-window negotiated staging buckets, identically computable on
-        EVERY host with zero communication: the index stream is globally
-        shared and occupancy metadata is bit-identical across hosts (module
-        doc, parallel/multihost.py), so the post-refill per-replica miss and
+    def _apply_window_stats(self, window: WindowData) -> None:
+        """Adopt the window's shadow-computed probe statistics
+        (WindowData.stats; post-refill occupancy): negotiated per-window
+        staging buckets, identically computable on EVERY host with zero
+        communication — the index stream is globally shared and occupancy
+        metadata is bit-identical across hosts (module doc,
+        parallel/multihost.py), so the post-refill per-replica miss and
         dedup-unique counts — and hence the pow2 buckets — agree everywhere.
         Replaces the worst-case T * aux_capacity staging shape (at Terabyte
-        geometry that was ~50 MB/step of mostly-padding H2D). Cost: ONE
-        residency pass over the window (all ndev replicas, not just local
-        ones — the buckets are the GLOBAL max), amortized over lookahead
-        steps; with dedup the same pass yields both counts
-        (HostCacheController.count_probe_stats). Windows above the retention
-        budget (window_retain_max_bytes) carry no index arrays; the window
-        is REPLAYED from the dataset instead — one extra data pass per
-        window, O(1) memory (the paper's lookahead=3000 regime)."""
-        if window.batches is not None:
-            entries = window.batches
-        else:
-            entries = self._replay_window_entries(window)
-        b_loc = self.cfg.local_batch_size
-        worst_miss, worst_uniq = 1, 1
-        for entry in entries:
-            ls, mask = entry if isinstance(entry, tuple) else (entry, None)
-            t_count = ls.shape[0]
-            for r in range(self.ndev):
-                sl = slice(r * b_loc, (r + 1) * b_loc)
-                v = (
-                    None if mask is None
-                    else mask[:, sl].reshape(t_count, -1)
-                )
-                ls_r = ls[:, sl].reshape(t_count, -1)
-                if self._dedup:
-                    m, u = self.controller.count_probe_stats(ls_r, valid=v)
-                    worst_uniq = max(worst_uniq, u)
-                else:
-                    m = self.controller.count_misses(ls_r, valid=v)
-                worst_miss = max(worst_miss, m)
+        geometry that was ~50 MB/step of mostly-padding H2D). The stats are
+        computed by the prefetcher's shadow controller WHILE the window
+        streams (cache/prefetcher.py _window_stats) — no batch retention, no
+        dataset replay pass (the round-2 design re-read the whole stream
+        once more per window at long-lookahead configs)."""
+        stats = window.stats
+        if stats is None:
+            return
         self._aux_bucket_window = min(
-            pow2_bucket(worst_miss), self._aux_bucket
+            pow2_bucket(stats.worst_miss), self._aux_bucket
         )
-        if self._dedup:
+        if stats.worst_uniq > 0:
             self._dedup_bucket_window = min(
-                pow2_bucket(1 + worst_uniq, min_size=1024), self._dedup_bucket
+                pow2_bucket(1 + stats.worst_uniq, min_size=1024),
+                self._dedup_bucket,
             )
-
-    def _replay_window_entries(self, window: WindowData):
-        """Generator re-iterating the window's batches from the dataset
-        (retention-free bucket negotiation): the window's stream position is
-        recorded by the prefetcher (WindowData.start_*), datasets are
-        restartable with full-batch skip, and every host replays the same
-        shared stream — determinism preserved."""
-        from cdlrm_tpu.train.pipeline import _batches_from
-
-        b = self.cfg.mini_batch_size
-        n = 0
-        for batch in _batches_from(
-            self.dataset, window.start_j, full_size=b
-        ):
-            if batch.x.shape[0] != b:
-                continue
-            if batch.ls_mask is not None:
-                yield (batch.ls_i, batch.ls_mask)
-            else:
-                yield batch.ls_i
-            n += 1
-            if n >= window.num_batches:
-                return
+        if self._dedup_auto and stats.total_lookups > 0:
+            # measured break-even (PERF.md finding 8): coalescing costs
+            # ~1.3-1.5 ms while the scatter saves ~90 ns per removed row, so
+            # dedup wins once duplicates are at least half the lookups; it
+            # is also the guard against the duplicate-heavy scatter cliff
+            # (finding 9: 18-46 s/step for a plain scatter under zipf(1.2)).
+            # Window boundaries are exactly where wire format + compiled
+            # step may switch together (pipeline probes the next window only
+            # after this refill is applied).
+            self._dedup = 2 * stats.total_uniq <= stats.total_lookups
 
     # ------------------------------------------------------------------ batch
     def _pack_aux(self, aux_slot_shards, aux_row_shards, for_eval=False):
@@ -702,7 +695,7 @@ class CachedDlrmTrainer:
                  (b_glob,) + y_local.shape[1:]),
             )
             return (staged[0], staged[1], mask_dev, staged[2], staged[3],
-                    staged[4], staged[5], staged[6]), stats
+                    staged[4], staged[5], staged[6]), stats, True
 
         mask_local = mask[:, lo:hi]
         mask_glob = (t_count, b_glob) + mask.shape[2:]
@@ -720,7 +713,7 @@ class CachedDlrmTrainer:
              (self.ndev * k, self.geo.dim),
              (b_glob,) + y_local.shape[1:]),
         )
-        return staged, stats
+        return staged, stats, True
 
     def _assemble(self, batch: Batch, b_loc: int, for_eval: bool = False):
         """Probe this process's DP shards and build (global) sharded device
@@ -828,7 +821,7 @@ class CachedDlrmTrainer:
             )
             inputs = (staged[0], staged[1], mask_dev, staged[2], staged[3],
                       staged[4])
-            return inputs if for_eval else (inputs, stats)
+            return inputs if for_eval else (inputs, stats, False)
 
         mask_local = mask[:, lo:hi]
         mask_glob = (t_count, b_glob) + mask.shape[2:]
@@ -843,7 +836,7 @@ class CachedDlrmTrainer:
              (self.ndev * k, self.geo.dim),
              (b_glob,) + y_local.shape[1:]),
         )
-        return inputs if for_eval else (inputs, stats)
+        return inputs if for_eval else (inputs, stats, False)
 
     # ------------------------------------------------------------------ train
     def _start_pipeline(self) -> None:
@@ -871,16 +864,21 @@ class CachedDlrmTrainer:
                 backend=cfg.prefetch_backend,
                 start_epoch=epoch0,
                 skip_batches=(j0 // cfg.lookahead) * cfg.lookahead,
-                # windows carry their raw index arrays when the per-window
-                # staging buckets must be derived (_window_buckets): multihost
-                # (host-symmetric shapes) and scan blocks (stacked batches
-                # share shapes). Long-lookahead configs exceed the retention
-                # budget; _window_buckets then REPLAYS the window from the
-                # dataset instead (window_retain_max_bytes).
-                keep_batches=(
-                    (self.multihost or self._scan_block > 1)
-                    and self._window_retain_ok
+                # shadow planner: a clone of the controller's CURRENT state
+                # (fresh, or checkpoint-loaded) that the prefetcher advances
+                # one plan per window ahead of the trainer. A mid-window
+                # cursor means the first re-produced window's plan is already
+                # in the checkpointed occupancy/RNG — skip planning it.
+                shadow=self.controller.clone(),
+                stats_spec=(
+                    (
+                        self.ndev,
+                        cfg.local_batch_size,
+                        self._dedup or self._dedup_auto,
+                    )
+                    if self._need_stats else None
                 ),
+                skip_first_plan=(j0 % cfg.lookahead != 0),
             )
             self.prefetcher.start()
             self._pipe = AssemblyPipeline(
@@ -892,18 +890,21 @@ class CachedDlrmTrainer:
             self._stream_done = False
             self._pipeline_started = True
 
-    def _get_scan_step(self, size: int):
-        """Compiled scan-block step for ``size`` consecutive batches
-        (train/step.py make_cached_train_step(block=size)); cached per size —
-        blocks only take sizes in {scan_steps} plus cadence/window
-        remainders, so the variant count stays small."""
-        fn = self._scan_cache.get(size)
+    def _get_step(self, size: int, dedup: bool):
+        """Compiled train step for ``size`` consecutive batches (size 1 =
+        the plain single step; >1 = a scan block, train/step.py
+        make_cached_train_step(block=size)) in the given wire format; cached
+        per (size, dedup) — blocks only take sizes in {scan_steps} plus
+        cadence/window remainders, so the variant count stays small."""
+        key = (size, dedup)
+        fn = self._step_cache.get(key)
         if fn is None:
             fn = step_lib.make_cached_train_step(
-                self.mesh, self.geo, self.step_cfg, self.pooled_width,
-                block=size,
+                self.mesh, self.geo,
+                self.step_cfg_dedup if dedup else self.step_cfg,
+                self.pooled_width, block=size,
             )
-            self._scan_cache[size] = fn
+            self._step_cache[key] = fn
         return fn
 
     def train(self, max_steps: Optional[int] = None, log_fn=print) -> TrainMetrics:
@@ -1002,6 +1003,8 @@ class CachedDlrmTrainer:
                     "hit_rate": m.hit_rate,  # train probes only
                     "eval_hit_rate": m.eval_hit_rate,
                     "steps": m.steps,
+                    # wire format currently active (auto-dedup decision)
+                    "dedup": self._dedup,
                 }
                 log_fn(
                     f"Step {j}: {ms_it:.2f} ms/it, caching overhead "
@@ -1048,29 +1051,36 @@ class CachedDlrmTrainer:
         def run_block(items):
             """One dispatch for len(items) consecutive steps (scan block;
             train/step.py make_cached_train_step(block=...)), or the plain
-            single-step call. Per-step metric handling is identical."""
-            for _, _, _, st in items:
+            single-step call. Per-step metric handling is identical. Each
+            item carries the wire format it was assembled in (auto-dedup
+            flips only at window boundaries, and blocks never cross one, so
+            a block is format-homogeneous)."""
+            for _, _, _, st, _ in items:
                 st.commit(self.metrics)
+            dedup = items[0][4]
+            assert all(it[4] == dedup for it in items), (
+                "mixed wire formats within a scan block"
+            )
             if len(items) == 1:
-                cursor, _, inputs, _ = items[0]
+                cursor, _, inputs, _, _ = items[0]
                 (
                     self.params, self.cache, self.touched, loss_sum, correct,
-                ) = self.train_step(
+                ) = self._get_step(1, dedup)(
                     self.params, self.cache, self.touched, *inputs,
                     self._lr, self._lr_emb,
                 )
                 pending.append((loss_sum, correct, b, None))
                 after_step(cursor)
             else:
-                fn = self._get_scan_step(len(items))
-                flat = [a for _, _, inputs, _ in items for a in inputs]
+                fn = self._get_step(len(items), dedup)
+                flat = [a for _, _, inputs, _, _ in items for a in inputs]
                 (
                     self.params, self.cache, self.touched, loss_v, corr_v,
                 ) = fn(
                     self.params, self.cache, self.touched, *flat,
                     self._lr, self._lr_emb,
                 )
-                for i, (cursor, _, _, _) in enumerate(items):
+                for i, (cursor, _, _, _, _) in enumerate(items):
                     pending.append((loss_v, corr_v, b, i))
                     after_step(cursor)
 
@@ -1105,9 +1115,10 @@ class CachedDlrmTrainer:
                     if item is WINDOW_REPLAY:
                         # mid-window resume: the checkpointed occupancy and
                         # controller RNG already reflect this window's insert
-                        # plan — only rebuild the multi-host window store and
-                        # re-derive the negotiated miss bucket (occupancy is
-                        # already post-refill for this window)
+                        # plan (the prefetcher emitted plan_spec=None for it)
+                        # — only rebuild the multi-host window store and
+                        # adopt the shadow-computed buckets (stats were
+                        # counted against the already-post-refill state)
                         if self.multihost:
                             rows = exchange_window_rows(
                                 self.master, window.uniques, window.rows
@@ -1115,8 +1126,7 @@ class CachedDlrmTrainer:
                             self._window_store = WindowRowStore(
                                 window.uniques, rows
                             )
-                        if self.multihost or self._scan_block > 1:
-                            self._window_buckets(window)
+                        self._apply_window_stats(window)
                     else:
                         self._apply_refill(window)
                     pipe.notify_refill_applied()

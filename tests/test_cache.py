@@ -254,3 +254,47 @@ def test_slot_map_probe_rejects_out_of_range_ids(masked):
             ctl.count_misses(ls)
         with pytest.raises(ValueError, match="out of range"):
             ctl.count_probe_stats(ls)
+
+
+@pytest.mark.parametrize("slot_map", [False, True])
+def test_apply_plan_spec_equivalent_to_plan_insert(slot_map):
+    """The shadow-planner contract: plan_insert_spec on a clone + trainer-side
+    apply_plan_spec must leave the trainer controller in EXACTLY the state a
+    direct plan_insert would have (occupancy, slot map, RNG state), and the
+    joined InsertPlan must be identical — across several windows with
+    evictions."""
+    ln_emb = (100, 7, 63)
+    rng = np.random.default_rng(3)
+    geo = CacheGeometry.build(ln_emb, 4, 10, 2, 32)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    kw = dict(ln_emb=np.asarray(ln_emb), slot_map=True) if slot_map else {}
+    direct = HostCacheController(geo, seed=7, **kw)
+    live = HostCacheController(geo, seed=7, **kw)
+    shadow = live.clone()
+    for _ in range(6):
+        ls = np.stack([rng.integers(0, n, 40) for n in ln_emb])
+        uniq = [np.unique(ls[t]) for t in range(3)]
+        rows = [master.gather(t, u) for t, u in enumerate(uniq)]
+        want = direct.plan_insert(uniq, rows)
+        spec = shadow.plan_insert_spec(uniq)
+        live.apply_plan_spec(spec)
+        from cdlrm_tpu.cache.host_cache import build_insert_plan
+
+        got = build_insert_plan(spec, rows, geo.dim)
+        np.testing.assert_array_equal(got.insert_slots, want.insert_slots)
+        np.testing.assert_allclose(got.insert_rows, want.insert_rows)
+        np.testing.assert_array_equal(got.evict_slots, want.evict_slots)
+        np.testing.assert_array_equal(got.evict_tables, want.evict_tables)
+        np.testing.assert_array_equal(got.evict_idxs, want.evict_idxs)
+        for a, b, c in zip(direct.occupancy, live.occupancy, shadow.occupancy):
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, c)
+        if slot_map:
+            np.testing.assert_array_equal(direct._slot_map, live._slot_map)
+            np.testing.assert_array_equal(direct._slot_map, shadow._slot_map)
+        # state dicts hold arrays; equality via identical next draws
+        assert live.rng.random() == direct.rng.random() == shadow.rng.random()
+        # live probes must agree after replay (phantom-hit guard)
+        pa = direct.probe(ls, master)
+        pb = live.probe(ls, master)
+        np.testing.assert_array_equal(pa.slots, pb.slots)

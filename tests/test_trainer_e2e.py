@@ -424,11 +424,10 @@ def test_refill_delta_matches_strict():
             np.testing.assert_allclose(b, bo, rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("pooled,dedup,retain", [
-    (False, False, True), (True, False, True), (False, True, True),
-    (False, True, False),  # replay mode: window re-iterated from the dataset
+@pytest.mark.parametrize("pooled,dedup", [
+    (False, False), (True, False), (False, True),
 ])
-def test_scan_block_matches_single_step(pooled, dedup, retain):
+def test_scan_block_matches_single_step(pooled, dedup):
     """scan_steps=K (one lax.scan dispatch per K steps) must be
     step-for-step identical to single-step execution — including the agg
     cadence firing at the same global steps (blocks are capped at cadence
@@ -470,7 +469,6 @@ def test_scan_block_matches_single_step(pooled, dedup, retain):
             mini_batch_size=32, world_size=4, cache_size=32, num_ways=4,
             lookahead=6, table_agg_freq=3, scan_steps=scan,
             eviction_fifo_size=64, print_freq=5, dedup_lookups=dedup,
-            window_retain_max_bytes=(256 << 20) if retain else 0,
         )
         cfg.finalize(ln_emb=ln_emb)
         tr = CachedDlrmTrainer(cfg, DupHeavyDataset(), mesh=None)
@@ -610,3 +608,84 @@ def test_checkpoint_format_version_guard(tmp_path):
     with pytest.raises(ValueError, match="incompatible checkpoint format"):
         tr2.load_checkpoint(ck)
     tr2.close()
+
+
+class SkewSwitchDataset:
+    """Windows 0-1: zipf-like duplicate-heavy stream (a handful of hot ids);
+    windows 2-3: all-distinct ids. Exercises the per-window auto-dedup
+    decision (config.dedup_lookups='auto')."""
+
+    m_den = 13
+
+    def __init__(self, ln_emb, lookahead=4, batch=64, seed=0):
+        self.ln_emb = np.asarray(ln_emb)
+        self.lookahead = lookahead
+        self.batch = batch
+        self.seed = seed
+        self.num_batches = 4 * lookahead
+
+    def __len__(self):
+        return self.num_batches
+
+    def batches(self):
+        rng = np.random.default_rng(self.seed)
+        for j in range(self.num_batches):
+            x = rng.random((self.batch, self.m_den)).astype(np.float32)
+            y = (x[:, 0] > 0.5).astype(np.float32)[:, None]
+            if j < 2 * self.lookahead:  # duplicate-heavy
+                ls = np.stack(
+                    [rng.integers(0, 4, self.batch) for _ in self.ln_emb]
+                )
+            else:  # near-unique: a random permutation slice per table
+                ls = np.stack(
+                    [rng.permutation(n)[: self.batch] for n in self.ln_emb]
+                )
+            yield Batch(x, ls, None, y)
+
+
+def test_auto_dedup_follows_window_duplication():
+    """dedup_lookups='auto' (the default) must enable the dedup wire for
+    duplicate-heavy windows (the PERF.md finding-9 scatter-cliff guard) and
+    disable it for near-unique windows — decided per window from the shadow
+    stats, with the trajectory matching the pinned-wire runs (the two wire
+    formats are numerically equivalent, test_dedup_matches_plain_path)."""
+    ln_emb = np.array([300, 400, 500])
+
+    def run(mode, probes=False):
+        cfg = make_cfg(
+            mini_batch_size=64, world_size=4, cache_size=128, num_ways=4,
+            lookahead=4, table_agg_freq=4, dedup_lookups=mode,
+            eviction_fifo_size=64,
+        )
+        cfg.finalize(ln_emb=ln_emb)
+        ds = SkewSwitchDataset(ln_emb, lookahead=4)
+        tr = CachedDlrmTrainer(cfg, ds)
+        tr.eviction_manager.start = lambda: None  # freeze master
+        flags = []
+        if probes:
+            tr.train(max_steps=4, log_fn=lambda s: None)
+            flags.append(tr._dedup)  # window 0 (skewed) decision
+            tr.train(max_steps=16, log_fn=lambda s: None)
+            flags.append(tr._dedup)  # window 3 (distinct) decision
+        else:
+            tr.train(max_steps=16, log_fn=lambda s: None)
+        out = (
+            np.asarray(tr.cache).copy(),
+            {k: [(np.asarray(w), np.asarray(b)) for w, b in v]
+             for k, v in tr.params.items()},
+            tr.metrics.loss_sum,
+        )
+        tr.close()
+        return out, flags
+
+    auto, flags = run("auto", probes=True)
+    assert flags == [True, False], flags
+    on, _ = run("on")
+    off, _ = run("off")
+    for other in (on, off):
+        np.testing.assert_allclose(auto[0], other[0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(auto[2], other[2], rtol=1e-5)
+        for k in ("bot", "top"):
+            for (w, bb), (wo, bo) in zip(auto[1][k], other[1][k]):
+                np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(bb, bo, rtol=1e-5, atol=1e-6)
