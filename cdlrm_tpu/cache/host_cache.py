@@ -134,6 +134,7 @@ class WindowStats:
 
     worst_miss: int = 1
     worst_uniq: int = 0  # 0 = uniq stats not collected
+    worst_cold: int = 0  # 0 = no hot set (hot tier off)
     total_lookups: int = 0
     total_uniq: int = 0
 
@@ -578,43 +579,77 @@ class HostCacheController:
         (probe_dedup's sum(uniq_counts)); see count_probe_stats."""
         return self.count_probe_stats(ls_i, valid=valid)[1]
 
+    def resident_slots(self, t: int, ids: np.ndarray) -> np.ndarray:
+        """Global cache rows currently holding ``ids`` of table ``t``
+        (-1 = not resident). Read-only; used by the shadow hot-set selection
+        (cache/prefetcher.py) and the cold-count stats below."""
+        geo = self.geo
+        ids = np.asarray(ids)
+        if self._slot_map is not None:
+            end = (
+                self._id_bases[t + 1]
+                if t + 1 < self._id_bases.size
+                else self._slot_map.shape[0]
+            )
+            if ids.size and (
+                int(ids.max()) >= end - self._id_bases[t] or int(ids.min()) < 0
+            ):
+                raise ValueError(
+                    f"table {t}: lookup id out of range "
+                    f"[0, {int(end - self._id_bases[t])})"
+                )
+            return self._slot_map[self._id_bases[t] + ids].astype(np.int64)
+        idx = ids.astype(np.int32, copy=False)
+        sets_t = np.int32(geo.sets[t])
+        set_idx = idx % sets_t
+        eq = self.occupancy[t][set_idx] == idx[:, None]
+        hit = eq.any(axis=1)
+        way = eq.argmax(axis=1)
+        slot = geo.table_offsets[t] + way.astype(np.int64) * sets_t + set_idx
+        return np.where(hit, slot, -1)
+
     def count_probe_stats(
-        self, ls_i: np.ndarray, valid: Optional[np.ndarray] = None
-    ) -> Tuple[int, int]:
-        """One residency pass returning (misses, dedup uniques) of a probe
-        batch [T, N] against CURRENT occupancy. Uniques = per table,
-        distinct RESIDENT ids (each maps to one distinct slot) + every
-        MISSING occurrence (distinct aux slots — reference
-        model_no_ddp.py:176-185: dedup never merges miss rows). Pure
-        function of host-identical state, so every multi-host peer derives
-        the same per-window aux/dedup buckets with zero communication
-        (trainer._window_buckets)."""
+        self,
+        ls_i: np.ndarray,
+        valid: Optional[np.ndarray] = None,
+        want_uniq: bool = True,
+        hot_slots: Optional[np.ndarray] = None,
+    ) -> Tuple[int, int, int]:
+        """One residency pass returning (misses, dedup uniques, cold
+        lookups) of a probe batch [T, N] against CURRENT occupancy.
+
+        Uniques (``want_uniq``) = per table, distinct RESIDENT ids (each
+        maps to one distinct slot) + every MISSING occurrence (distinct aux
+        slots — reference model_no_ddp.py:176-185: dedup never merges miss
+        rows); 0 when not requested. Cold (``hot_slots`` given, SORTED
+        global rows) = valid lookups whose resolved slot is NOT in the hot
+        set — misses always count (aux slots are never hot); 0 when no hot
+        set. Pure function of host-identical state, so every multi-host
+        peer derives the same per-window buckets with zero communication
+        (trainer._apply_window_stats)."""
         miss_total = 0
         uniq_total = 0
+        cold_total = 0
         for t in range(ls_i.shape[0]):
             ids = ls_i[t] if valid is None else ls_i[t][valid[t]]
             if ids.size == 0:
                 continue
-            if self._slot_map is not None:
-                end = (
-                    self._id_bases[t + 1]
-                    if t + 1 < self._id_bases.size
-                    else self._slot_map.shape[0]
-                )
-                if int(ids.max()) >= end - self._id_bases[t] or int(ids.min()) < 0:
-                    raise ValueError(
-                        f"table {t}: lookup id out of range "
-                        f"[0, {int(end - self._id_bases[t])})"
-                    )
-                resident = self._slot_map[self._id_bases[t] + ids] >= 0
-            else:
-                idx = ids.astype(np.int32, copy=False)
-                occ = self.occupancy[t][idx % np.int32(self.geo.sets[t])]
-                resident = (occ == idx[:, None]).any(axis=1)
+            slots = self.resident_slots(t, ids)
+            resident = slots >= 0
             n_miss = int((~resident).sum())
             miss_total += n_miss
-            uniq_total += int(np.unique(ids[resident]).size) + n_miss
-        return miss_total, uniq_total
+            if want_uniq:
+                uniq_total += int(np.unique(ids[resident]).size) + n_miss
+            if hot_slots is not None:
+                if hot_slots.size:
+                    rs = slots[resident]
+                    pos = np.searchsorted(hot_slots, rs)
+                    pos = np.minimum(pos, hot_slots.size - 1)
+                    n_hot = int((hot_slots[pos] == rs).sum())
+                else:
+                    n_hot = 0
+                cold_total += ids.size - n_hot
+        return miss_total, uniq_total, cold_total
 
     def clone(self) -> "HostCacheController":
         """Deep copy for the prefetcher's shadow planner: occupancy, RNG

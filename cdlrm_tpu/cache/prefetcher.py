@@ -37,6 +37,11 @@ from cdlrm_tpu.ops import native
 
 _SENTINEL = None
 
+# per-window lookup-sample cap for the hot-set frequency estimate
+# (WindowData.hot_slots): selection quality degrades gracefully, correctness
+# never depends on it
+HOT_SAMPLE_CAP = 1 << 22
+
 # ---- process-backend worker state (reference uses a torch mp.Pool over
 # shared-memory tables, cache_manager.py:77-100; here worker processes mmap
 # the same table files, sharing pages through the OS cache) ----
@@ -79,6 +84,12 @@ class WindowData:
     # index within it)
     start_epoch: int = 0
     start_j: int = 0
+    # hot tier (StepConfig.hot_rows): the window's hottest POST-plan
+    # resident cache rows, sorted ascending, selected from a deterministic
+    # evenly-strided sample of the window's lookups (selection quality only
+    # affects performance, never correctness — the cold bucket in stats is
+    # exact for WHATEVER set is chosen). None when the hot tier is off.
+    hot_slots: Optional[np.ndarray] = None
 
 
 def _pin_current_thread(core: int) -> None:
@@ -297,11 +308,12 @@ class LookaheadPrefetcher(threading.Thread):
                 pass  # plan already in the shadow's (checkpointed) state
             else:
                 plan_spec = self.shadow.plan_insert_spec(uniques)
-        stats = (
-            self._window_stats(window, pool)
-            if self.stats_spec is not None and self.shadow is not None
-            else None
-        )
+        hot_slots = None
+        stats = None
+        if self.stats_spec is not None and self.shadow is not None:
+            if self.stats_spec[3] > 0:
+                hot_slots = self._select_hot(window, self.stats_spec[3])
+            stats = self._window_stats(window, pool, hot_slots)
         self._windows_produced += 1
         return WindowData(
             uniques=uniques,
@@ -311,9 +323,47 @@ class LookaheadPrefetcher(threading.Thread):
             stats=stats,
             start_epoch=epoch,
             start_j=start_j,
+            hot_slots=hot_slots,
         )
 
-    def _window_stats(self, window: List, pool):
+    def _select_hot(self, window: List, h: int) -> np.ndarray:
+        """Pick the window's hot set: up to ``h - 1`` POST-plan resident
+        cache rows with the highest sampled lookup frequency (the last hot
+        position is reserved for the trash row, WindowData.hot_slots doc).
+        Sampling is an even deterministic stride over the window's batch
+        entries capped at HOT_SAMPLE_CAP lookups — identical on every host
+        and across checkpoint resumes."""
+        first = window[0]
+        ls0 = first[0] if isinstance(first, tuple) else first
+        per_entry = int(np.prod(ls0.shape))
+        stride = max(1, (len(window) * per_entry) // max(1, HOT_SAMPLE_CAP))
+        sample = window[::stride]
+        t_count = ls0.shape[0]
+        cand_counts: List[np.ndarray] = []
+        cand_slots: List[np.ndarray] = []
+        for t in range(t_count):
+            parts = self._table_parts(sample, t)
+            ids = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+            if ids.size == 0:
+                continue
+            u, c = np.unique(ids, return_counts=True)
+            if u.size > h - 1:  # per-table top can't beat the global top
+                keep = np.argpartition(c, u.size - (h - 1))[-(h - 1):]
+                u, c = u[keep], c[keep]
+            slots = self.shadow.resident_slots(t, u)
+            res = slots >= 0
+            cand_counts.append(c[res])
+            cand_slots.append(slots[res])
+        if not cand_slots:
+            return np.zeros(0, np.int64)
+        counts = np.concatenate(cand_counts)
+        slots = np.concatenate(cand_slots)
+        if counts.size > h - 1:
+            keep = np.argpartition(counts, counts.size - (h - 1))[-(h - 1):]
+            slots = slots[keep]
+        return np.sort(slots)
+
+    def _window_stats(self, window: List, pool, hot_slots=None):
         """Post-plan probe statistics of every (replica, batch) slice in the
         window (see WindowData.stats). The shadow is read-only here; batch
         entries parallelize over the worker pool (thread backend — the
@@ -321,13 +371,13 @@ class LookaheadPrefetcher(threading.Thread):
         thread, its workers cannot see the shadow)."""
         from cdlrm_tpu.cache.host_cache import WindowStats
 
-        ndev, b_loc, want_uniq = self.stats_spec
+        ndev, b_loc, want_uniq = self.stats_spec[:3]
         shadow = self.shadow
 
         def one_entry(entry):
             ls, mask = entry if isinstance(entry, tuple) else (entry, None)
             t_count = ls.shape[0]
-            wm = wu = tl = tu = 0
+            wm = wu = wc = tl = tu = 0
             for r in range(ndev):
                 sl = slice(r * b_loc, (r + 1) * b_loc)
                 v = (
@@ -336,24 +386,29 @@ class LookaheadPrefetcher(threading.Thread):
                 )
                 ls_r = ls[:, sl].reshape(t_count, -1)
                 n_lk = ls_r.size if v is None else int(v.sum())
-                if want_uniq:
-                    m, u = shadow.count_probe_stats(ls_r, valid=v)
+                if want_uniq or hot_slots is not None:
+                    m, u, c = shadow.count_probe_stats(
+                        ls_r, valid=v, want_uniq=want_uniq,
+                        hot_slots=hot_slots,
+                    )
                     wu = max(wu, u)
+                    wc = max(wc, c)
                     tu += u
                 else:
                     m = shadow.count_misses(ls_r, valid=v)
                 wm = max(wm, m)
                 tl += n_lk
-            return wm, wu, tl, tu
+            return wm, wu, wc, tl, tu
 
         if self.backend == "process":
             parts = [one_entry(e) for e in window]
         else:
             parts = list(pool.map(one_entry, window))
         stats = WindowStats()
-        for wm, wu, tl, tu in parts:
+        for wm, wu, wc, tl, tu in parts:
             stats.worst_miss = max(stats.worst_miss, wm)
             stats.worst_uniq = max(stats.worst_uniq, wu)
+            stats.worst_cold = max(stats.worst_cold, wc)
             stats.total_lookups += tl
             stats.total_uniq += tu
         return stats

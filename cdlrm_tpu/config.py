@@ -166,6 +166,16 @@ class Config:
     #   halves the second-largest per-step H2D payload on thin host links.
     #   LOSSY (3 mantissa bits vs bf16's 8); compute upcasts at step entry.
     #   Gate on a convergence check for your data before production use.
+    hot_tier_rows: int = 0  # H > 0: per-window hot-tier sparse update. The
+    #   prefetcher's shadow pass picks the window's H-1 hottest resident
+    #   cache rows (+ the reserved trash row); on device, hot lookup
+    #   gradients coalesce via an MXU one-hot segment-sum into ONE H-row
+    #   scatter while cold lookups compact to an exactly-negotiated bucket —
+    #   scatter rows per step drop from N lookups to H + cold, attacking the
+    #   measured ~90ns/row XLA:TPU scatter floor and removing the
+    #   duplicate-chain serialization cliff entirely (PERF.md findings 8-9).
+    #   Exact semantics (same gradient sums, different float order).
+    #   Suggested 1024-4096 on skewed streams; 0 = off.
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
     #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
     #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)

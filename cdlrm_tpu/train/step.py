@@ -95,6 +95,23 @@ class StepConfig(NamedTuple):
     # (halves the dominant refill H2D+D2H traffic). LOSSY: freshly staged
     # rows are bf16-rounded once (trained deltas stay f32 in the cache).
     wire_rows_bf16: bool = False
+    # Hot-tier sparse update (hot_rows = H > 0): the step takes an extra
+    # per-window input hot_slots [H] — the window's hottest resident cache
+    # rows, sorted, last position reserved for the trash row. Lookup
+    # gradients split on device (searchsorted membership, no extra wire
+    # bytes): HOT lookups coalesce via an MXU one-hot matmul segment-sum
+    # ([N, H] x [N, D] -> [H, D]) and land in ONE H-row scatter; COLD
+    # lookups compact to a per-window negotiated static bucket
+    # (cold_bucket = K) and scatter-add individually. Scatter rows per step
+    # drop from N to H + K — attacking the measured ~90 ns/update-row
+    # XLA:TPU scatter floor AND the duplicate-heavy serialization cliff
+    # (PERF.md findings 8-9): the chain-forming hot rows never hit the
+    # scatter at all. Exact semantics (same sums, different float order).
+    # The host guarantees K bounds every batch's cold count (shadow window
+    # stats); masked/padded lookups resolve to the trash row, which is
+    # always in the hot list, so they never consume cold capacity.
+    hot_rows: int = 0
+    cold_bucket: int = 0
 
     @property
     def cdtype(self):
@@ -219,6 +236,62 @@ def _sgd(tree, grads, lr):
     return jax.tree_util.tree_map(lambda w, g: w - lr * g, tree, grads)
 
 
+def _hot_cold_update(
+    cache: jax.Array,
+    touched: Optional[jax.Array],
+    flat_slots: jax.Array,
+    drows: jax.Array,
+    hot_slots: jax.Array,
+    lr_embeds,
+    cfg: "StepConfig",
+    trash_row: int,
+):
+    """Hot-tier sparse SGD (StepConfig.hot_rows doc): identical sums to
+    ``cache.at[flat_slots].add(-lr*drows)`` with H + K scatter rows instead
+    of N. Returns (cache, touched)."""
+    h = cfg.hot_rows
+    k = cfg.cold_bucket
+    n = flat_slots.shape[0]
+    pos = jnp.searchsorted(hot_slots, flat_slots)
+    pos_c = jnp.minimum(pos, h - 1).astype(jnp.int32)
+    is_hot = hot_slots[pos_c] == flat_slots
+
+    # hot: one-hot MXU segment-sum — XLA fuses the iota-compare into the
+    # matmul operand, so the [N, H] one-hot is never materialized. f32
+    # accumulation regardless of compute dtype.
+    dt = drows.dtype
+    oh = (
+        (pos_c[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :])
+        & is_hot[:, None]
+    )
+    d_hot = jax.lax.dot_general(
+        oh.astype(dt), drows,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, D]
+    cache = cache.at[hot_slots].add(-lr_embeds * d_hot.astype(jnp.float32))
+
+    # cold: static-size compaction to the host-guaranteed bucket. Overflow
+    # cannot happen by construction (the shadow stats pass counts every
+    # batch's exact cold lookups); padding targets the trash row with zero
+    # gradient.
+    (cold_idx,) = jnp.nonzero(~is_hot, size=k, fill_value=n)
+    cold_ok = cold_idx < n
+    cold_idx = jnp.minimum(cold_idx, n - 1)
+    cold_slots = jnp.where(cold_ok, flat_slots[cold_idx], trash_row)
+    cold_g = jnp.where(cold_ok[:, None], drows[cold_idx], 0).astype(
+        jnp.float32
+    )
+    cache = cache.at[cold_slots].add(-lr_embeds * cold_g)
+
+    if touched is not None:
+        hot_used = jnp.any(oh, axis=0)  # [H]
+        touched = touched.at[hot_slots].max(hot_used)
+        touched = touched.at[cold_slots].set(True)
+        touched = touched.at[trash_row].set(False)
+    return cache, touched
+
+
 def _sync_dense_grads(grads: Params, strict_bias_divergence: bool) -> Params:
     """pmean over dp. The reference all-reduces Linear WEIGHTS only, silently
     letting biases diverge (main_no_ddp.py:237-245); we sync both unless
@@ -334,8 +407,14 @@ def make_cached_train_step(
         params = jax.tree_util.tree_map(lambda v: v[None], params)
         return params, loss_sum, correct
 
+    hot = cfg.hot_rows > 0
+
     def body(params, cache, touched, x, slots, ls_mask, aux_slots, aux_rows,
-             targets, lr, lr_embeds):
+             targets, *tail):
+        if hot:
+            hot_slots, lr, lr_embeds = tail
+        else:
+            (lr, lr_embeds), hot_slots = tail, None
         params = jax.tree_util.tree_map(lambda v: v[0], params)
         x = _upcast_x(x, cdtype)
         b_loc = targets.shape[0]
@@ -365,12 +444,18 @@ def make_cached_train_step(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, rows)
 
-        # sparse SGD: scatter-add coalesces duplicate slots like torch's
-        # sparse optimizer (DESIGN.md D3)
-        cache = cache.at[flat_slots].add(-lr_embeds * drows)
-        if cfg.track_touched:
-            touched = touched.at[flat_slots].set(True)
-            touched = touched.at[geo.trash_row].set(False)
+        if hot:
+            cache, touched = _hot_cold_update(
+                cache, touched if cfg.track_touched else None, flat_slots,
+                drows, hot_slots, lr_embeds, cfg, geo.trash_row,
+            )
+        else:
+            # sparse SGD: scatter-add coalesces duplicate slots like torch's
+            # sparse optimizer (DESIGN.md D3)
+            cache = cache.at[flat_slots].add(-lr_embeds * drows)
+            if cfg.track_touched:
+                touched = touched.at[flat_slots].set(True)
+                touched = touched.at[geo.trash_row].set(False)
 
         params, loss_sum, correct = finish(
             params, dparams, p, loss, targets, lr, b_loc
@@ -378,7 +463,11 @@ def make_cached_train_step(
         return params, cache, touched, loss_sum, correct
 
     def body_dedup(params, cache, touched, x, inv_wire, ls_mask, uniq_wire,
-                   uniq_counts, aux_slots, aux_rows, targets, lr, lr_embeds):
+                   uniq_counts, aux_slots, aux_rows, targets, *tail):
+        if hot:
+            hot_slots, lr, lr_embeds = tail
+        else:
+            (lr, lr_embeds), hot_slots = tail, None
         params = jax.tree_util.tree_map(lambda v: v[0], params)
         x = _upcast_x(x, cdtype)
         b_loc = targets.shape[0]
@@ -396,20 +485,35 @@ def make_cached_train_step(
 
         loss_fn_rows = make_loss_fn(x, ls_mask, targets, t_count, b_loc, d)
 
-        def loss_fn(params, rows_u):
-            # the take's transpose segment-sums duplicate-lookup gradients
-            # into [Ub, D] — the small-operand scatter that replaces the
-            # full-width one (PERF.md finding 4 attack)
-            return loss_fn_rows(params, jnp.take(rows_u, ginv, axis=0))
+        if hot:
+            # hot tier: differentiate w.r.t. the EXPANDED rows (per-lookup
+            # gradients, no intermediate [Ub, D] scatter), then split
+            # hot/cold by each lookup's resolved slot
+            rows_exp = jnp.take(rows_u, ginv, axis=0)
+            (loss, p), (dparams, drows) = jax.value_and_grad(
+                loss_fn_rows, argnums=(0, 1), has_aux=True
+            )(params, rows_exp)
+            flat_slots = jnp.take(uniq_slots, ginv)
+            cache, touched = _hot_cold_update(
+                cache, touched if cfg.track_touched else None, flat_slots,
+                drows, hot_slots, lr_embeds, cfg, geo.trash_row,
+            )
+        else:
 
-        (loss, p), (dparams, d_rows_u) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, rows_u)
+            def loss_fn(params, rows_u):
+                # the take's transpose segment-sums duplicate-lookup
+                # gradients into [Ub, D] — the small-operand scatter that
+                # replaces the full-width one (PERF.md finding 4 attack)
+                return loss_fn_rows(params, jnp.take(rows_u, ginv, axis=0))
 
-        cache = cache.at[uniq_slots].add(-lr_embeds * d_rows_u)
-        if cfg.track_touched:
-            touched = touched.at[uniq_slots].set(True)
-            touched = touched.at[geo.trash_row].set(False)
+            (loss, p), (dparams, d_rows_u) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, rows_u)
+
+            cache = cache.at[uniq_slots].add(-lr_embeds * d_rows_u)
+            if cfg.track_touched:
+                touched = touched.at[uniq_slots].set(True)
+                touched = touched.at[geo.trash_row].set(False)
 
         params, loss_sum, correct = finish(
             params, dparams, p, loss, targets, lr, b_loc
@@ -417,11 +521,13 @@ def make_cached_train_step(
         return params, cache, touched, loss_sum, correct
 
     lead = _spec_leading()
+    # hot tier adds one per-window replicated input (hot_slots) before lr
+    hot_specs = (P(),) if hot else ()
     if block > 1:
         if cfg.dedup:
             # dedup wire: 8 per-batch inputs; shapes are block-stable
             # because the trainer fixes the aux AND unique buckets per
-            # window (trainer._window_buckets)
+            # window (trainer._apply_window_stats)
             body_fn = body_dedup
             batch_specs = (
                 P(DP_AXIS),  # x
@@ -446,13 +552,14 @@ def make_cached_train_step(
         n_in = len(batch_specs)
 
         def scanned(params, cache, touched, *rest):
-            # rest = block * n_in per-batch inputs + (lr, lr_embeds).
-            # Stacking happens INSIDE the compiled program, so staging stays
-            # one (pipelined) put per batch and dispatch cost is paid once
-            # per BLOCK: on thin dispatch links (tunneled TPU, busy hosts)
-            # the per-step overhead divides by the block size.
+            # rest = block * n_in per-batch inputs + (hot_slots?, lr,
+            # lr_embeds). Stacking happens INSIDE the compiled program, so
+            # staging stays one (pipelined) put per batch and dispatch cost
+            # is paid once per BLOCK: on thin dispatch links (tunneled TPU,
+            # busy hosts) the per-step overhead divides by the block size.
             lr, lr_embeds = rest[-2], rest[-1]
-            flat = rest[:-2]  # batch-major: block groups of n_in
+            extra = (rest[-3],) if hot else ()  # per-window hot list
+            flat = rest[: -2 - len(extra)]  # batch-major: block groups
             stacked = tuple(
                 jnp.stack([flat[j * n_in + i] for j in range(block)])
                 for i in range(n_in)
@@ -460,7 +567,7 @@ def make_cached_train_step(
 
             def f(carry, xs):
                 p, c, t = carry
-                p, c, t, ls, corr = body_fn(p, c, t, *xs, lr, lr_embeds)
+                p, c, t, ls, corr = body_fn(p, c, t, *xs, *extra, lr, lr_embeds)
                 return (p, c, t), (ls, corr)
 
             (params, cache, touched), (loss, corr) = jax.lax.scan(
@@ -471,7 +578,8 @@ def make_cached_train_step(
         shardmapped = jax.shard_map(
             scanned,
             mesh=mesh,
-            in_specs=(lead, lead, lead) + batch_specs * block + (P(), P()),
+            in_specs=(lead, lead, lead) + batch_specs * block + hot_specs
+            + (P(), P()),
             out_specs=(lead, lead, lead, P(), P()),
             check_vma=False,
         )
@@ -492,6 +600,7 @@ def make_cached_train_step(
                 lead,  # aux_slots (flat)
                 lead,  # aux_rows (flat)
                 P(DP_AXIS),  # targets
+            ) + hot_specs + (
                 P(),  # lr
                 P(),  # lr_embeds
             ),
@@ -512,6 +621,7 @@ def make_cached_train_step(
             lead,  # aux_slots (flat)
             lead,  # aux_rows (flat)
             P(DP_AXIS),  # targets
+        ) + hot_specs + (
             P(),  # lr
             P(),  # lr_embeds
         ),

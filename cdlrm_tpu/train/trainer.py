@@ -410,12 +410,19 @@ class CachedDlrmTrainer:
             1 + len(cfg.ln_emb) * b_loc * max(1, pooled_width), min_size=1024
         )
         self._dedup_bucket_window: Optional[int] = None
+        # hot-tier update (config.hot_tier_rows): per-window hot list +
+        # exactly-negotiated cold compaction bucket, both from the shadow
+        # stats pass. H is clamped to at least 8 (1 reserved trash position)
+        self._hot = max(8, cfg.hot_tier_rows) if cfg.hot_tier_rows > 0 else 0
+        self._hot_slots_dev = None
+        self._cold_bucket_window: Optional[int] = None
         # shadow window stats (cache/prefetcher.py): needed whenever staging
         # buckets must be negotiated per window — multihost (host-symmetric
         # compiled shapes) or scan blocks (batches stacked in one block
-        # share shapes) — or when auto-dedup needs the duplication signal
+        # share shapes) — or when auto-dedup/hot-tier need window signals
         self._need_stats = (
             self.multihost or self._scan_block > 1 or self._dedup_auto
+            or self._hot > 0
         )
         self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
@@ -538,6 +545,25 @@ class CachedDlrmTrainer:
             # step may switch together (pipeline probes the next window only
             # after this refill is applied).
             self._dedup = 2 * stats.total_uniq <= stats.total_lookups
+        if self._hot:
+            # hot tier: stage this window's hot list (padded with the trash
+            # row, which always occupies the last position — masked/padded
+            # lookups resolve there and never consume cold capacity) and
+            # adopt the exactly-negotiated cold compaction bucket
+            hs = (
+                window.hot_slots if window.hot_slots is not None
+                else np.zeros(0, np.int64)
+            )
+            arr = np.full(self._hot, self.geo.trash_row, np.int64)
+            n = min(hs.size, self._hot - 1)
+            arr[:n] = hs[:n]
+            self._hot_slots_dev = put_global(
+                np.sort(arr).astype(np.int32), self._shardings["rep"],
+                (self._hot,),
+            )
+            self._cold_bucket_window = pow2_bucket(
+                max(stats.worst_cold, 1), min_size=64
+            )
 
     # ------------------------------------------------------------------ batch
     def _pack_aux(self, aux_slot_shards, aux_row_shards, for_eval=False):
@@ -875,6 +901,7 @@ class CachedDlrmTrainer:
                         self.ndev,
                         cfg.local_batch_size,
                         self._dedup or self._dedup_auto,
+                        self._hot,
                     )
                     if self._need_stats else None
                 ),
@@ -894,15 +921,18 @@ class CachedDlrmTrainer:
         """Compiled train step for ``size`` consecutive batches (size 1 =
         the plain single step; >1 = a scan block, train/step.py
         make_cached_train_step(block=size)) in the given wire format; cached
-        per (size, dedup) — blocks only take sizes in {scan_steps} plus
-        cadence/window remainders, so the variant count stays small."""
-        key = (size, dedup)
+        per (size, dedup, cold bucket) — blocks only take sizes in
+        {scan_steps} plus cadence/window remainders and cold buckets are
+        pow2, so the variant count stays small."""
+        cold = self._cold_bucket_window if self._hot else 0
+        key = (size, dedup, cold)
         fn = self._step_cache.get(key)
         if fn is None:
+            scfg = self.step_cfg_dedup if dedup else self.step_cfg
+            if self._hot:
+                scfg = scfg._replace(hot_rows=self._hot, cold_bucket=cold)
             fn = step_lib.make_cached_train_step(
-                self.mesh, self.geo,
-                self.step_cfg_dedup if dedup else self.step_cfg,
-                self.pooled_width, block=size,
+                self.mesh, self.geo, scfg, self.pooled_width, block=size,
             )
             self._step_cache[key] = fn
         return fn
@@ -1061,13 +1091,16 @@ class CachedDlrmTrainer:
             assert all(it[4] == dedup for it in items), (
                 "mixed wire formats within a scan block"
             )
+            # hot tier: the per-window hot list rides as one replicated
+            # input before lr (same window for every item in a block)
+            hot_extra = (self._hot_slots_dev,) if self._hot else ()
             if len(items) == 1:
                 cursor, _, inputs, _, _ = items[0]
                 (
                     self.params, self.cache, self.touched, loss_sum, correct,
                 ) = self._get_step(1, dedup)(
                     self.params, self.cache, self.touched, *inputs,
-                    self._lr, self._lr_emb,
+                    *hot_extra, self._lr, self._lr_emb,
                 )
                 pending.append((loss_sum, correct, b, None))
                 after_step(cursor)
@@ -1078,7 +1111,7 @@ class CachedDlrmTrainer:
                     self.params, self.cache, self.touched, loss_v, corr_v,
                 ) = fn(
                     self.params, self.cache, self.touched, *flat,
-                    self._lr, self._lr_emb,
+                    *hot_extra, self._lr, self._lr_emb,
                 )
                 for i, (cursor, _, _, _, _) in enumerate(items):
                     pending.append((loss_v, corr_v, b, i))

@@ -689,3 +689,85 @@ def test_auto_dedup_follows_window_duplication():
             for (w, bb), (wo, bo) in zip(auto[1][k], other[1][k]):
                 np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-6)
                 np.testing.assert_allclose(bb, bo, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("pooled,dedup,scan", [
+    (False, "off", 1), (False, "on", 1), (True, "off", 1),
+    (False, "auto", 4),
+])
+def test_hot_tier_matches_baseline(pooled, dedup, scan):
+    """hot_tier_rows > 0 splits the sparse update into an MXU-coalesced
+    H-row hot scatter + an exactly-bucketed cold scatter. Semantics are the
+    same gradient sums in a different float order — the trajectory must
+    match the baseline update allclose across wire formats, pooling, and
+    scan blocks, on a duplicate-heavy stream where most lookups are hot."""
+    ln_emb = np.array([60, 30, 80])
+
+    class HotHeavyDataset:
+        m_den = 13
+
+        def __init__(self, num_batches=26, batch=32, seed=7):
+            self.ln_emb = ln_emb
+            self.num_batches, self.batch, self.seed = num_batches, batch, seed
+
+        def __len__(self):
+            return self.num_batches
+
+        def batches(self):
+            rng = np.random.default_rng(self.seed)
+            for _ in range(self.num_batches):
+                x = rng.random((self.batch, self.m_den)).astype(np.float32)
+                y = (x[:, 0] > 0.5).astype(np.float32)[:, None]
+                if pooled:
+                    p = 3
+                    # zipf-ish: half the lookups land on 4 hot ids
+                    hot = rng.integers(0, 4, (self.batch, p))
+                    cold = np.stack(
+                        [rng.integers(0, n, (self.batch, p)) for n in ln_emb]
+                    )
+                    pick = rng.random((3, self.batch, p)) < 0.5
+                    ls = np.where(pick, hot[None], cold)
+                    mask = rng.random((3, self.batch, p)) < 0.7
+                    mask[:, :, 0] = True
+                    yield Batch(x, ls, mask, y)
+                else:
+                    hot = rng.integers(0, 4, self.batch)
+                    cold = np.stack(
+                        [rng.integers(0, n, self.batch) for n in ln_emb]
+                    )
+                    pick = rng.random((3, self.batch)) < 0.5
+                    ls = np.where(pick, hot[None], cold)
+                    yield Batch(x, ls, None, y)
+
+    def run(hot_rows):
+        cfg = make_cfg(
+            mini_batch_size=32, world_size=4, cache_size=32, num_ways=4,
+            lookahead=5, table_agg_freq=3, scan_steps=scan,
+            dedup_lookups=dedup, hot_tier_rows=hot_rows,
+            eviction_fifo_size=64,
+        )
+        cfg.finalize(ln_emb=ln_emb)
+        tr = CachedDlrmTrainer(cfg, HotHeavyDataset())
+        tr.eviction_manager.start = lambda: None  # freeze master
+        tr.train(max_steps=22, log_fn=lambda s: None)
+        out = (
+            np.asarray(tr.cache).copy(),
+            {k: [(np.asarray(w), np.asarray(b)) for w, b in v]
+             for k, v in tr.params.items()},
+            tr.metrics.loss_sum,
+            tr.metrics.hits,
+            tr.global_step,
+        )
+        tr.close()
+        return out
+
+    base = run(0)
+    hot = run(16)
+    assert base[4] == hot[4] == 22
+    assert base[3] == hot[3]
+    np.testing.assert_allclose(hot[2], base[2], rtol=1e-5)
+    np.testing.assert_allclose(hot[0], base[0], rtol=1e-4, atol=1e-6)
+    for k in ("bot", "top"):
+        for (w, bb), (wo, bo) in zip(hot[1][k], base[1][k]):
+            np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(bb, bo, rtol=1e-5, atol=1e-6)
