@@ -104,12 +104,20 @@ def main():
         # BENCH_FP8=1 opts into the fp8 A/B (flag polarity matches
         # BENCH_DEDUP/BENCH_SCAN: 1 enables the named feature).
         wire_x_fp8=os.environ.get("BENCH_FP8", "0") == "1",
+        # hot-tier update (config.hot_tier_rows): BENCH_HOT=<H> enables
+        hot_tier_rows=int(os.environ.get("BENCH_HOT", "0")),
     )
     cfg.finalize(ln_emb=ln_emb)
 
+    # stream model: 'loguniform' (default; moderate Criteo-like head
+    # concentration, per-batch unique ~0.57N) or 'zipf12' (true zipf(1.2),
+    # the duplicate-heavy shape where a plain scatter hits the measured
+    # 1000x XLA:TPU serialization cliff — PERF.md finding 9; the auto-dedup
+    # guard must keep the step flat here)
+    stream = os.environ.get("BENCH_STREAM", "loguniform")
+
     class ZipfDataset:
-        """Skewed single-index stream (Criteo-like head concentration):
-        log-uniform over the table via inverse-CDF."""
+        """Skewed single-index stream (Criteo-like head concentration)."""
 
         m_den = 13
 
@@ -125,9 +133,14 @@ def main():
             rng = np.random.Generator(np.random.SFC64(self.seed))
             for _ in range(self.num_batches):
                 x = rng.random((batch, 13), dtype=np.float32)
-                u = rng.random((num_tables, batch), dtype=np.float32)
-                idx = np.exp(u * np.log(table_rows)).astype(np.int64) - 1
-                np.minimum(idx, table_rows - 1, out=idx)
+                if stream == "zipf12":
+                    idx = (
+                        rng.zipf(1.2, size=(num_tables, batch)) - 1
+                    ) % table_rows
+                else:
+                    u = rng.random((num_tables, batch), dtype=np.float32)
+                    idx = np.exp(u * np.log(table_rows)).astype(np.int64) - 1
+                    np.minimum(idx, table_rows - 1, out=idx)
                 y = np.round(rng.random((batch, 1), dtype=np.float32))
                 yield Batch(x, idx, None, y)
 
@@ -151,6 +164,30 @@ def main():
 
     trainer.train(max_steps=warmup + steps, log_fn=capture)
     jax.block_until_ready(trainer.cache)
+
+    # device-step-only timing, reused inputs, honest sync (chained donated
+    # calls ending in a scalar D2H — block_until_ready lies on tunneled
+    # backends, PERF.md finding 7): the basis of the PCIe-host projection,
+    # recorded as an artifact per VERDICT r2 item 7
+    def device_step_ms(iters=30):
+        b0 = next(ds.batches())
+        inputs, _, dd = trainer._assemble(b0, cfg.local_batch_size)
+        hot_extra = (trainer._hot_slots_dev,) if trainer._hot else ()
+        fn = trainer._get_step(1, dd)
+        p, c, t = trainer.params, trainer.cache, trainer.touched
+        p, c, t, ls, _ = fn(p, c, t, *inputs, *hot_extra,
+                            trainer._lr, trainer._lr_emb)
+        _ = float(ls)  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, c, t, ls, _ = fn(p, c, t, *inputs, *hot_extra,
+                                trainer._lr, trainer._lr_emb)
+        _ = float(ls)
+        dt = 1e3 * (time.perf_counter() - t0) / iters
+        trainer.params, trainer.cache, trainer.touched = p, c, t
+        return dt
+
+    dstep_ms = device_step_ms()
     trainer.close()
 
     timed = windows[1:] if len(windows) > 1 else windows
@@ -168,6 +205,10 @@ def main():
         "caching_overhead_ms_per_iter": round(
             sum(x["caching_overhead_ms"] * x["steps"] for x in timed) / n_steps, 2
         ),
+        # reused-inputs device-bound step: the wall on PCIe hosts where the
+        # H2D link is not the constraint (includes dispatch; excludes host
+        # probe + staging, which overlap under the pipeline)
+        "device_step_ms": round(dstep_ms, 2),
         "timed_steps": n_steps,
         "backend": jax.default_backend(),
         "config": {
@@ -179,6 +220,8 @@ def main():
             "dedup": cfg.dedup_lookups,  # requested mode (on|off|auto)
             # what auto actually chose for the final window (w["dedup"])
             "dedup_active": bool(w.get("dedup", False)),
+            "stream": stream,
+            "hot_tier_rows": cfg.hot_tier_rows,
         },
     }
     print(json.dumps(result))

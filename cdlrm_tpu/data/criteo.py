@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from os import path
 from typing import Iterator, List, Optional, Sequence
 
@@ -57,7 +58,13 @@ class CriteoStreamingDataset:
         max_ind_range: int = -1,
         drop_last: bool = False,
         counts_file: Optional[str] = None,
+        num_workers: int = 0,
     ):
+        """``num_workers`` > 0: decompress the NEXT day file on a background
+        thread while the current day streams (the reference threads
+        args.num_workers into its torch DataLoaders,
+        dlrm_data_pytorch.py:528-543; here the npz day decompress is the
+        heavy unit of read work, and zlib releases the GIL)."""
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.npzfile_prefix = npzfile_prefix
@@ -66,6 +73,7 @@ class CriteoStreamingDataset:
         self.split = split
         self.max_ind_range = max_ind_range
         self.drop_last = drop_last
+        self.num_workers = num_workers
 
         day_count_file = npzfile_prefix + "_count.npz"
         if not path.exists(day_count_file):
@@ -116,15 +124,50 @@ class CriteoStreamingDataset:
         b = self.batch_size
         to_skip = skip * b  # examples to seek past
         carry = None  # (x_int, x_cat, y)
+
+        def load_day(day):
+            with np.load(f"{self.npzfile_prefix}_{day}_reordered.npz") as d:
+                return d["X_int"], d["X_cat"], d["y"]
+
+        # day-ahead decompression (num_workers > 0): figure out which days
+        # this pass actually reads (skip may jump whole days; ``rem`` is the
+        # in-day example remainder), then keep the next one loading in the
+        # background
+        live_days = []
+        rem = to_skip
         for day in self.days:
-            # day length without loading rows (same counts file as __init__)
-            x_int = x_cat = y = None
-            n, start = self._day_window(day)
-            if to_skip >= n - start:
-                to_skip -= n - start
+            if live_days:
+                live_days.append(day)
                 continue
-            with np.load(f"{self.npzfile_prefix}_{day}_reordered.npz") as data:
-                x_int, x_cat, y = data["X_int"], data["X_cat"], data["y"]
+            n, start = self._day_window(day)
+            if rem >= n - start:
+                rem -= n - start
+                continue
+            live_days.append(day)
+        pool = None
+        futures = {}
+        if self.num_workers > 0 and len(live_days) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            yield from self._stream(
+                live_days, rem, b, carry, load_day, pool, futures
+            )
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+
+    def _stream(self, live_days, to_skip, b, carry, load_day, pool, futures):
+        for pos, day in enumerate(live_days):
+            n, start = self._day_window(day)
+            if pool is not None and day in futures:
+                x_int, x_cat, y = futures.pop(day).result()
+            else:
+                x_int, x_cat, y = load_day(day)
+            if pool is not None and pos + 1 < len(live_days):
+                nxt = live_days[pos + 1]
+                futures[nxt] = pool.submit(load_day, nxt)
             start += to_skip
             to_skip = 0
             while True:
@@ -240,12 +283,19 @@ class CriteoBinDataset:
         bytes_per_feature: int = 4,
         shuffle: bool = False,
         seed: int = 123,
+        num_workers: int = 0,
     ):
         """``shuffle``: seeded batch-order permutation, the equivalent of the
         reference's RandomSampler over the bin dataset
         (dlrm_data_pytorch.py:420, gated by --mlperf-bin-shuffle). Seek
         access makes any order O(1) per batch; the permutation is
-        deterministic per seed so trainer and prefetcher streams align."""
+        deterministic per seed so trainer and prefetcher streams align.
+
+        ``num_workers``: reference-DataLoader-style parallel batch fetch
+        (dlrm_data_pytorch.py:528-543): random access makes batches
+        independently fetchable, so ``batches()`` keeps up to 2*num_workers
+        reads in flight on a thread pool and yields in order. 0 = fetch on
+        the calling thread."""
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.data_file = data_file
@@ -255,9 +305,16 @@ class CriteoBinDataset:
         self.num_entries = math.ceil(os.path.getsize(data_file) / self.bytes_per_entry)
         self.shuffle = shuffle
         self.seed = seed
+        self.num_workers = num_workers
         with np.load(counts_file) as data:
             self.counts = data["counts"]
         self.m_den = DEN_FEA
+        # persistent per-thread file handles (reference CriteoBinDataset
+        # opens once, data_loader_terabyte.py:206-210; per-batch reopen
+        # costs a syscall trio per batch and defeats OS readahead). Keyed by
+        # pid too: a forked worker (process prefetch backend) must not share
+        # a parent's file offset.
+        self._tlocal = threading.local()
 
     @property
     def ln_emb(self) -> np.ndarray:
@@ -266,10 +323,17 @@ class CriteoBinDataset:
     def __len__(self) -> int:
         return self.num_entries
 
+    def _file(self):
+        tl = self._tlocal
+        if getattr(tl, "pid", None) != os.getpid() or tl.f.closed:
+            tl.f = open(self.data_file, "rb")
+            tl.pid = os.getpid()
+        return tl.f
+
     def get_batch(self, idx: int) -> Batch:
-        with open(self.data_file, "rb") as f:
-            f.seek(idx * self.bytes_per_entry, 0)
-            raw = f.read(self.bytes_per_entry)
+        f = self._file()
+        f.seek(idx * self.bytes_per_entry, 0)
+        raw = f.read(self.bytes_per_entry)
         arr = np.frombuffer(raw, dtype=np.int32).reshape(-1, self.TOT_FEA)
         return transform_batch(
             arr[:, 1 : 1 + DEN_FEA], arr[:, 1 + DEN_FEA :], arr[:, 0], self.max_ind_range
@@ -296,6 +360,22 @@ class CriteoBinDataset:
             order = order[start:]
         elif skip:
             order = order[skip:]
+        if self.num_workers > 0:
+            # in-order sliding window of in-flight reads; each worker thread
+            # gets its own persistent handle (_file is thread-local)
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            depth = 2 * self.num_workers
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pending: deque = deque()
+                for i in order:
+                    pending.append(pool.submit(self.get_batch, int(i)))
+                    if len(pending) >= depth:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            return
         for i in order:
             yield self.get_batch(int(i))
 
@@ -344,10 +424,12 @@ def make_criteo_datasets(cfg):
             os.path.join(d_path, "train_data.bin"), counts_file,
             cfg.mini_batch_size, cfg.max_ind_range,
             shuffle=cfg.mlperf_bin_shuffle, seed=cfg.numpy_rand_seed,
+            num_workers=max(0, cfg.num_workers),
         )
         test = CriteoBinDataset(
             os.path.join(d_path, "test_data.bin"), counts_file,
             cfg.test_mini_batch_size, cfg.max_ind_range,
+            num_workers=max(0, cfg.test_num_workers),
         )
         cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
         return train, test, cfg
@@ -381,10 +463,12 @@ def make_criteo_datasets(cfg):
         train = CriteoStreamingDataset(
             npzfile_prefix, range(days - 1), cfg.mini_batch_size,
             split="train", max_ind_range=cfg.max_ind_range, drop_last=True,
+            num_workers=max(0, cfg.num_workers),
         )
         test = CriteoStreamingDataset(
             npzfile_prefix, [days - 1], cfg.test_mini_batch_size,
             split="test", max_ind_range=cfg.max_ind_range,
+            num_workers=max(0, cfg.test_num_workers),
         )
         cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
         return train, test, cfg

@@ -445,10 +445,12 @@ def make_cached_train_step(
         )(params, rows)
 
         if hot:
-            cache, touched = _hot_cold_update(
+            cache, touched2 = _hot_cold_update(
                 cache, touched if cfg.track_touched else None, flat_slots,
                 drows, hot_slots, lr_embeds, cfg, geo.trash_row,
             )
+            if cfg.track_touched:
+                touched = touched2
         else:
             # sparse SGD: scatter-add coalesces duplicate slots like torch's
             # sparse optimizer (DESIGN.md D3)
@@ -494,10 +496,12 @@ def make_cached_train_step(
                 loss_fn_rows, argnums=(0, 1), has_aux=True
             )(params, rows_exp)
             flat_slots = jnp.take(uniq_slots, ginv)
-            cache, touched = _hot_cold_update(
+            cache, touched2 = _hot_cold_update(
                 cache, touched if cfg.track_touched else None, flat_slots,
                 drows, hot_slots, lr_embeds, cfg, geo.trash_row,
             )
+            if cfg.track_touched:
+                touched = touched2
         else:
 
             def loss_fn(params, rows_u):

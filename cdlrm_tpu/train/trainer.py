@@ -381,6 +381,9 @@ class CachedDlrmTrainer:
             else len(cfg.ln_emb) * self.geo.aux_capacity
         )
         self._aux_bucket_window: Optional[int] = None  # negotiated per window
+        # negotiated per-eval-batch miss bucket (multihost; see _assemble)
+        self._eval_bucket_batch: Optional[int] = None
+        self._eval_bucket_log: List[Tuple[int, int]] = []
         self._row_exchange = (
             GlobalRowExchange(
                 self.master,
@@ -574,10 +577,18 @@ class CachedDlrmTrainer:
         eval the worst case (eval misses are not window-bounded). Returns
         flat [n_local*k] buffers + k."""
         if self.multihost or (self._scan_block > 1 and not for_eval):
-            k = (
-                self._aux_bucket if for_eval or self._aux_bucket_window is None
-                else self._aux_bucket_window
-            )
+            if for_eval:
+                # per-eval-batch negotiated bucket (see _assemble); falls
+                # back to the worst case only if negotiation didn't run
+                k = (
+                    self._eval_bucket_batch
+                    if self._eval_bucket_batch is not None
+                    else self._aux_bucket
+                )
+            elif self._aux_bucket_window is not None:
+                k = self._aux_bucket_window
+            else:
+                k = self._aux_bucket
         else:
             k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
         aux_slots = np.full((self.n_local, k), self.geo.trash_row, dtype=np.int32)
@@ -764,6 +775,25 @@ class CachedDlrmTrainer:
                 )
         elif self.pooled_width:
             raise ValueError("trainer built for pooled batches, got single-index")
+
+        if self.multihost and for_eval:
+            # negotiated per-eval-batch miss bucket (VERDICT r2 item 5): the
+            # eval stream and occupancy metadata are host-identical, so
+            # every host computes the same GLOBAL worst-case per-replica
+            # miss count locally — zero communication, exact shape, pow2 to
+            # bound the compile-variant count. Replaces the worst-case
+            # T * aux_capacity staging shape (~50 MB of mostly-padding H2D
+            # per eval batch at Terabyte geometry). Occupancy is frozen
+            # during eval (no refills), so the count is stable.
+            worst = 1
+            for r in range(self.ndev):
+                sl = slice(r * b_loc, (r + 1) * b_loc)
+                v = None if mask is None else mask[:, sl].reshape(t_count, -1)
+                worst = max(worst, self.controller.count_misses(
+                    ls_i[:, sl].reshape(t_count, -1), valid=v
+                ))
+            self._eval_bucket_batch = min(pow2_bucket(worst), self._aux_bucket)
+            self._eval_bucket_log.append((self._eval_bucket_batch, worst))
 
         if not self.multihost:
             probe_masters = [self.master] * self.n_local

@@ -107,6 +107,18 @@ def main():
     finally:
         trainer.close()
 
+    if trainer.multihost:
+        # negotiated eval miss bucket (trainer._assemble, VERDICT r2 item
+        # 5): the staged shape must track the real global miss counts, not
+        # the T*aux_capacity worst case
+        from cdlrm_tpu.utils.padding import pow2_bucket
+
+        assert trainer._eval_bucket_log, "eval ran but no bucket negotiated"
+        for k, worst in trainer._eval_bucket_log:
+            assert worst <= k <= max(
+                pow2_bucket(worst), 64
+            ), (k, worst)
+
     result = {
         "pid": pid,
         "nproc": nproc,
@@ -117,6 +129,9 @@ def main():
         "hit_rate": m.hit_rate,
         "rows_written": trainer.eviction_manager.rows_written,
         "multihost": trainer.multihost,
+        # buckets must be identical across hosts (compiled global shapes);
+        # the parent asserts cross-process equality
+        "eval_buckets": [list(kv) for kv in trainer._eval_bucket_log],
     }
     with open(outfile, "w") as f:
         json.dump(result, f)

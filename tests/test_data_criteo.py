@@ -320,3 +320,62 @@ def test_dedup_probe_aux_overflow_raises():
     ls = np.arange(32, dtype=np.int64)[None, :]  # 32 cold misses > aux 8
     with pytest.raises(ValueError, match="aux capacity"):
         ctrl.probe_dedup(ls, master, inv_bits=9)
+
+
+def test_num_workers_streams_identical(prepared, tmp_path):
+    """num_workers > 0 (parallel batch fetch on the bin loader; day-ahead
+    decompress on the streaming loader — reference DataLoader num_workers,
+    dlrm_data_pytorch.py:528-543) must produce the IDENTICAL stream,
+    including under shuffle and mid-stream skip (the data-cursor contract),
+    and concurrent iterators (trainer + prefetcher share one dataset) must
+    not corrupt each other through the persistent file handle."""
+    d, raw, prefix, pro = prepared
+    train_files = [f"{prefix}_{i}_reordered.npz" for i in range(DAYS - 1)]
+    bin_path = str(tmp_path / "train_data.bin")
+    numpy_to_binary(train_files, bin_path, split="train")
+    counts_file = str(d / "train_fea_count.npz")
+
+    def collect(ds, skip=0):
+        return list(ds.batches(skip=skip))
+
+    def check_same(a, b):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x.ls_i, y.ls_i)
+            np.testing.assert_allclose(x.x, y.x, rtol=1e-6)
+            np.testing.assert_array_equal(x.y, y.y)
+
+    for skip in (0, 2):
+        base = collect(
+            CriteoBinDataset(bin_path, counts_file, 16, shuffle=True, seed=3),
+            skip,
+        )
+        par = collect(
+            CriteoBinDataset(bin_path, counts_file, 16, shuffle=True, seed=3,
+                             num_workers=3),
+            skip,
+        )
+        check_same(base, par)
+        sbase = collect(
+            CriteoStreamingDataset(prefix, range(DAYS - 1), 16, split="train"),
+            skip,
+        )
+        spar = collect(
+            CriteoStreamingDataset(prefix, range(DAYS - 1), 16, split="train",
+                                   num_workers=2),
+            skip,
+        )
+        check_same(sbase, spar)
+
+    # concurrent interleaved iterators over ONE dataset object (the trainer
+    # and the prefetcher both stream it): per-thread persistent handles +
+    # per-call seek keep them independent
+    ds = CriteoBinDataset(bin_path, counts_file, 16)
+    it1, it2 = ds.batches(), ds.batches()
+    ref = collect(CriteoBinDataset(bin_path, counts_file, 16))
+    out1, out2 = [], []
+    for k in range(len(ref)):
+        out1.append(next(it1))
+        out2.append(next(it2))
+    check_same(out1, ref)
+    check_same(out2, ref)

@@ -140,6 +140,9 @@ def test_two_process_matches_single_process(tmp_path):
     assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
     if single["auc"] is not None:
         assert single["auc"] == pytest.approx(duo[0]["auc"], abs=1e-6)
+    # negotiated eval miss buckets (compiled global shapes) must be derived
+    # identically on every host with zero communication
+    assert duo[0]["eval_buckets"] and duo[0]["eval_buckets"] == duo[1]["eval_buckets"]
 
 
 @pytest.mark.slow

@@ -771,3 +771,20 @@ def test_hot_tier_matches_baseline(pooled, dedup, scan):
         for (w, bb), (wo, bo) in zip(hot[1][k], base[1][k]):
             np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(bb, bo, rtol=1e-5, atol=1e-6)
+
+
+def test_hot_tier_single_replica_scan():
+    """world_size=1 (track_touched=False: no touched carry) + scan blocks +
+    hot tier — the headline-bench shape; pins the carry structure bug where
+    the hot update returned None for the untracked touched mask."""
+    cfg = make_cfg(
+        mini_batch_size=32, world_size=1, cache_size=64, num_ways=4,
+        lookahead=6, table_agg_freq=1000, scan_steps=3, hot_tier_rows=16,
+        dedup_lookups="auto",
+    )
+    ds = LearnableDataset(cfg.ln_emb, num_batches=20, batch=32)
+    tr = CachedDlrmTrainer(cfg, ds)
+    m = tr.train(max_steps=18, log_fn=lambda s: None)
+    tr.close()
+    assert tr.global_step == 18
+    assert np.isfinite(m.loss_sum)
