@@ -212,7 +212,13 @@ def _decode_dedup(
     # first t with cum[t] > j-1
     vals = _unpack_raw(uniq_wire[None, :], uniq_bits, ub)[0]
     pos = jnp.arange(ub, dtype=jnp.int32) - 1
-    tbl = jnp.clip(jnp.searchsorted(cum, pos, side="right"), 0, t_count - 1)
+    # method='sort': the default 'scan' binary search lowers to LOG-many
+    # SERIAL dependent gathers on TPU — measured ~10 ms for 106k keys
+    # (PERF.md round 3 finding 10); the sort-based form is ~1 ms
+    tbl = jnp.clip(
+        jnp.searchsorted(cum, pos, side="right", method="sort"),
+        0, t_count - 1,
+    )
     offs = jnp.asarray(geo.table_offsets, jnp.int32)
     uniq_slots = jnp.where(
         vals == (1 << uniq_bits) - 1, geo.trash_row, vals + offs[tbl]
@@ -250,44 +256,56 @@ def _hot_cold_update(
     ``cache.at[flat_slots].add(-lr*drows)`` with H + K scatter rows instead
     of N. Returns (cache, touched)."""
     h = cfg.hot_rows
-    k = cfg.cold_bucket
     n = flat_slots.shape[0]
-    pos = jnp.searchsorted(hot_slots, flat_slots)
+    k = min(cfg.cold_bucket, n)  # pow2 bucket may round past N; cold <= N
+    r_cache = cache.shape[0]
+    # method='sort', NOT the default 'scan' (serial dependent gathers on
+    # TPU: 10.2 vs 1.0 ms at bench scale — PERF.md round 3 finding 10)
+    pos = jnp.searchsorted(hot_slots, flat_slots, method="sort")
     pos_c = jnp.minimum(pos, h - 1).astype(jnp.int32)
     is_hot = hot_slots[pos_c] == flat_slots
+    # trash-targeted lanes (masked/padded lookups; the trash row is always
+    # the last hot entry) carry zero gradient and are semantically
+    # discardable — REDIRECT them to spread indices instead of letting every
+    # one of them chain onto one row: XLA:TPU serializes same-index
+    # scatter-add chains (PERF.md finding 9; adding -0.0 to a spread row is
+    # the float identity, so spreading is exact)
+    use_hot = is_hot & (flat_slots != trash_row)
 
-    # hot: one-hot MXU segment-sum — XLA fuses the iota-compare into the
-    # matmul operand, so the [N, H] one-hot is never materialized. f32
-    # accumulation regardless of compute dtype.
-    dt = drows.dtype
-    oh = (
-        (pos_c[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :])
-        & is_hot[:, None]
-    )
-    d_hot = jax.lax.dot_general(
-        oh.astype(dt), drows,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H, D]
-    cache = cache.at[hot_slots].add(-lr_embeds * d_hot.astype(jnp.float32))
+    # hot: segment-sum via an N-row scatter-add into the VMEM-resident
+    # [H, D] accumulator (measured ~8 ns/row vs ~90 ns/row into the
+    # HBM-resident cache), then ONE H-row scatter applies it
+    spread_h = jnp.arange(n, dtype=jnp.int32) % h
+    d_hot = jnp.zeros((h, cache.shape[1]), jnp.float32).at[
+        jnp.where(use_hot, pos_c, spread_h)
+    ].add(jnp.where(use_hot[:, None], drows, 0).astype(jnp.float32))
+    cache = cache.at[hot_slots].add(-lr_embeds * d_hot)
 
-    # cold: static-size compaction to the host-guaranteed bucket. Overflow
-    # cannot happen by construction (the shadow stats pass counts every
-    # batch's exact cold lookups); padding targets the trash row with zero
-    # gradient.
-    (cold_idx,) = jnp.nonzero(~is_hot, size=k, fill_value=n)
-    cold_ok = cold_idx < n
-    cold_idx = jnp.minimum(cold_idx, n - 1)
-    cold_slots = jnp.where(cold_ok, flat_slots[cold_idx], trash_row)
+    # cold: static-size compaction to the host-guaranteed bucket via a
+    # stable argsort (cold lanes first; device argsort is ~0.7 ms at bench
+    # scale and, unlike nonzero, involves no index scatter). Overflow cannot
+    # happen by construction (the shadow stats pass counts every batch's
+    # exact cold lookups); padding spreads across rows with -0.0.
+    cold_idx = jnp.argsort(is_hot)[:k]
+    cold_ok = ~is_hot[cold_idx]
+    spread_k = jnp.arange(k, dtype=jnp.int32) % r_cache
+    cold_slots = jnp.where(cold_ok, flat_slots[cold_idx], spread_k)
     cold_g = jnp.where(cold_ok[:, None], drows[cold_idx], 0).astype(
         jnp.float32
     )
     cache = cache.at[cold_slots].add(-lr_embeds * cold_g)
 
     if touched is not None:
-        hot_used = jnp.any(oh, axis=0)  # [H]
+        hot_used = (
+            jnp.zeros(h, jnp.int32)
+            .at[jnp.where(use_hot, pos_c, spread_h)]
+            .add(use_hot.astype(jnp.int32))
+            > 0
+        )
         touched = touched.at[hot_slots].max(hot_used)
-        touched = touched.at[cold_slots].set(True)
+        # .max(False) is a no-op, so padding lanes never mark their spread
+        # rows as touched
+        touched = touched.at[cold_slots].max(cold_ok)
         touched = touched.at[trash_row].set(False)
     return cache, touched
 
@@ -453,8 +471,20 @@ def make_cached_train_step(
                 touched = touched2
         else:
             # sparse SGD: scatter-add coalesces duplicate slots like torch's
-            # sparse optimizer (DESIGN.md D3)
-            cache = cache.at[flat_slots].add(-lr_embeds * drows)
+            # sparse optimizer (DESIGN.md D3). Masked multi-hot lanes all
+            # carry slot=trash with EXACTLY zero gradient — spread them
+            # across rows (-0.0 is the float identity) instead of forming
+            # one same-index scatter chain (PERF.md finding 9).
+            upd_slots = flat_slots
+            if pooled_width > 0:
+                spread = (
+                    jnp.arange(flat_slots.shape[0], dtype=jnp.int32)
+                    % cache.shape[0]
+                )
+                upd_slots = jnp.where(
+                    flat_slots == geo.trash_row, spread, flat_slots
+                )
+            cache = cache.at[upd_slots].add(-lr_embeds * drows)
             if cfg.track_touched:
                 touched = touched.at[flat_slots].set(True)
                 touched = touched.at[geo.trash_row].set(False)

@@ -560,6 +560,15 @@ class CachedDlrmTrainer:
             arr = np.full(self._hot, self.geo.trash_row, np.int64)
             n = min(hs.size, self._hot - 1)
             arr[:n] = hs[:n]
+            npad = self._hot - 1 - n
+            if npad > 0:
+                # DISTINCT pad rows (descending from trash): pads receive
+                # only the float-identity -0.0 update, and a duplicate-trash
+                # pad block would form a same-index scatter chain — the
+                # XLA:TPU serialization cliff (PERF.md finding 9)
+                arr[n:-1] = (
+                    self.geo.trash_row - 1 - np.arange(npad)
+                ) % max(1, self.geo.trash_row)
             self._hot_slots_dev = put_global(
                 np.sort(arr).astype(np.int32), self._shardings["rep"],
                 (self._hot,),
