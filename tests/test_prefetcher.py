@@ -181,3 +181,62 @@ def test_eviction_flush_barrier(rng):
     assert np.array_equal(master.tables[0][:5], rows)
     assert mgr.rows_written == 5
     fifo.put(None)
+
+
+def test_no_extra_data_pass_at_long_lookahead():
+    """The round-2 design re-read the whole dataset once more per window to
+    negotiate staging buckets at long-lookahead configs (above the retention
+    budget). The shadow planner computes plans + stats while the window
+    streams, so a full training run must read the stream EXACTLY twice
+    (trainer assembly pass + prefetcher cache pass, the reference's
+    train_ld/cache_ld pair — dlrm_data_pytorch.py:465-483), regardless of
+    lookahead or the stats features enabled (scan blocks + auto dedup +
+    hot tier all on here)."""
+    import numpy as np
+
+    from cdlrm_tpu.config import Config
+    from cdlrm_tpu.data.synthetic import Batch
+    from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+    ln_emb = np.array([300, 200, 400])
+    counts = {"iterators": 0, "batches": 0}
+
+    class CountingDataset:
+        m_den = 13
+        ln_emb_ = ln_emb
+
+        def __init__(self, num_batches=24, batch=32):
+            self.ln_emb = ln_emb
+            self.num_batches, self.batch = num_batches, batch
+
+        def __len__(self):
+            return self.num_batches
+
+        def batches(self):
+            counts["iterators"] += 1
+            rng = np.random.default_rng(0)
+            for _ in range(self.num_batches):
+                counts["batches"] += 1
+                x = rng.random((self.batch, 13)).astype(np.float32)
+                ls = np.stack([rng.integers(0, n, self.batch) for n in ln_emb])
+                y = (x[:, 0] > 0.5).astype(np.float32)[:, None]
+                yield Batch(x, ls, None, y)
+
+    cfg = Config(
+        arch_sparse_feature_size=8, arch_mlp_bot="13-16-8", arch_mlp_top="8-1",
+        mini_batch_size=32, world_size=4, cache_size=64, num_ways=4,
+        loss_function="bce", lookahead=12,  # long window, 2 windows total
+        table_agg_freq=6, print_freq=1000, scan_steps=3,
+        dedup_lookups="auto", hot_tier_rows=16,
+    )
+    cfg.finalize(ln_emb=ln_emb)
+    ds = CountingDataset()
+    tr = CachedDlrmTrainer(cfg, ds)
+    # peek in the trainer ctor (pooled-width inference) costs one iterator +
+    # one batch; discount it
+    peek_iters, peek_batches = counts["iterators"], counts["batches"]
+    tr.train(max_steps=24, log_fn=lambda s: None)
+    tr.close()
+    assert tr.global_step == 24
+    assert counts["iterators"] - peek_iters == 2, counts  # trainer + prefetcher
+    assert counts["batches"] - peek_batches <= 2 * ds.num_batches, counts
