@@ -139,6 +139,36 @@ def main():
                     "ms": round(dt * 1e3, 2),
                     "unique": int(uniq_np.size)})
 
+    # --- finding 10 (PERF.md round 3): jnp.searchsorted's default 'scan'
+    # method lowers to log-many SERIAL dependent gather rounds on TPU ---
+    H = 2048
+    hot_d = jnp.asarray(
+        np.sort(rngs.choice(R_CACHE - 2, H, replace=False).astype(np.int32))
+    )
+
+    def timeit_chained_scalar(body, iters=3, inner=10):
+        @jax.jit
+        def run(s):
+            def f(acc, _):
+                return acc + body(), None
+            acc, _ = jax.lax.scan(f, s, None, length=inner)
+            return acc
+        s = run(jnp.int32(0)); _ = int(s)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = run(s)
+        _ = int(s)
+        return (time.perf_counter() - t0) / (iters * inner)
+
+    for method in ("scan", "sort"):
+        dt = timeit_chained_scalar(
+            lambda m=method: jnp.searchsorted(hot_d, slots_d, method=m).sum()
+        )
+        results.append({
+            "kernel": f"searchsorted/{N_UPD}_keys_in_{H}/{method}",
+            "ms": round(dt * 1e3, 2),
+        })
+
     for r in results:
         print(json.dumps(r))
 

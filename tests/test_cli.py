@@ -266,3 +266,53 @@ def test_cli_inference_only(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Test accuracy" in out
     assert "ms/it" not in out  # no training windows ran
+
+
+def test_cli_mlperf_bin_loader_end_to_end(tmp_path, capsys):
+    """C16 through the real CLI: raw TSV -> offline preprocessing ->
+    numpy_to_binary -> --mlperf-bin-loader with seeded shuffle and parallel
+    batch fetch (--num-workers), training + eval end to end (reference
+    wiring: dlrm_data_pytorch.py:391-439)."""
+    import os
+
+    from cdlrm_tpu.data.criteo import numpy_to_binary
+    from cdlrm_tpu.data.preprocess import get_criteo_ad_data
+
+    raw = str(tmp_path / "train.txt")
+    write_raw_kaggle(raw, n=240)
+    prefix = get_criteo_ad_data(
+        raw, "kaggle_processed", days=7, criteo_kaggle=True, memory_map=True
+    )
+    d = str(tmp_path)
+    numpy_to_binary(
+        [f"{prefix}_{i}_reordered.npz" for i in range(6)],
+        os.path.join(d, "train_data.bin"), split="train",
+    )
+    numpy_to_binary(
+        [f"{prefix}_6_reordered.npz"],
+        os.path.join(d, "test_data.bin"), split="test",
+    )
+    rc = cli.main(
+        [
+            "--data-generation", "dataset",
+            "--data-set", "kaggle",
+            "--raw-data-file", raw,
+            "--processed-data-file", os.path.join(d, "ignored.npz"),
+            "--mlperf-bin-loader",
+            "--mlperf-bin-shuffle",
+            "--num-workers", "2",
+            "--arch-sparse-feature-size", "8",
+            "--arch-mlp-bot", "13-16-8",
+            "--arch-mlp-top", "8-1",
+            "--mini-batch-size", "16",
+            "--cache-size", "32",
+            "--num-ways", "2",
+            "--loss-function", "bce",
+            "--lookahead", "2",
+            "--world-size", "8",
+            "--print-freq", "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Test accuracy" in out

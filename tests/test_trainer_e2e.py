@@ -110,15 +110,17 @@ def test_checkpoint_resume_bitexact(tmp_path):
     assert tr2.global_step >= 25
 
 
-@pytest.mark.parametrize("scan", [1, 3])
-def test_midstream_resume_equals_uninterrupted(tmp_path, scan):
+@pytest.mark.parametrize("scan,hot", [(1, 0), (3, 0), (3, 16)])
+def test_midstream_resume_equals_uninterrupted(tmp_path, scan, hot):
     """(train 18, checkpoint, fresh trainer, resume 20 more) must be
     step-for-step identical to an uninterrupted train-38 — including refill
     windows and prefetcher alignment (VERDICT r1 item 4; the data cursor).
     18 is deliberately mid-window (lookahead 4). Fully-resident geometry
     keeps the comparison exact: no miss-row staging races with eviction
     writebacks. scan=3: resume lands mid-block, cadences and window buckets
-    must still align."""
+    must still align. hot=16: the resumed shadow must skip the cursor
+    window's plan yet re-derive the SAME hot list and cold bucket (the
+    deterministic strided sample depends only on window content)."""
     ln_emb = np.array([40, 25, 60])
     b = 16
 
@@ -126,6 +128,7 @@ def test_midstream_resume_equals_uninterrupted(tmp_path, scan):
         cfg = make_cfg(
             mini_batch_size=b, world_size=4, cache_size=64, num_ways=2,
             lookahead=4, table_agg_freq=5, scan_steps=scan,
+            hot_tier_rows=hot, dedup_lookups="auto" if hot else "off",
         )
         cfg.finalize(ln_emb=ln_emb)
         return cfg
