@@ -106,6 +106,11 @@ def main():
         wire_x_fp8=os.environ.get("BENCH_FP8", "0") == "1",
         # hot-tier update (config.hot_tier_rows): BENCH_HOT=<H> enables
         hot_tier_rows=int(os.environ.get("BENCH_HOT", "0")),
+        # BENCH_PACK=0: unpacked wires (PCIe-host mode; int32 slots/ranks,
+        # no device wire decode — with dedup that saves the measured ~3.7 ms
+        # decode, PERF.md round 3). The tunnel wall inflates (~2.3x wire
+        # bytes); device_step_ms is the number that transfers.
+        pack_wire=os.environ.get("BENCH_PACK", "1") == "1",
     )
     cfg.finalize(ln_emb=ln_emb)
 
@@ -222,6 +227,7 @@ def main():
             "dedup_active": bool(w.get("dedup", False)),
             "stream": stream,
             "hot_tier_rows": cfg.hot_tier_rows,
+            "pack_wire": cfg.pack_wire,
         },
     }
     print(json.dumps(result))

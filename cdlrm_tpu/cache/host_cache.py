@@ -494,6 +494,26 @@ class HostCacheController:
             pr.hit_counts, pr.num_lookups,
         )
 
+    def probe_dedup_raw(
+        self, ls_i: np.ndarray, master,
+        valid: Optional[np.ndarray] = None,
+    ) -> DedupProbeResult:
+        """:meth:`probe_dedup` in the UNPACKED wire format: ``inv_wire`` is
+        a raw int32 [T, N] array of table-local first-seen ranks (-1 =
+        masked), not a bitstream. For fast host links (PCIe) the device then
+        skips the ~3.7 ms wire decode entirely (PERF.md round 3). The native
+        kernel emits this directly — an LSB-first bitstream at 32 bits IS a
+        little-endian int32 array."""
+        n = ls_i.shape[1]
+        dr = self.probe_dedup(ls_i, master, inv_bits=32, valid=valid)
+        ranks = np.ascontiguousarray(
+            dr.inv_wire[:, : 4 * n]
+        ).view(np.int32).reshape(ls_i.shape[0], n)
+        return DedupProbeResult(
+            ranks, dr.uniq, dr.uniq_counts, dr.aux_slots, dr.aux_rows,
+            dr.hit_counts, dr.num_lookups,
+        )
+
     def _finish_native_probe(
         self, slots_like, miss_pos, miss_counts, ls_i, master, valid
     ) -> ProbeResult:

@@ -230,6 +230,22 @@ def _decode_dedup(
     return uniq_slots, ginv.reshape(-1)
 
 
+def _decode_dedup_raw(
+    inv: jax.Array, uniq_slots: jax.Array, uniq_counts: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """UNPACKED dedup wire (host_cache.probe_dedup_raw; selected when
+    wire_pack is off): ``inv`` is int32 [T, n] table-local ranks (-1 =
+    masked), ``uniq_slots`` int32 [Ub] GLOBAL cache rows with position 0
+    reserved for the trash rank and trash-row padding. No bit unpacking, no
+    table searchsorted — the packed decode costs ~3.7 ms at bench scale on
+    TPU (PERF.md round 3), pure overhead on hosts where wire bytes are
+    free."""
+    cum = jnp.cumsum(uniq_counts.astype(jnp.int32))
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])[:, None]
+    ginv = jnp.where(inv < 0, 0, inv + 1 + base)
+    return uniq_slots, ginv.reshape(-1)
+
+
 def _upcast_x(x, cdtype):
     """Dense features shipped as fp8 (Config.wire_x_fp8) are upcast once at
     step entry; compute always runs at cdtype (or f32)."""
@@ -509,10 +525,15 @@ def make_cached_train_step(
         d = cache.shape[-1]
 
         cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
-        uniq_slots, ginv = _decode_dedup(
-            inv_wire, uniq_wire, uniq_counts, geo, cfg.inv_bits,
-            cfg.uniq_bits, n_lk,
-        )
+        if cfg.wire_pack:
+            uniq_slots, ginv = _decode_dedup(
+                inv_wire, uniq_wire, uniq_counts, geo, cfg.inv_bits,
+                cfg.uniq_bits, n_lk,
+            )
+        else:
+            uniq_slots, ginv = _decode_dedup_raw(
+                inv_wire, uniq_wire, uniq_counts
+            )
         rows_u = jnp.take(cache, uniq_slots, axis=0)  # [Ub, D]
 
         loss_fn_rows = make_loss_fn(x, ls_mask, targets, t_count, b_loc, d)

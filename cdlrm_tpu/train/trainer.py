@@ -260,7 +260,12 @@ class CachedDlrmTrainer:
             dmode = "on"
         elif dmode in (False, None):
             dmode = "off"
-        capable = self._wire_bits <= step_lib.WIRE_MAX_BITS
+        # unpacked wires (pack_wire=False, the fast-host-link mode) have no
+        # bit-width ceiling; the packed dedup wire needs <= WIRE_MAX_BITS
+        capable = (
+            not self._wire_pack
+            or self._wire_bits <= step_lib.WIRE_MAX_BITS
+        )
         self._dedup_auto = dmode == "auto" and capable
         self._dedup = dmode == "on" and capable
         n_per_table = b_loc * max(1, pooled_width)
@@ -539,15 +544,18 @@ class CachedDlrmTrainer:
                 self._dedup_bucket,
             )
         if self._dedup_auto and stats.total_lookups > 0:
-            # measured break-even (PERF.md finding 8): coalescing costs
-            # ~1.3-1.5 ms while the scatter saves ~90 ns per removed row, so
-            # dedup wins once duplicates are at least half the lookups; it
-            # is also the guard against the duplicate-heavy scatter cliff
-            # (finding 9: 18-46 s/step for a plain scatter under zipf(1.2)).
-            # Window boundaries are exactly where wire format + compiled
-            # step may switch together (pipeline probes the next window only
-            # after this refill is applied).
-            self._dedup = 2 * stats.total_uniq <= stats.total_lookups
+            # measured break-evens (PERF.md findings 8 + round 3): on the
+            # PACKED wire, coalescing + the ~3.7 ms device decode mean dedup
+            # wins once duplicates reach half the lookups (U <= 0.5 N); on
+            # the UNPACKED wire the decode vanishes and dedup already beat
+            # plain by 16% at the measured U = 0.57 N point — threshold 0.75
+            # keeps a conservative margin toward U ~ N where it's a wash.
+            # Either way it is the guard against the duplicate-heavy scatter
+            # cliff (finding 9). Window boundaries are exactly where wire
+            # format + compiled step may switch together (the pipeline
+            # probes the next window only after this refill is applied).
+            thresh = 0.5 if self._wire_pack else 0.75
+            self._dedup = stats.total_uniq <= thresh * stats.total_lookups
         if self._hot:
             # hot tier: stage this window's hot list (padded with the trash
             # row, which always occupies the last position — masked/padded
@@ -652,17 +660,23 @@ class CachedDlrmTrainer:
         inv_shards, uniq_lists, count_lists = [], [], []
         aux_slot_shards, aux_row_shards = [], []
         stats = _ProbeStats(t_count)
+        # packed: bit-packed ranks + table-local unique wire (tunnel/thin
+        # links); unpacked (pack_wire off): raw int32 ranks + GLOBAL unique
+        # rows — skips the ~3.7 ms device wire decode (PERF.md round 3)
+        if self._wire_pack:
+            probe = functools.partial(
+                self.controller.probe_dedup, inv_bits=self._inv_bits
+            )
+        else:
+            probe = self.controller.probe_dedup_raw
         for k_loc, r in enumerate(self.local_ids):
             sl = slice(r * b_loc, (r + 1) * b_loc)
             if mask is None:
-                dr = self.controller.probe_dedup(
-                    ls_i[:, sl], probe_masters[k_loc], self._inv_bits
-                )
+                dr = probe(ls_i[:, sl], probe_masters[k_loc])
             else:
-                dr = self.controller.probe_dedup(
+                dr = probe(
                     ls_i[:, sl].reshape(t_count, -1),
                     probe_masters[k_loc],
-                    self._inv_bits,
                     valid=mask[:, sl].reshape(t_count, -1),
                 )
             inv_shards.append(dr.inv_wire)
@@ -686,8 +700,11 @@ class CachedDlrmTrainer:
         else:
             ub = pow2_bucket(1 + max(u.size for u in uniq_lists), min_size=1024)
         uniq_bits = self._wire_bits
-        ubytes = step_lib.wire_bytes(ub, uniq_bits)
-        uniq_wire = np.empty((self.n_local, ubytes), np.uint8)
+        if self._wire_pack:
+            ubytes = step_lib.wire_bytes(ub, uniq_bits)
+            uniq_wire = np.empty((self.n_local, ubytes), np.uint8)
+        else:
+            uniq_wire = np.empty((self.n_local, ub), np.int32)
         uniq_counts = np.zeros((self.n_local, t_count), np.int32)
         offs = self.geo.table_offsets
         for k_loc in range(self.n_local):
@@ -696,6 +713,14 @@ class CachedDlrmTrainer:
                 raise ValueError(
                     f"{u.size + 1} unique slots exceed dedup bucket {ub}"
                 )
+            if not self._wire_pack:
+                # unpacked: GLOBAL rows directly; position 0 + padding are
+                # the trash row (step _decode_dedup_raw contract)
+                row = np.full(ub, self.geo.trash_row, np.int32)
+                row[1 : 1 + u.size] = u
+                uniq_wire[k_loc] = row
+                uniq_counts[k_loc] = cnt
+                continue
             vals = np.full(ub, -1, np.int64)  # -1 -> sentinel (trash/pad)
             vals[1 : 1 + u.size] = u.astype(np.int64) - np.repeat(offs, cnt)
             if native.available():
@@ -734,7 +759,7 @@ class CachedDlrmTrainer:
                  sh["lead"], sh["lead"], sh["batch0"]),
                 ((b_glob,) + x_local.shape[1:],
                  (t_count, ib_glob),
-                 (self.ndev * ubytes,),
+                 (self.ndev * uniq_wire.shape[1],),
                  (self.ndev * t_count,),
                  (self.ndev * k,),
                  (self.ndev * k, self.geo.dim),
@@ -753,7 +778,7 @@ class CachedDlrmTrainer:
             ((b_glob,) + x_local.shape[1:],
              (t_count, ib_glob),
              mask_glob,
-             (self.ndev * ubytes,),
+             (self.ndev * uniq_wire.shape[1],),
              (self.ndev * t_count,),
              (self.ndev * k,),
              (self.ndev * k, self.geo.dim),

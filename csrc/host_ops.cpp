@@ -296,7 +296,11 @@ int64_t cdlrm_probe_table_dedup(const int32_t* occ, int64_t sets, int64_t ways,
                                 uint8_t* inv_out, int32_t* uniq_out,
                                 int32_t* miss_pos, int64_t* n_miss_out) {
   const int32_t sets32 = (int32_t)sets;
-  const uint32_t sentinel = (uint32_t)((1u << inv_bits) - 1u);
+  // inv_bits == 32: the LSB-first bitstream degenerates to a raw
+  // little-endian int32 array (the UNPACKED dedup wire for fast host
+  // links; sentinel = 0xFFFFFFFF reads back as -1)
+  const uint32_t sentinel =
+      inv_bits >= 32 ? 0xFFFFFFFFu : (uint32_t)((1u << inv_bits) - 1u);
   const int64_t PF = 16;
   int64_t n_miss = 0, n_uniq = 0;
   uint64_t acc = 0;

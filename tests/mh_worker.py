@@ -63,11 +63,14 @@ def main():
         # are pure functions of shared state, so every host runs identical
         # block sizes and the in-scan collectives stay aligned
         scan_steps=3 if mode == "multi_window" else (5 if mode == "soak" else 1),
-        # soak: every round-2 feature at once — scan blocks, insert-delta
+        # soak: every round-2/3 feature at once — scan blocks, insert-delta
         # refill (agg freq 3 divides lookahead 6 -> trajectory-equal),
-        # eviction-heavy geometry, per-window negotiated miss bucket
+        # eviction-heavy geometry, per-window negotiated miss bucket, and
+        # the hot-tier update (host-identical hot lists + cold buckets from
+        # the shadow stats must keep the cross-host trajectory aligned)
         refill_broadcast="delta" if mode == "soak" else "strict",
         table_agg_freq=3 if mode == "soak" else 6,
+        hot_tier_rows=16 if soak else 0,
     )
     cfg.finalize()
 

@@ -215,8 +215,12 @@ def test_config_sanity_check_raises():
         cfg.finalize(ln_emb=np.array([10]))
 
 
-@pytest.mark.parametrize("pooled", [False, True])
-def test_dedup_matches_plain_path(pooled):
+@pytest.mark.parametrize("pooled,pack", [
+    (False, True), (True, True),
+    (False, False), (True, False),  # unpacked wires (pack_wire off):
+    # raw int32 ranks + global unique rows, no device decode
+])
+def test_dedup_matches_plain_path(pooled, pack):
     """The dedup wire format (rank stream + unique list, train/step.py
     body_dedup) must reproduce the plain path's training exactly: the
     scatter-add coalesces duplicate-slot gradients identically whether XLA
@@ -266,6 +270,7 @@ def test_dedup_matches_plain_path(pooled):
         cfg = make_cfg(
             world_size=4, cache_size=32, num_ways=4, lookahead=3,
             table_agg_freq=5, dedup_lookups=dedup, eviction_fifo_size=64,
+            pack_wire=pack,
         )
         cfg.finalize(ln_emb=ln_emb)
         tr = CachedDlrmTrainer(cfg, DupHeavyDataset(), mesh=None)
