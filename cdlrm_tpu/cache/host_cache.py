@@ -443,13 +443,26 @@ class HostCacheController:
         if native.available():
             ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
             aux_local = (geo.ways * geo.sets).astype(np.int64)
-            inv_wire, uniq_tn, uniq_counts, miss_pos, miss_counts = (
-                native.probe_batch_dedup(
-                    self.occupancy, ls_i, aux_local, geo.aux_capacity,
-                    geo.table_offsets, geo.ways, inv_bits, inv_bytes,
-                    self._dedup_scratch(), valid=valid,
+            if self._slot_map is not None:
+                # O(1)-map dedup probe: one 4-byte gather per lookup instead
+                # of the random-DRAM occupancy-line walk (the map is the
+                # measured ~12x probe win, DESIGN.md D10); bit-identical
+                inv_wire, uniq_tn, uniq_counts, miss_pos, miss_counts = (
+                    native.map_probe_batch_dedup(
+                        self._slot_map, self._id_bases, ls_i,
+                        geo.table_offsets, aux_local, geo.aux_capacity,
+                        inv_bits, inv_bytes, self._dedup_scratch(),
+                        valid=valid,
+                    )
                 )
-            )
+            else:
+                inv_wire, uniq_tn, uniq_counts, miss_pos, miss_counts = (
+                    native.probe_batch_dedup(
+                        self.occupancy, ls_i, aux_local, geo.aux_capacity,
+                        geo.table_offsets, geo.ways, inv_bits, inv_bytes,
+                        self._dedup_scratch(), valid=valid,
+                    )
+                )
             base = self._finish_native_probe(
                 None, miss_pos, miss_counts, ls_i, master, valid
             )

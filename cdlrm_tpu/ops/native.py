@@ -137,6 +137,11 @@ def _load() -> Optional[ctypes.CDLL]:
             _PPI32, _PI64, _I64, _I64, _PI64, _I64, _PU8, _PI64, _I64, _PI64,
             _I64, _I64, _PPI32, _PU8, _PI32, _PI64, _PI32, _PI64,
         ]
+        lib.cdlrm_map_probe_batch_dedup.restype = None
+        lib.cdlrm_map_probe_batch_dedup.argtypes = [
+            _PI32, _PI64, _I64, _PI64, _I64, _PU8, _PI64, _PI64, _I64, _I64,
+            _I64, _PPI32, _PU8, _PI32, _PI64, _PI32, _PI64,
+        ]
         lib.cdlrm_unique_i64.restype = _I64
         lib.cdlrm_unique_i64.argtypes = [_PI64, _I64, _I64, _PI64]
         lib.cdlrm_gather_f32.restype = None
@@ -318,6 +323,60 @@ def probe_batch_dedup(
         _p(auxb, _PI64), int(aux_capacity), _p(offs, _PI64), inv_bits,
         inv_bytes_per_table, scratch_ptrs, _p(inv_wire, _PU8), _p(uniq, _PI32),
         _p(uniq_counts, _PI64), _p(miss_pos, _PI32), _p(miss_counts, _PI64),
+    )
+    return inv_wire, uniq, uniq_counts, miss_pos, miss_counts
+
+
+def map_probe_batch_dedup(
+    map_flat: np.ndarray,
+    id_bases: np.ndarray,
+    ls_i: np.ndarray,
+    table_offsets: np.ndarray,
+    aux_bases_local: np.ndarray,
+    aux_capacity: int,
+    inv_bits: int,
+    inv_bytes_per_table: int,
+    rank_scratch: List[np.ndarray],
+    valid: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fused direct-map probe + dedup + bit-pack (csrc
+    cdlrm_map_probe_batch_dedup): the O(1)-map analogue of
+    probe_batch_dedup, bit-identical outputs."""
+    lib = _load()
+    assert lib is not None
+    t_count, n = ls_i.shape
+    ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
+    _check_id_range(ls_i)
+    bases = np.ascontiguousarray(id_bases, dtype=np.int64)
+    # per-table segment guard, masked lanes exempt (the kernel skips them) —
+    # same contract as map_probe_batch_wire
+    ends = np.append(bases[1:], map_flat.shape[0])
+    ids_chk = ls_i if valid is None else np.where(valid.astype(bool), ls_i, 0)
+    seg_max = ids_chk.max(axis=1) + bases
+    if (seg_max >= ends).any():
+        t = int(np.argmax(seg_max >= ends))
+        raise ValueError(
+            f"table {t}: lookup id {int(ids_chk[t].max())} out of range for "
+            f"its slot-map segment (size {int(ends[t] - bases[t])})"
+        )
+    scratch_ptrs = (_PI32 * t_count)(*[_p(s, _PI32) for s in rank_scratch])
+    offs = np.ascontiguousarray(table_offsets, dtype=np.int64)
+    auxb = np.ascontiguousarray(aux_bases_local, dtype=np.int64)
+    inv_wire = np.zeros((t_count, inv_bytes_per_table), dtype=np.uint8)
+    uniq = np.empty((t_count, n), dtype=np.int32)
+    uniq_counts = np.empty(t_count, dtype=np.int64)
+    miss_pos = np.empty((t_count, n), dtype=np.int32)
+    miss_counts = np.empty(t_count, dtype=np.int64)
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, dtype=np.uint8)
+        vptr = _p(valid, _PU8)
+    lib.cdlrm_map_probe_batch_dedup(
+        _p(map_flat, _PI32), _p(bases, _PI64), t_count, _p(ls_i, _PI64), n,
+        vptr, _p(offs, _PI64), _p(auxb, _PI64), int(aux_capacity), inv_bits,
+        inv_bytes_per_table, scratch_ptrs, _p(inv_wire, _PU8),
+        _p(uniq, _PI32), _p(uniq_counts, _PI64), _p(miss_pos, _PI32),
+        _p(miss_counts, _PI64),
     )
     return inv_wire, uniq, uniq_counts, miss_pos, miss_counts
 

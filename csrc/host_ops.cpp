@@ -393,6 +393,87 @@ void cdlrm_probe_batch_dedup(const int32_t* const* occ_ptrs,
   }
 }
 
+// Direct-map dedup probe: one pass per lookup does map gather + first-seen
+// rank assignment + bit pack — the O(1)-probe analogue of
+// cdlrm_probe_table_dedup (the occupancy walk costs one random DRAM line
+// per PROBE; the map costs one 4-byte gather). Same outputs, bit-identical
+// (tests/test_native.py). rank_scratch indexed by LOCAL slot as above.
+int64_t cdlrm_map_probe_table_dedup(
+    const int32_t* map_flat, int64_t id_base, const int64_t* idx, int64_t n,
+    const uint8_t* valid, int64_t table_offset, int64_t aux_base_local,
+    int64_t aux_capacity, int64_t inv_bits, int32_t* rank_scratch,
+    uint8_t* inv_out, int32_t* uniq_out, int32_t* miss_pos,
+    int64_t* n_miss_out) {
+  const uint32_t sentinel =
+      inv_bits >= 32 ? 0xFFFFFFFFu : (uint32_t)((1u << inv_bits) - 1u);
+  const int64_t PF = 16;
+  int64_t n_miss = 0, n_uniq = 0;
+  uint64_t acc = 0;
+  int accbits = 0;
+  uint8_t* p = inv_out;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i + PF < n && (!valid || valid[i + PF]))
+      __builtin_prefetch(map_flat + id_base + idx[i + PF], 0, 1);
+    uint32_t rank;
+    if (valid && !valid[i]) {
+      rank = sentinel;  // masked padding -> trash rank on device
+    } else {
+      const int32_t m = map_flat[id_base + idx[i]];
+      int64_t local;
+      if (m >= 0) {
+        local = (int64_t)m - table_offset;
+      } else {
+        if (n_miss < n) miss_pos[n_miss] = (int32_t)i;
+        ++n_miss;
+        if (aux_capacity <= 0) {
+          rank = sentinel;
+          goto emit;
+        }
+        local = aux_base_local +
+                (n_miss - 1 < aux_capacity ? n_miss - 1 : aux_capacity - 1);
+      }
+      int32_t r = rank_scratch[local];
+      if (r < 0) {
+        r = (int32_t)n_uniq;
+        rank_scratch[local] = r;
+        uniq_out[n_uniq++] = (int32_t)(table_offset + local);
+      }
+      rank = (uint32_t)r;
+    }
+  emit:
+    acc |= (uint64_t)(rank & sentinel) << accbits;
+    accbits += (int)inv_bits;
+    while (accbits >= 8) {
+      *p++ = (uint8_t)(acc & 0xFF);
+      acc >>= 8;
+      accbits -= 8;
+    }
+  }
+  if (accbits) *p++ = (uint8_t)(acc & 0xFF);
+  for (int64_t j = 0; j < n_uniq; ++j)
+    rank_scratch[uniq_out[j] - table_offset] = -1;
+  *n_miss_out = n_miss;
+  return n_uniq;
+}
+
+void cdlrm_map_probe_batch_dedup(
+    const int32_t* map_flat, const int64_t* id_bases, int64_t t_count,
+    const int64_t* idx, int64_t n, const uint8_t* valid,
+    const int64_t* table_offsets, const int64_t* aux_bases_local,
+    int64_t aux_capacity, int64_t inv_bits, int64_t inv_bytes_per_table,
+    int32_t* const* rank_scratch_ptrs, uint8_t* inv_out, int32_t* uniq_out,
+    int64_t* uniq_counts, int32_t* miss_pos, int64_t* miss_counts) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t t = 0; t < t_count; ++t) {
+    uniq_counts[t] = cdlrm_map_probe_table_dedup(
+        map_flat, id_bases[t], idx + t * n, n,
+        valid ? valid + t * n : nullptr, table_offsets[t],
+        aux_bases_local[t], aux_capacity, inv_bits, rank_scratch_ptrs[t],
+        inv_out + t * inv_bytes_per_table, uniq_out + t * n,
+        miss_pos + t * n, &miss_counts[t]);
+  }
+}
+
 // Pack int64 values (< 0 => all-ones sentinel) into an LSB-first bitstream
 // of `bits`-wide values — the generic wire emitter (train/step.py pack_slots
 // byte layout) for host-assembled buffers like the dedup unique list, where

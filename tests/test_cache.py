@@ -298,3 +298,39 @@ def test_apply_plan_spec_equivalent_to_plan_insert(slot_map):
         pa = direct.probe(ls, master)
         pb = live.probe(ls, master)
         np.testing.assert_array_equal(pa.slots, pb.slots)
+
+
+@pytest.mark.parametrize("use_valid", [False, True])
+def test_slot_map_dedup_probe_bit_identical(use_valid):
+    """The fused map dedup probe (native cdlrm_map_probe_batch_dedup) and
+    the raw (unpacked) variant must be bit-identical to the occupancy-walk
+    dedup probe across probes and refills — inv wire, unique lists, counts,
+    aux assignment."""
+    ln_emb = (100, 7, 63)
+    rng = np.random.default_rng(21)
+    geo = CacheGeometry.build(ln_emb, 4, 10, 2, 32)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    a = HostCacheController(geo, seed=5)
+    b = HostCacheController(geo, seed=5, ln_emb=np.asarray(ln_emb),
+                            slot_map=True)
+    for step in range(10):
+        ls = np.stack([rng.integers(0, n, 24) for n in ln_emb])
+        valid = (rng.random((3, 24)) < 0.8) if use_valid else None
+        da = a.probe_dedup(ls, master, inv_bits=9, valid=valid)
+        db = b.probe_dedup(ls, master, inv_bits=9, valid=valid)
+        np.testing.assert_array_equal(da.inv_wire, db.inv_wire)
+        np.testing.assert_array_equal(da.uniq, db.uniq)
+        np.testing.assert_array_equal(da.uniq_counts, db.uniq_counts)
+        np.testing.assert_array_equal(da.aux_slots, db.aux_slots)
+        np.testing.assert_allclose(da.aux_rows, db.aux_rows)
+        assert da.hit_counts.tolist() == db.hit_counts.tolist()
+        ra = a.probe_dedup_raw(ls, master, valid=valid)
+        rb = b.probe_dedup_raw(ls, master, valid=valid)
+        np.testing.assert_array_equal(ra.inv_wire, rb.inv_wire)
+        np.testing.assert_array_equal(ra.uniq, rb.uniq)
+        assert ra.inv_wire.dtype == np.int32 and ra.inv_wire.shape == ls.shape
+        if step % 3 == 2:
+            uniq = [np.unique(ls[t]) for t in range(3)]
+            rows = [master.gather(t, u) for t, u in enumerate(uniq)]
+            a.plan_insert(uniq, rows)
+            b.plan_insert(uniq, rows)
