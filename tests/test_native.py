@@ -284,3 +284,39 @@ def test_wire_roundtrip_every_width(bits):
     wire = pack_slots(slots, offsets, trash, bits)
     back = np.asarray(_unpack_slots(jnp.asarray(wire), offsets, trash, bits, n))
     assert np.array_equal(back, slots)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("slot_map", [False, True])
+def test_probe_dedup_raw_native_matches_numpy(rng, masked, slot_map):
+    """The UNPACKED dedup wire (probe_dedup_raw: inv_bits=32 makes the
+    bitstream a raw little-endian int32 array) must be bit-identical across
+    all four host paths: occupancy-walk / direct-map x native / numpy."""
+    ln_emb = [40, 15, 90]
+    geo, ctrl = _controller(rng, ln_emb, cache_size=16, ways=2, aux=512)
+    master = _ZeroMaster(geo.dim)
+    if slot_map:
+        ctrl = HostCacheController(
+            geo, seed=0, ln_emb=np.asarray(ln_emb), slot_map=True
+        )
+    n = 256
+    ls_i = np.stack(
+        [rng.integers(0, min(n_t, 12), n) for n_t in ln_emb]
+    ).astype(np.int64)
+    valid = (rng.random((3, n)) < 0.6) if masked else None
+
+    # seed some residency so hits + misses both flow
+    win = [np.unique(ls_i[t][:64]) for t in range(3)]
+    ctrl.plan_insert(win, [np.zeros((u.size, geo.dim), np.float32) for u in win])
+
+    got = ctrl.probe_dedup_raw(ls_i, master, valid=valid)
+    with mock.patch.object(native, "available", return_value=False):
+        want = ctrl.probe_dedup_raw(ls_i, master, valid=valid)
+    assert got.inv_wire.dtype == want.inv_wire.dtype == np.int32
+    assert np.array_equal(got.inv_wire, want.inv_wire)
+    assert np.array_equal(got.uniq, want.uniq)
+    assert np.array_equal(got.uniq_counts, want.uniq_counts)
+    assert np.array_equal(got.aux_slots, want.aux_slots)
+    # masked lanes carry the -1 sentinel
+    if masked:
+        assert (got.inv_wire[~valid] == -1).all()
