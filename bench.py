@@ -150,10 +150,11 @@ def main():
                 yield Batch(x, idx, None, y)
 
     ds = ZipfDataset(total_batches)
+    eval_ds = ZipfDataset(12, seed=1)
     log(f"building trainer (tables={num_tables}x{table_rows}, dim={dim}, "
         f"cache rows/table={cfg.cache_sets * ways + batch})")
     t0 = time.perf_counter()
-    trainer = CachedDlrmTrainer(cfg, ds)
+    trainer = CachedDlrmTrainer(cfg, ds, eval_ds)
     log(f"trainer ready in {time.perf_counter()-t0:.1f}s")
 
     # drive the REAL training loop (pipelined probe/staging overlaps the
@@ -193,6 +194,16 @@ def main():
         return dt
 
     dstep_ms = device_step_ms()
+
+    # serving path: forward-only eval throughput (host probe + staging +
+    # cached eval step, misses served from the masters), steady state over
+    # the held-out stream — the --inference-only serving surface
+    trainer.evaluate(max_batches=2, log_fn=lambda s: None)  # compile
+    t0 = time.perf_counter()
+    eval_batches = 10
+    trainer.evaluate(max_batches=eval_batches, log_fn=lambda s: None)
+    eval_dt = time.perf_counter() - t0
+    eval_eps = eval_batches * batch / eval_dt
     trainer.close()
 
     timed = windows[1:] if len(windows) > 1 else windows
@@ -214,6 +225,13 @@ def main():
         # H2D link is not the constraint (includes dispatch; excludes host
         # probe + staging, which overlap under the pipeline)
         "device_step_ms": round(dstep_ms, 2),
+        # forward-only serving throughput (the --inference-only path). On
+        # this tunneled chip it is bound by miss-row H2D (the eval stream is
+        # a fresh sample, so its tail misses the train-window cache and
+        # ships master rows at link speed — see eval_hit_rate); on PCIe
+        # hosts the same path is device-bound.
+        "eval_examples_per_sec": round(eval_eps, 1),
+        "eval_hit_rate": round(trainer.metrics.eval_hit_rate, 4),
         "timed_steps": n_steps,
         "backend": jax.default_backend(),
         "config": {

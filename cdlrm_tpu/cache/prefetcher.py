@@ -219,8 +219,10 @@ class LookaheadPrefetcher(threading.Thread):
         ``shadow``: a HostCacheController CLONE of the trainer's controller
         at pipeline start; this thread advances it one plan_insert_spec per
         window (WindowData.plan_spec) ahead of the trainer. ``stats_spec`` =
-        (ndev, local_batch, want_uniq): also compute WindowData.stats against
-        the post-plan shadow state. ``skip_first_plan``: the FIRST produced
+        (ndev, local_batch, want_uniq, hot_rows): also compute
+        WindowData.stats against the post-plan shadow state (hot_rows > 0
+        additionally selects WindowData.hot_slots and counts cold lookups
+        against it). ``skip_first_plan``: the FIRST produced
         window's plan is already reflected in the shadow's start state
         (mid-window checkpoint resume) — emit plan_spec=None for it and only
         collect its stats."""

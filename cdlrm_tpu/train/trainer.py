@@ -389,6 +389,8 @@ class CachedDlrmTrainer:
         # negotiated per-eval-batch miss bucket (multihost; see _assemble)
         self._eval_bucket_batch: Optional[int] = None
         self._eval_bucket_log: List[Tuple[int, int]] = []
+        # single-host monotone staging buckets (see _pack_aux)
+        self._bucket_run_max = {"train": 0, "eval": 0, "dedup": 0}
         self._row_exchange = (
             GlobalRowExchange(
                 self.master,
@@ -607,7 +609,14 @@ class CachedDlrmTrainer:
             else:
                 k = self._aux_bucket
         else:
+            # single-host per-batch bucket, MONOTONE (running max): a fresh
+            # pow2 per batch made every bucket change a new compiled-step
+            # variant — on slow-dispatch links each variant load stalls an
+            # eval batch ~3.5 s (measured); the running max converges after
+            # at most log-many growths and stays stable
+            key = "eval" if for_eval else "train"
             k = pow2_bucket(max(a.shape[0] for a in aux_slot_shards))
+            k = self._bucket_run_max[key] = max(self._bucket_run_max[key], k)
         aux_slots = np.full((self.n_local, k), self.geo.trash_row, dtype=np.int32)
         aux_rows = np.zeros(
             (self.n_local, k, self.geo.dim), dtype=self._row_wire_dtype
@@ -698,7 +707,11 @@ class CachedDlrmTrainer:
                 else self._dedup_bucket
             )
         else:
+            # monotone like _pack_aux's single-host buckets (compile churn)
             ub = pow2_bucket(1 + max(u.size for u in uniq_lists), min_size=1024)
+            ub = self._bucket_run_max["dedup"] = max(
+                self._bucket_run_max["dedup"], ub
+            )
         uniq_bits = self._wire_bits
         if self._wire_pack:
             ubytes = step_lib.wire_bytes(ub, uniq_bits)
