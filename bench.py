@@ -142,6 +142,10 @@ def main():
                     idx = (
                         rng.zipf(1.2, size=(num_tables, batch)) - 1
                     ) % table_rows
+                elif stream == "uniform":  # near-unique (U ~ 0.97N/batch)
+                    idx = rng.integers(
+                        0, table_rows, size=(num_tables, batch)
+                    )
                 else:
                     u = rng.random((num_tables, batch), dtype=np.float32)
                     idx = np.exp(u * np.log(table_rows)).astype(np.int64) - 1

@@ -160,6 +160,10 @@ class Config:
     enable_profiling: bool = False  # real jax.profiler trace around training
     #   (the reference parses this flag but never uses it, main_no_ddp.py:106)
     profile_dir: str = "./jax_trace"  # where --enable-profiling writes traces
+    metrics_log: str = ""  # append one JSON line per print window / eval to
+    #   this file (host 0 only): structured observability over the
+    #   reference's print-only reporting (SURVEY.md §5) — step, ms/it,
+    #   caching overhead, loss, accuracy, hit rates, wire decision, AUC
     wire_rows_bf16: bool = False  # ship refill/miss/evicted ROWS as bf16 —
     #   halves the dominant refill traffic; lossy once per staged row
     wire_x_fp8: bool = False  # ship dense features as float8_e4m3 (1 byte):

@@ -448,6 +448,20 @@ class CachedDlrmTrainer:
         self._lr_emb = jnp.float32(cfg.lr_embeds)
         self._stop_requested = False
         self.last_window: Optional[dict] = None  # most recent print-window stats
+        # structured metrics log (config.metrics_log): JSON lines, host 0
+        # only — window metrics are psum'd replica-identical scalars
+        self._metrics_fp = (
+            open(cfg.metrics_log, "a")
+            if cfg.metrics_log and jax.process_index() == 0
+            else None
+        )
+
+    def _log_metrics(self, kind: str, payload: dict) -> None:
+        if self._metrics_fp is None:
+            return
+        rec = {"kind": kind, "step": self.global_step, **payload}
+        self._metrics_fp.write(json.dumps(rec) + "\n")
+        self._metrics_fp.flush()
 
     # ------------------------------------------------------------------ data
     def _cache_stream(self, skip: int = 0) -> Iterator[np.ndarray]:
@@ -1120,6 +1134,7 @@ class CachedDlrmTrainer:
                     f"acc {m.correct / max(1, m.examples):.5f}, "
                     f"hit-rate {m.hit_rate:.4f}"
                 )
+                self._log_metrics("train_window", self.last_window)
                 self.metrics.train_time_s += dt
                 m.steps = 0
                 m.examples = 0
@@ -1286,6 +1301,15 @@ class CachedDlrmTrainer:
         acc = correct / max(1, total)
         auc_v = auc.result()
         log_fn(f"Test accuracy = {100.0 * acc:.4f}%  AUC = {auc_v:.5f}")
+        self._log_metrics(
+            "eval",
+            {
+                "accuracy": acc,
+                "auc": None if np.isnan(auc_v) else float(auc_v),
+                "eval_hit_rate": self.metrics.eval_hit_rate,
+                "examples": total,
+            },
+        )
         return acc, auc_v
 
     # ------------------------------------------------------------ checkpoint
@@ -1402,6 +1426,9 @@ class CachedDlrmTrainer:
 
     # ---------------------------------------------------------------- cleanup
     def close(self) -> None:
+        if self._metrics_fp is not None:
+            self._metrics_fp.close()
+            self._metrics_fp = None
         if self._pipeline_started:
             if self._pipe is not None:
                 self._pipe.stop()

@@ -316,3 +316,45 @@ def test_cli_mlperf_bin_loader_end_to_end(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Test accuracy" in out
+
+
+def test_metrics_log_json_lines(tmp_path, capsys):
+    """--metrics-log appends structured JSON lines (train windows + eval) —
+    the observability upgrade over the reference's print-only reporting
+    (SURVEY.md §5 'Metrics / logging')."""
+    import json
+
+    log = str(tmp_path / "metrics.jsonl")
+    rc = cli.main(
+        [
+            "--data-generation", "random",
+            "--arch-embedding-size", "300-200-400",
+            "--arch-sparse-feature-size", "8",
+            "--arch-mlp-bot", "13-16-8",
+            "--arch-mlp-top", "8-1",
+            "--mini-batch-size", "16",
+            "--num-batches", "14",
+            "--data-size", "224",
+            "--cache-size", "32",
+            "--num-ways", "2",
+            "--loss-function", "bce",
+            "--lookahead", "4",
+            "--world-size", "8",
+            "--print-freq", "4",
+            "--num-indices-per-lookup", "1",
+            "--num-indices-per-lookup-fixed",
+            "--round-targets",
+            "--metrics-log", log,
+        ]
+    )
+    assert rc == 0
+    records = [json.loads(line) for line in open(log)]
+    kinds = {r["kind"] for r in records}
+    assert "train_window" in kinds and "eval" in kinds
+    for r in records:
+        assert "step" in r
+        if r["kind"] == "train_window":
+            assert {"ms_per_iter", "loss", "accuracy", "hit_rate",
+                    "dedup"} <= set(r)
+        else:
+            assert {"accuracy", "auc", "eval_hit_rate"} <= set(r)
