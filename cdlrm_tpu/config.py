@@ -154,7 +154,9 @@ class Config:
     #   the probe was the measured host wall of the pipelined step). Costs
     #   4 bytes of host RAM per embedding id; 'auto' enables it when that
     #   total is <= slot_map_max_bytes.
-    slot_map_max_bytes: int = 1 << 32  # 4 GiB (small next to host masters)
+    slot_map_max_bytes: int = 1 << 32  # 4 GiB (small next to host masters).
+    #   NOTE the prefetcher's shadow planner clones the map (D13), so the
+    #   actual host RAM is 2x this budget when the map is enabled.
     pack_wire: bool = True  # 3-byte slot ids + narrow dtypes on host->device
     #   transfers (lossless; auto-disabled for tables >= 2^24 cache rows)
     enable_profiling: bool = False  # real jax.profiler trace around training
