@@ -240,3 +240,65 @@ def test_no_extra_data_pass_at_long_lookahead():
     assert tr.global_step == 24
     assert counts["iterators"] - peek_iters == 2, counts  # trainer + prefetcher
     assert counts["batches"] - peek_batches <= 2 * ds.num_batches, counts
+
+
+def test_hot_selection_and_cold_counts_exact(rng):
+    """WindowData.hot_slots must be sorted POST-plan resident rows, and
+    WindowStats.worst_cold must be an EXACT upper bound on every
+    (replica, batch) slice's cold-lookup count for that hot set — the
+    device cold-compaction bucket silently truncates past it, so this is
+    the no-silent-truncation guarantee (StepConfig.hot_rows doc)."""
+    from cdlrm_tpu.cache.geometry import CacheGeometry
+    from cdlrm_tpu.cache.host_cache import HostCacheController
+
+    ln_emb = (200, 150)
+    geo = CacheGeometry.build(ln_emb, 4, 32, 2, 64)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    shadow = HostCacheController(
+        geo, seed=3, ln_emb=np.asarray(ln_emb), slot_map=True
+    )
+    ndev, b_loc, h = 2, 8, 8
+    batches = [
+        np.stack([
+            np.concatenate([rng.integers(0, 4, 8), rng.integers(0, n, 8)])
+            for n in ln_emb
+        ])
+        for _ in range(6)
+    ]
+    pf = LookaheadPrefetcher(
+        make_stream(batches), master, lookahead=6,
+        shadow=shadow.clone(), stats_spec=(ndev, b_loc, True, h),
+    )
+    pf.start()
+    w = pf.get_window()
+    pf.stop()
+    assert w.plan_spec is not None and w.stats is not None
+    hot = w.hot_slots
+    assert hot is not None and hot.size <= h - 1
+    assert (np.sort(hot) == hot).all()
+
+    # replay the plan on a fresh controller, then brute-force residency
+    ctl = HostCacheController(geo, seed=3, ln_emb=np.asarray(ln_emb),
+                              slot_map=True)
+    ctl.apply_plan_spec(w.plan_spec)
+    for s in hot:
+        # every hot slot is a resident (ways*sets region) row post-plan
+        t = int(np.searchsorted(geo.table_offsets, s, side="right") - 1)
+        local = int(s) - int(geo.table_offsets[t])
+        assert local < geo.ways * int(geo.sets[t])
+        way, set_idx = divmod(local, int(geo.sets[t]))
+        assert ctl.occupancy[t][set_idx, way] >= 0
+
+    worst_cold = 0
+    hot_set = set(hot.tolist())
+    for ls in batches:
+        for r in range(ndev):
+            sl = ls[:, r * b_loc:(r + 1) * b_loc]
+            cold = 0
+            for t in range(2):
+                slots = ctl.resident_slots(t, sl[t])
+                cold += int(
+                    sum(1 for s in slots if s < 0 or int(s) not in hot_set)
+                )
+            worst_cold = max(worst_cold, cold)
+    assert w.stats.worst_cold == worst_cold
