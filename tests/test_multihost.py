@@ -276,3 +276,24 @@ def test_two_process_soak_all_features(tmp_path):
     assert single["acc"] == pytest.approx(duo[0]["acc"], abs=5e-3)
     # both topologies must actually exercise eviction writeback
     assert single["rows_written"] > 0 and duo[0]["rows_written"] > 0
+
+
+@pytest.mark.slow
+def test_four_process_matches_two_and_one(tmp_path):
+    """Host-count invariance across a third factorization of the same
+    4-device global mesh: 4x1 must reproduce the 1x4 trajectory like 2x2
+    does (procedural sharded masters + shared metadata mean host count is
+    purely a placement choice — parallel/multihost.py)."""
+    single = _run_cluster(1, 4, 0, "one_window", tmp_path)[0]
+    quad = _run_cluster(4, 1, 12421, "one_window", tmp_path)
+    assert all(r["multihost"] for r in quad)
+    assert all(r["world"] == 4 for r in quad)
+    for r in quad[1:]:
+        assert np.allclose(quad[0]["losses"], r["losses"], rtol=1e-5)
+    assert np.allclose(single["losses"], quad[0]["losses"], rtol=2e-4), (
+        single["losses"], quad[0]["losses"],
+    )
+    assert single["acc"] == pytest.approx(quad[0]["acc"], abs=1e-6)
+    assert quad[0]["eval_buckets"]
+    for r in quad[1:]:
+        assert r["eval_buckets"] == quad[0]["eval_buckets"]
