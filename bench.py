@@ -179,9 +179,14 @@ def main():
     # calls ending in a scalar D2H — block_until_ready lies on tunneled
     # backends, PERF.md finding 7): the basis of the PCIe-host projection,
     # recorded as an artifact per VERDICT r2 item 7
+    h2d_bytes = {"n": 0}
+
     def device_step_ms(iters=30):
         b0 = next(ds.batches())
         inputs, _, dd = trainer._assemble(b0, cfg.local_batch_size)
+        # per-step H2D payload accounting (the binding constraint on thin
+        # host links — PERF.md finding 2): bytes of every staged input
+        h2d_bytes["n"] = int(sum(getattr(a, "nbytes", 0) for a in inputs))
         hot_extra = (trainer._hot_slots_dev,) if trainer._hot else ()
         fn = trainer._get_step(1, dd)
         p, c, t = trainer.params, trainer.cache, trainer.touched
@@ -236,6 +241,9 @@ def main():
         # hosts the same path is device-bound.
         "eval_examples_per_sec": round(eval_eps, 1),
         "eval_hit_rate": round(trainer.metrics.eval_hit_rate, 4),
+        # staged input bytes per train step (wire accounting; excludes the
+        # per-window refill traffic, which amortizes over lookahead)
+        "h2d_bytes_per_step": h2d_bytes["n"],
         "timed_steps": n_steps,
         "backend": jax.default_backend(),
         "config": {

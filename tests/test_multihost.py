@@ -297,3 +297,18 @@ def test_four_process_matches_two_and_one(tmp_path):
     assert quad[0]["eval_buckets"]
     for r in quad[1:]:
         assert r["eval_buckets"] == quad[0]["eval_buckets"]
+
+
+@pytest.mark.slow
+def test_four_process_soak_partitions_writebacks(tmp_path):
+    """4-host soak (delta refill + scan blocks + hot tier + unpacked wires +
+    auto-dedup, mh_worker 'soak' mode): trajectories agree across all four
+    processes and the owned-range writebacks partition the single-process
+    writeback set exactly."""
+    quad = _run_cluster(4, 1, 12423, "soak", tmp_path)
+    for r in quad[1:]:
+        assert np.allclose(quad[0]["losses"], r["losses"], rtol=1e-5)
+    assert all(np.isfinite(r["losses"]).all() for r in quad)
+    single = _run_cluster(1, 4, 0, "soak", tmp_path)[0]
+    assert single["losses"] == pytest.approx(quad[0]["losses"], rel=2e-3)
+    assert sum(r["rows_written"] for r in quad) == single["rows_written"]
