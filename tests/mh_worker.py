@@ -71,9 +71,9 @@ def main():
         refill_broadcast="delta" if mode == "soak" else "strict",
         table_agg_freq=3 if mode == "soak" else 6,
         hot_tier_rows=16 if soak else 0,
-        # soak also runs the UNPACKED wires (round-3 fast-host-link mode):
-        # raw int32 ranks + global unique rows must stay host-symmetric
-        pack_wire=not soak,
+        # soak + pooled also run the UNPACKED wires (round-3 fast-host-link
+        # mode): raw int32 ranks / plain int32 slots must stay host-symmetric
+        pack_wire=not (soak or pooled),
     )
     cfg.finalize()
 
