@@ -315,3 +315,61 @@ def test_fulltable_step_runs_and_learns():
         )
         losses.append(float(loss_sum) / b)
     assert losses[-1] < losses[0] * 0.9
+
+
+def test_decode_dedup_raw_matches_packed(rng):
+    """The packed (_decode_dedup) and unpacked (_decode_dedup_raw) wire
+    decoders must produce identical (uniq_slots, ginv) for equivalent host
+    emissions — the two ends of the host probe's packed/raw duality
+    (host_cache.probe_dedup vs probe_dedup_raw)."""
+    geo = CacheGeometry.build((50, 30, 80), 4, 8, 2, 16)
+    t_count, n = 3, 12
+    inv_bits = 9
+    ub = 16
+    uniq_bits = 9
+    # fabricate host outputs: per-table local ranks with sentinels + local
+    # unique slot lists
+    ranks = np.full((t_count, n), -1, np.int64)
+    counts = np.zeros(t_count, np.int64)
+    local_uniqs = []
+    for t in range(t_count):
+        valid = rng.random(n) < 0.8
+        slots_local = rng.integers(0, 4, n)  # <=4 uniques/table, fits ub
+        seen = {}
+        for i in np.flatnonzero(valid):
+            s = int(slots_local[i])
+            if s not in seen:
+                seen[s] = len(seen)
+            ranks[t, i] = seen[s]
+        counts[t] = len(seen)
+        local_uniqs.append(
+            np.array(sorted(seen, key=seen.get), np.int64)
+        )
+    # packed wires
+    inv_packed = step_lib.pack_slots(
+        ranks, np.zeros(t_count, np.int64), -1, inv_bits
+    )
+    vals = np.full(ub, -1, np.int64)
+    pos = 1
+    for u in local_uniqs:
+        vals[pos: pos + u.size] = u
+        pos += u.size
+    uniq_packed = step_lib.pack_slots(
+        vals[None], np.zeros(1, np.int64), -1, uniq_bits
+    )[0]
+    us_p, gi_p = jax.jit(
+        lambda a, b, c: step_lib._decode_dedup(
+            a, b, c, geo, inv_bits, uniq_bits, n
+        )
+    )(inv_packed, uniq_packed, counts.astype(np.int32))
+    # raw wires: int32 ranks + GLOBAL unique rows
+    raw_uniq = np.full(ub, geo.trash_row, np.int32)
+    pos = 1
+    for t, u in enumerate(local_uniqs):
+        raw_uniq[pos: pos + u.size] = geo.table_offsets[t] + u
+        pos += u.size
+    us_r, gi_r = jax.jit(step_lib._decode_dedup_raw)(
+        ranks.astype(np.int32), raw_uniq, counts.astype(np.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(us_p), np.asarray(us_r))
+    np.testing.assert_array_equal(np.asarray(gi_p), np.asarray(gi_r))
