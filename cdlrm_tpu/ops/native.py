@@ -178,13 +178,17 @@ def _p(arr: np.ndarray, ptype):
     return arr.ctypes.data_as(ptype)
 
 
-def _check_id_range(ls_i: np.ndarray) -> None:
+def _check_id_range(ls_i: np.ndarray, valid: Optional[np.ndarray] = None) -> None:
     """The C probe truncates ids to int32; ids outside [0, 2^31) would wrap
     negative and index the occupancy out of bounds (numpy's % degrades
-    safely; raw pointers do not)."""
+    safely; raw pointers do not). MASKED lanes are exempt: every kernel
+    skips them before touching the id (csrc `if (valid && !valid[i])`), and
+    the numpy fallbacks accept arbitrary garbage there — error behavior is
+    part of the native==fallback invariant (round-3 advisor finding)."""
     if ls_i.size == 0:
         return
-    mn, mx = ls_i.min(), ls_i.max()
+    ids = ls_i if valid is None else np.where(valid.astype(bool), ls_i, 0)
+    mn, mx = ids.min(), ids.max()
     if mn < 0 or mx >= 2**31:
         raise IndexError(f"lookup ids [{mn}, {mx}] outside int32 range")
 
@@ -206,7 +210,7 @@ def probe_batch(
     assert lib is not None
     t_count, n = ls_i.shape
     ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
-    _check_id_range(ls_i)
+    _check_id_range(ls_i, valid)
     sets = np.ascontiguousarray(
         np.array([o.shape[0] for o in occupancy], dtype=np.int64)
     )
@@ -258,7 +262,7 @@ def probe_batch_wire(
     assert lib is not None
     t_count, n = ls_i.shape
     ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
-    _check_id_range(ls_i)
+    _check_id_range(ls_i, valid)
     sets = np.ascontiguousarray(
         np.array([o.shape[0] for o in occupancy], dtype=np.int64)
     )
@@ -301,7 +305,7 @@ def probe_batch_dedup(
     assert lib is not None
     t_count, n = ls_i.shape
     ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
-    _check_id_range(ls_i)
+    _check_id_range(ls_i, valid)
     sets = np.ascontiguousarray(
         np.array([o.shape[0] for o in occupancy], dtype=np.int64)
     )
@@ -346,12 +350,15 @@ def map_probe_batch_dedup(
     assert lib is not None
     t_count, n = ls_i.shape
     ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
-    _check_id_range(ls_i)
     bases = np.ascontiguousarray(id_bases, dtype=np.int64)
     # per-table segment guard, masked lanes exempt (the kernel skips them) —
-    # same contract as map_probe_batch_wire
+    # same contract as map_probe_batch_wire. The int32-range check is also
+    # masked-exempt: the numpy fallback accepts arbitrary ids in masked
+    # padding lanes, and the native==fallback invariant covers error
+    # behavior too (round-3 advisor finding).
     ends = np.append(bases[1:], map_flat.shape[0])
     ids_chk = ls_i if valid is None else np.where(valid.astype(bool), ls_i, 0)
+    _check_id_range(ids_chk)
     seg_max = ids_chk.max(axis=1) + bases
     if (seg_max >= ends).any():
         t = int(np.argmax(seg_max >= ends))
@@ -397,7 +404,6 @@ def map_probe_batch_wire(
     assert lib is not None
     t_count, n = ls_i.shape
     ls_i = np.ascontiguousarray(ls_i, dtype=np.int64)
-    _check_id_range(ls_i)
     bases = np.ascontiguousarray(id_bases, dtype=np.int64)
     # OOB guard: the C kernel indexes map_flat[base + id] unchecked (the
     # occupancy kernels are intrinsically safe via mod-sets; the map is not).
@@ -405,8 +411,10 @@ def map_probe_batch_wire(
     # Masked padding lanes are exempt — the kernel skips them without
     # gathering (csrc cdlrm_map_probe_table_wirebits), so they carry no input
     # contract; checking them would reject streams the numpy path accepts.
+    # The int32-range check is masked-exempt for the same reason.
     ends = np.append(bases[1:], map_flat.shape[0])
     ids_chk = ls_i if valid is None else np.where(valid.astype(bool), ls_i, 0)
+    _check_id_range(ids_chk)
     seg_max = ids_chk.max(axis=1) + bases
     if (seg_max >= ends).any():
         t = int(np.argmax(seg_max >= ends))

@@ -335,19 +335,23 @@ class GlobalRowExchange:
 
     def _owner_map(self, all_req: np.ndarray) -> np.ndarray:
         """[H, cap] owner of every requester slot (-1 = unused padding).
-        Identical on every host — pure function of the gathered requests."""
+        Identical on every host — pure function of the gathered requests.
+
+        Fully vectorized (no per-requester Python loops): at pod scale
+        (H = 16-64, cap ~ 100k) the round-3 H x T interpreter loops cost
+        host milliseconds per eval batch inside a path that also aligns
+        collectives (round-3 verdict item 8)."""
         H = all_req.shape[0]
-        shard = self.master.shard
-        owners = np.full((H, self.capacity), -1, dtype=np.int64)
-        for g in range(H):
-            g_n = int(all_req[g, 2, 0])
-            g_tbl, g_ids = all_req[g, 0, :g_n], all_req[g, 1, :g_n]
-            for t in np.unique(g_tbl):
-                sel = g_tbl == t
-                owners[g, :g_n][sel] = shard.owner_of(
-                    g_ids[sel], self.master.ln_emb[int(t)]
-                )
-        return owners
+        num_hosts = self.master.shard.num_hosts
+        tbl = all_req[:, 0, :]  # [H, cap] int64
+        ids = all_req[:, 1, :]
+        live = np.arange(self.capacity)[None, :] < all_req[:, 2, :1]
+        # per-slot table size -> per-slot shard stride (owner_of, vectorized;
+        # padding slots carry table 0 and are masked out below)
+        n_rows = np.asarray(self.master.ln_emb, dtype=np.int64)[tbl]
+        per = -(-n_rows // num_hosts)
+        owner = np.minimum(ids // per, num_hosts - 1)
+        return np.where(live, owner, np.int64(-1))
 
     def _contribution(
         self, all_req: np.ndarray, owners: np.ndarray, pad_to: int
@@ -355,36 +359,43 @@ class GlobalRowExchange:
         """[pad_to, dim] rows this host owns, packed in (requester, slot)
         order — the layout every peer reconstructs from `owners` alone."""
         me = self.master.shard.host_id
-        H = all_req.shape[0]
+        # np.nonzero row-major order IS (requester, slot) order
+        g_idx, s_idx = np.nonzero(owners == me)
         buf = np.zeros((pad_to, self.master.dim), np.float32)
-        k = 0
-        for g in range(H):
-            pos = np.flatnonzero(owners[g] == me)
-            if pos.size == 0:
-                continue
-            g_tbl = all_req[g, 0, pos]
-            g_ids = all_req[g, 1, pos]
-            rows = np.zeros((pos.size, self.master.dim), np.float32)
-            for t in np.unique(g_tbl):
-                sel = g_tbl == t
-                rows[sel] = self.master.gather_owned_of(int(t), g_ids[sel])
-            buf[k : k + pos.size] = rows
-            k += pos.size
+        if g_idx.size == 0:
+            return buf
+        tbls = all_req[g_idx, 0, s_idx]
+        ids = all_req[g_idx, 1, s_idx]
+        rows = np.empty((g_idx.size, self.master.dim), np.float32)
+        for t in np.unique(tbls):  # O(tables), not O(hosts * tables)
+            sel = tbls == t
+            rows[sel] = self.master.gather_owned_of(int(t), ids[sel])
+        buf[: rows.shape[0]] = rows
         return buf
 
     def _assemble(self, owners: np.ndarray, gathered: np.ndarray) -> np.ndarray:
         """[cap, dim] rows answering THIS host's request, scattered back from
-        each owner's packed contribution."""
+        each owner's packed contribution.
+
+        My slots owned by h sit after every earlier requester's h-owned slots
+        in h's buffer (the (requester, slot) packing order above); one
+        grouped-rank computation + one fancy gather replaces the per-owner
+        Python loop."""
         me = self.master.shard.host_id
         H = owners.shape[0]
         mine = np.zeros((self.capacity, self.master.dim), np.float32)
-        for h in range(H):
-            # my slots owned by h sit after every earlier requester's
-            # h-owned slots in h's buffer (the packing order above)
-            off = int((owners[:me] == h).sum())
-            pos = np.flatnonzero(owners[me] == h)
-            if pos.size:
-                mine[pos] = gathered[h, off : off + pos.size]
+        my_own = owners[me]
+        slots = np.flatnonzero(my_own >= 0)
+        if slots.size == 0:
+            return mine
+        earlier = owners[:me][owners[:me] >= 0]
+        base = np.bincount(earlier, minlength=H)  # earlier requesters' counts
+        h_of = my_own[slots]
+        order = np.argsort(h_of, kind="stable")  # group by owner, slot order
+        sorted_h = h_of[order]
+        group_start = np.searchsorted(sorted_h, np.arange(H))
+        rank = np.arange(order.size) - group_start[sorted_h]
+        mine[slots[order]] = gathered[sorted_h, base[sorted_h] + rank]
         return mine
 
     def fetch(self, requests: List[Tuple[int, np.ndarray]]) -> List[np.ndarray]:

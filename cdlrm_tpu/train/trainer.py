@@ -386,9 +386,13 @@ class CachedDlrmTrainer:
             else len(cfg.ln_emb) * self.geo.aux_capacity
         )
         self._aux_bucket_window: Optional[int] = None  # negotiated per window
-        # negotiated per-eval-batch miss bucket (multihost; see _assemble)
+        # negotiated per-eval-batch miss bucket (multihost; see _assemble).
+        # The log is BOUNDED (observability only — a long serving run must
+        # not grow host memory linearly with eval batches).
         self._eval_bucket_batch: Optional[int] = None
-        self._eval_bucket_log: List[Tuple[int, int]] = []
+        from collections import deque
+
+        self._eval_bucket_log: "deque" = deque(maxlen=1024)
         # single-host monotone staging buckets (see _pack_aux)
         self._bucket_run_max = {"train": 0, "eval": 0, "dedup": 0}
         self._row_exchange = (
@@ -450,11 +454,12 @@ class CachedDlrmTrainer:
         self.last_window: Optional[dict] = None  # most recent print-window stats
         # structured metrics log (config.metrics_log): JSON lines, host 0
         # only — window metrics are psum'd replica-identical scalars
-        self._metrics_fp = (
-            open(cfg.metrics_log, "a")
-            if cfg.metrics_log and jax.process_index() == 0
-            else None
-        )
+        self._metrics_fp = None
+        if cfg.metrics_log and jax.process_index() == 0:
+            log_dir = os.path.dirname(cfg.metrics_log)
+            if log_dir:
+                os.makedirs(log_dir, exist_ok=True)
+            self._metrics_fp = open(cfg.metrics_log, "a")
 
     def _log_metrics(self, kind: str, payload: dict) -> None:
         if self._metrics_fp is None:
@@ -589,7 +594,13 @@ class CachedDlrmTrainer:
                 # DISTINCT pad rows (descending from trash): pads receive
                 # only the float-identity -0.0 update, and a duplicate-trash
                 # pad block would form a same-index scatter chain — the
-                # XLA:TPU serialization cliff (PERF.md finding 9)
+                # XLA:TPU serialization cliff (PERF.md finding 9). The
+                # descending range lands in the aux staging region, so a
+                # miss lane whose aux slot collides with a pad is classified
+                # hot for that step — still numerically exact (the hot path
+                # accumulates the same gradient the cold path would have
+                # scattered; verified by the hot-tier equivalence tests),
+                # just a subtle routing case worth naming.
                 arr[n:-1] = (
                     self.geo.trash_row - 1 - np.arange(npad)
                 ) % max(1, self.geo.trash_row)
@@ -1116,6 +1127,7 @@ class CachedDlrmTrainer:
                 # (main_no_ddp.py:458-473)
                 ms_it = 1000.0 * max(0.0, dt - m.caching_overhead_s) / max(1, m.steps)
                 overhead_ms = 1000.0 * m.caching_overhead_s / max(1, m.steps)
+                ptr = m.per_table_hit_rates
                 self.last_window = {
                     "ms_per_iter": ms_it,
                     "caching_overhead_ms": overhead_ms,
@@ -1123,6 +1135,12 @@ class CachedDlrmTrainer:
                     "accuracy": m.correct / max(1, m.examples),
                     "hit_rate": m.hit_rate,  # train probes only
                     "eval_hit_rate": m.eval_hit_rate,
+                    # first-class per-table hit rates (the reference computes
+                    # but comments these out, model_no_ddp.py:206-207);
+                    # cumulative over the run, [T] floats
+                    "per_table_hit_rates": (
+                        None if ptr is None else [round(float(v), 4) for v in ptr]
+                    ),
                     "steps": m.steps,
                     # wire format currently active (auto-dedup decision)
                     "dedup": self._dedup,
@@ -1180,9 +1198,11 @@ class CachedDlrmTrainer:
             for _, _, _, st, _ in items:
                 st.commit(self.metrics)
             dedup = items[0][4]
-            assert all(it[4] == dedup for it in items), (
-                "mixed wire formats within a scan block"
-            )
+            if not all(it[4] == dedup for it in items):
+                # hard error, not assert: under `python -O` a violated
+                # window-boundary invariant would feed dedup-format inputs to
+                # a plain-compiled step and silently misread the wire
+                raise RuntimeError("mixed wire formats within a scan block")
             # hot tier: the per-window hot list rides as one replicated
             # input before lr (same window for every item in a block)
             hot_extra = (self._hot_slots_dev,) if self._hot else ()
@@ -1301,12 +1321,23 @@ class CachedDlrmTrainer:
         acc = correct / max(1, total)
         auc_v = auc.result()
         log_fn(f"Test accuracy = {100.0 * acc:.4f}%  AUC = {auc_v:.5f}")
+        ptr = self.metrics.per_table_hit_rates
+        if ptr is not None:
+            # compact summary on the console; the full [T] vector goes to
+            # the structured log below
+            log_fn(
+                f"Per-table train hit rates: min {float(ptr.min()):.4f} "
+                f"mean {float(ptr.mean()):.4f} max {float(ptr.max()):.4f}"
+            )
         self._log_metrics(
             "eval",
             {
                 "accuracy": acc,
                 "auc": None if np.isnan(auc_v) else float(auc_v),
                 "eval_hit_rate": self.metrics.eval_hit_rate,
+                "per_table_hit_rates": (
+                    None if ptr is None else [round(float(v), 4) for v in ptr]
+                ),
                 "examples": total,
             },
         )

@@ -324,7 +324,9 @@ def test_metrics_log_json_lines(tmp_path, capsys):
     (SURVEY.md §5 'Metrics / logging')."""
     import json
 
-    log = str(tmp_path / "metrics.jsonl")
+    # nested path: the trainer must create missing parent directories
+    # (round-3 advisor finding)
+    log = str(tmp_path / "logs" / "metrics.jsonl")
     rc = cli.main(
         [
             "--data-generation", "random",
@@ -351,10 +353,20 @@ def test_metrics_log_json_lines(tmp_path, capsys):
     records = [json.loads(line) for line in open(log)]
     kinds = {r["kind"] for r in records}
     assert "train_window" in kinds and "eval" in kinds
+    n_tables = 3  # --arch-embedding-size 300-200-400
     for r in records:
         assert "step" in r
         if r["kind"] == "train_window":
             assert {"ms_per_iter", "loss", "accuracy", "hit_rate",
-                    "dedup"} <= set(r)
+                    "dedup", "per_table_hit_rates"} <= set(r)
         else:
-            assert {"accuracy", "auc", "eval_hit_rate"} <= set(r)
+            assert {"accuracy", "auc", "eval_hit_rate",
+                    "per_table_hit_rates"} <= set(r)
+        # the flagship first-class metric rides in the structured payload:
+        # [T] floats in [0, 1] once any train probe has been counted
+        ptr = r["per_table_hit_rates"]
+        if ptr is not None:
+            assert len(ptr) == n_tables
+            assert all(0.0 <= v <= 1.0 for v in ptr)
+    # at least one record must carry real per-table rates
+    assert any(r["per_table_hit_rates"] for r in records)

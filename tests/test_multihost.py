@@ -176,16 +176,18 @@ def test_two_process_pooled_multihot(tmp_path):
     assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
 
 
-def test_routed_row_exchange_simulated_h4(rng):
-    """GlobalRowExchange's request-routed protocol at a simulated H=4: the
-    pure parts (_pack_requests / _owner_map / _contribution / _assemble) are
-    driven directly, with the two process_allgathers replaced by stacking —
-    every host must reconstruct exactly the rows a full (unsharded) master
-    would return, and the routed payload must be O(cap) rows per host, not
-    O(H*cap) (VERDICT r1 item 7)."""
+@pytest.mark.parametrize("H", [4, 16])
+def test_routed_row_exchange_simulated(rng, H):
+    """GlobalRowExchange's request-routed protocol at simulated H=4 and
+    H=16 (pod-scale shape for the vectorized packing — round-3 verdict
+    item 8): the pure parts (_pack_requests / _owner_map / _contribution /
+    _assemble) are driven directly, with the two process_allgathers replaced
+    by stacking — every host must reconstruct exactly the rows a full
+    (unsharded) master would return, and the routed payload must be O(cap)
+    rows per host, not O(H*cap) (VERDICT r1 item 7)."""
     from cdlrm_tpu.parallel.multihost import GlobalRowExchange
 
-    ln_emb, dim, H, cap = [97, 215, 31], 8, 4, 48
+    ln_emb, dim, cap = [97, 215, 31], 8, 48
     masters = [
         ShardedMasterTables(ln_emb, dim, RowShard(h, H),
                             np.random.default_rng(5))

@@ -320,3 +320,35 @@ def test_probe_dedup_raw_native_matches_numpy(rng, masked, slot_map):
     # masked lanes carry the -1 sentinel
     if masked:
         assert (got.inv_wire[~valid] == -1).all()
+
+
+@pytest.mark.parametrize("slot_map", [False, True])
+def test_masked_lanes_exempt_from_range_check(rng, slot_map):
+    """Ids in MASKED padding lanes carry no input contract: a stream whose
+    masked lanes hold negative / out-of-int32-range garbage must be accepted
+    identically by the native and numpy probe paths (the kernels skip masked
+    lanes without gathering; round-3 advisor finding on map_probe_batch_dedup
+    checking the full ls_i)."""
+    ln_emb = [40, 15, 90]
+    geo, ctrl = _controller(rng, ln_emb, cache_size=16, ways=2, aux=512)
+    if slot_map:
+        ctrl = HostCacheController(
+            geo, seed=0, ln_emb=np.asarray(ln_emb), slot_map=True
+        )
+    master = _ZeroMaster(geo.dim)
+    n = 64
+    ls_i = np.stack(
+        [rng.integers(0, min(n_t, 12), n) for n_t in ln_emb]
+    ).astype(np.int64)
+    valid = rng.random((3, n)) < 0.6
+    ls_garbage = ls_i.copy()
+    ls_garbage[~valid] = -(1 << 40)  # garbage only where masked
+
+    for probe in (ctrl.probe_dedup_raw, ctrl.probe):
+        got = probe(ls_garbage, master, valid=valid)
+        clean = probe(ls_i, master, valid=valid)
+        with mock.patch.object(native, "available", return_value=False):
+            want = probe(ls_garbage, master, valid=valid)
+        for name in ("aux_slots", "hit_counts"):
+            assert np.array_equal(getattr(got, name), getattr(want, name))
+            assert np.array_equal(getattr(got, name), getattr(clean, name))
