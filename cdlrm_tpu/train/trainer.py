@@ -473,10 +473,23 @@ class CachedDlrmTrainer:
         """The prefetcher's view of the index stream (reference cache_ld,
         dlrm_data_pytorch.py:465-483): a second pass over the same batches,
         dropping the final partial batch exactly as the trainer does.
-        ``skip`` resumes mid-stream (checkpoint data cursor)."""
+        ``skip`` resumes mid-stream (checkpoint data cursor).
+
+        Datasets exposing ``index_batches`` (the Criteo loaders) serve this
+        pass INDEX-ONLY: only the sparse columns are decoded — for the
+        streaming loader only the X_cat npz member is decompressed, ~2/3
+        less zlib work than re-reading full batches (round-3 verdict
+        item 6; equivalence pinned in tests/test_data_criteo.py)."""
+        b = self.cfg.mini_batch_size
+        idx_fn = getattr(self.dataset, "index_batches", None)
+        if idx_fn is not None:
+            for ls_i in idx_fn(skip=skip):
+                if ls_i.shape[1] != b:
+                    continue  # identical drop-last rule as the main loop
+                yield ls_i
+            return
         from cdlrm_tpu.train.pipeline import _batches_from
 
-        b = self.cfg.mini_batch_size
         for batch in _batches_from(self.dataset, skip, full_size=b):
             if batch.x.shape[0] != b:
                 continue
