@@ -58,6 +58,10 @@ def main():
         table_rows, cache_size, ways = 250_000, 16_384, 8
         bot, top = "13-512-256-128", "512-256-1"
         steps, warmup = 40, 10
+        # BENCH_BATCH overrides the local batch (hot-tier regime search at
+        # 8192/16384 — round-3 verdict item 7); A/B knob only, the headline
+        # stays at the paper's per-chip batch
+        batch = int(os.environ.get("BENCH_BATCH", batch))
     else:  # scaled-down geometry so the bench is debuggable anywhere
         num_tables, dim, batch = 8, 32, 512
         table_rows, cache_size, ways = 20_000, 2_048, 4
@@ -138,9 +142,11 @@ def main():
             rng = np.random.Generator(np.random.SFC64(self.seed))
             for _ in range(self.num_batches):
                 x = rng.random((batch, 13), dtype=np.float32)
-                if stream == "zipf12":
+                if stream.startswith("zipf"):
+                    # zipf12 / zipf15 / ... -> exponent 1.2 / 1.5 / ...
+                    a = float(stream[4:]) / 10.0
                     idx = (
-                        rng.zipf(1.2, size=(num_tables, batch)) - 1
+                        rng.zipf(a, size=(num_tables, batch)) - 1
                     ) % table_rows
                 elif stream == "uniform":  # near-unique (U ~ 0.97N/batch)
                     idx = rng.integers(
@@ -206,7 +212,9 @@ def main():
 
     # serving path: forward-only eval throughput (host probe + staging +
     # cached eval step, misses served from the masters), steady state over
-    # the held-out stream — the --inference-only serving surface
+    # the held-out stream — the --inference-only serving surface. PIPELINED
+    # since round 4: assembly of batch i+1 overlaps the forward of batch i,
+    # and the scores D2H lags one batch (trainer.evaluate).
     trainer.evaluate(max_batches=2, log_fn=lambda s: None)  # compile
     t0 = time.perf_counter()
     eval_batches = 10
@@ -214,6 +222,63 @@ def main():
     eval_dt = time.perf_counter() - t0
     eval_eps = eval_batches * batch / eval_dt
     trainer.close()
+
+    # steady-state regime (round-3 verdict item 2): a second timed run whose
+    # measurement region contains MULTIPLE refill windows, so the headline
+    # is accompanied by a number that includes the caching tax at a
+    # realistic window cadence (the single-window headline's timed region
+    # has zero refills by construction). Reference anchor: amortized
+    # caching-overhead reporting, main_no_ddp.py:458-473. bf16 row wire
+    # keeps the refill H2D sane on this tunneled link (lossless training
+    # metrics — PERF.md refill soak); window cadence = lookahead 5 over 3
+    # timed print-windows = 6 refills in the measurement.
+    if on_tpu:
+        ss_lookahead, ss_print, ss_steps = 5, 10, 40
+    else:
+        ss_lookahead, ss_print, ss_steps = 4, 8, 32
+    cfg_ss = Config(
+        arch_sparse_feature_size=dim,
+        arch_mlp_bot=bot,
+        arch_mlp_top=top,
+        mini_batch_size=batch,
+        world_size=1,
+        cache_size=cache_size,
+        num_ways=ways,
+        loss_function="bce",
+        lookahead=ss_lookahead,
+        table_agg_freq=1_000_000,
+        print_freq=ss_print,
+        round_targets=True,
+        compute_dtype="bfloat16",
+        batch_fifo_size=4,
+        master_init="virtual",
+        dedup_lookups=cfg.dedup_lookups,
+        scan_steps=min(cfg.scan_steps, ss_lookahead),
+        wire_x_fp8=cfg.wire_x_fp8,
+        wire_rows_bf16=True,
+        pack_wire=cfg.pack_wire,
+    )
+    cfg_ss.finalize(ln_emb=ln_emb)
+    log(f"steady-state regime: lookahead={ss_lookahead}, {ss_steps} steps")
+    tr_ss = CachedDlrmTrainer(cfg_ss, ZipfDataset(ss_steps + 4, seed=2))
+    ss_windows = []
+
+    def cap_ss(line):
+        if tr_ss.last_window is not None:
+            ss_windows.append(dict(tr_ss.last_window))
+        log(f"[steady] {line}")
+
+    tr_ss.train(max_steps=ss_steps, log_fn=cap_ss)
+    jax.block_until_ready(tr_ss.cache)
+    ss_refills = tr_ss.metrics.refills
+    tr_ss.close()
+    ss_timed = ss_windows[1:] if len(ss_windows) > 1 else ss_windows
+    ss_n = sum(w["steps"] for w in ss_timed)
+    ss_ms = sum(w["ms_per_iter"] * w["steps"] for w in ss_timed) / max(1, ss_n)
+    ss_overhead = sum(
+        w["caching_overhead_ms"] * w["steps"] for w in ss_timed
+    ) / max(1, ss_n)
+    ss_eps = 1000.0 * batch / max(1e-9, ss_ms + ss_overhead)
 
     timed = windows[1:] if len(windows) > 1 else windows
     n_steps = sum(w["steps"] for w in timed)
@@ -241,6 +306,16 @@ def main():
         # hosts the same path is device-bound.
         "eval_examples_per_sec": round(eval_eps, 1),
         "eval_hit_rate": round(trainer.metrics.eval_hit_rate, 4),
+        # with-refills throughput at window cadence `steady_lookahead`
+        # (examples / (step + amortized refill) — the caching tax included;
+        # ≥3 window boundaries inside the timed region). On this tunneled
+        # link the refill H2D dominates the overhead term; on PCIe hosts
+        # the same traffic amortizes ~1000x faster (PERF.md refill soaks).
+        "steady_state_examples_per_sec": round(ss_eps, 1),
+        "steady_state_ms_per_iter": round(ss_ms, 2),
+        "steady_state_caching_overhead_ms_per_iter": round(ss_overhead, 2),
+        "steady_lookahead": ss_lookahead,
+        "steady_refills": int(ss_refills),
         # staged input bytes per train step (wire accounting; excludes the
         # per-window refill traffic, which amortizes over lookahead)
         "h2d_bytes_per_step": h2d_bytes["n"],

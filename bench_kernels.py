@@ -139,6 +139,29 @@ def main():
                     "ms": round(dt * 1e3, 2),
                     "unique": int(uniq_np.size)})
 
+    # --- destination-size sweep (round-4: the block-coalescing question) ---
+    # The block-coalescing formulation (VERDICT r3 item 5) accumulates each
+    # step's sparse delta into a [U_block, D] pending buffer and scatters the
+    # cache ONCE per scan block. It only wins if scatter-add into the SMALL
+    # pending operand is cheaper per row than into the full cache — i.e. if
+    # the ~92 ns/row rate (finding 8/10, measured 65k..3.5M destination rows)
+    # falls off for VMEM-sized destinations (the hot tier's [2048, 128] 1 MB
+    # buffer measured ~8 ns/row). This sweep locates the cliff.
+    for u_dest in (1024, 2048, 4096, 8192, 16384, 65536, 262144):
+        dest_slots = jnp.asarray((slots_np % (u_dest - 1)).astype(np.int32))
+
+        def body(c, s, g, u=u_dest):
+            pend = jnp.zeros((u, DIMS), jnp.float32).at[s].add(g)
+            # consume pending via a 1-row add so XLA cannot DCE it
+            return c.at[0:1].add(pend[:1])
+
+        dt = timeit_scatter(body, (dest_slots, grads))
+        results.append({
+            "kernel": f"scatter_add/{N_UPD}_rows_into_{u_dest}_dest",
+            "ms": round(dt * 1e3, 2),
+            "ns_per_update": round(dt * 1e9 / N_UPD, 1),
+        })
+
     # --- finding 10 (PERF.md round 3): jnp.searchsorted's default 'scan'
     # method lowers to log-many SERIAL dependent gather rounds on TPU ---
     H = 2048

@@ -1,0 +1,191 @@
+"""Convergence under cache pressure at BENCH GEOMETRY, on the real chip
+(round-3 verdict item 3): the toy pressure study
+(tests/test_convergence_pressure.py, 3 tables x 2000 ids, dim 8, CPU mesh)
+validates the paper's "caching doesn't hurt" claim only at toy dynamics;
+this script runs the same latent-embedding-target design at the paper-repro
+geometry — 26 tables x 250k ids, dim 128, batch 4096, bf16 compute, prime
+sets, multi-window staleness — with a FULL-TABLE HBM oracle (26x250k x128
+f32 ~ 3.3 GB, fits one v5e) against cached runs at ~30% and ~10% effective
+capacity, evictions + writebacks live.
+
+Reference anchor for the writeback semantics under stress:
+/root/reference/cache_manager.py:48-64 (eventually-consistent eviction
+writeback into the shared master tables).
+
+Emits PRESSURE_r04.json with the AUC envelope (`pressure_auc_gap` per
+capacity point) and asserts the pressure was real (hit rate < 0.99 at 10%,
+rows written back > 0).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TABLES = 26
+N_IDS = 250_000
+DIM = 128
+BATCH = 4096
+STEPS = int(os.environ.get("PRESSURE_STEPS", "240"))
+LOOKAHEAD = 8
+WAYS = 8
+
+
+def log(msg):
+    print(f"[pressure] {msg}", file=sys.stderr, flush=True)
+
+
+class LatentSignalDataset:
+    """Skewed stream whose label is carried by hidden per-id latents:
+    y = 1[ sum_t v_t[id_t] > 0 ]. The model can only learn by training
+    embedding rows, so misses/evictions/writebacks directly shape the
+    trajectory (tests/test_convergence_pressure.py design, scaled up)."""
+
+    m_den = 13
+
+    def __init__(self, num_batches, seed=0, label_seed=99):
+        self.ln_emb = np.full(TABLES, N_IDS, dtype=np.int64)
+        self.num_batches = num_batches
+        self.seed = seed
+        lrng = np.random.default_rng(label_seed)
+        # 26 x 250k f32 latents = 26 MB host RAM
+        self.latents = lrng.normal(size=(TABLES, N_IDS)).astype(np.float32)
+
+    def __len__(self):
+        return self.num_batches
+
+    def batches(self):
+        rng = np.random.Generator(np.random.SFC64(self.seed))
+        for _ in range(self.num_batches):
+            x = rng.random((BATCH, self.m_den), dtype=np.float32)
+            u = rng.random((TABLES, BATCH), dtype=np.float32)
+            ls = (np.exp(u * np.log(N_IDS)).astype(np.int64) - 1) % N_IDS
+            v = self.latents[np.arange(TABLES)[:, None], ls].sum(axis=0)
+            y = (v > 0).astype(np.float32)[:, None]
+            yield Batch(x, ls, None, y)
+
+
+def _cfg(**kw):
+    base = dict(
+        arch_sparse_feature_size=DIM,
+        arch_mlp_bot=f"13-512-256-{DIM}",  # bot out must equal DIM
+        arch_mlp_top="512-256-1",
+        mini_batch_size=BATCH,
+        world_size=1,
+        loss_function="bce",
+        lookahead=LOOKAHEAD,
+        table_agg_freq=1_000_000,
+        print_freq=40,
+        learning_rate=0.1,
+        lr_embeds=0.5,
+        num_ways=WAYS,
+        eviction_fifo_size=256,
+        compute_dtype="bfloat16",
+        round_targets=True,
+        scan_steps=4,
+        wire_rows_bf16=True,
+        batch_fifo_size=4,
+    )
+    base.update(kw)
+    cfg = Config(**base)
+    cfg.finalize(ln_emb=np.full(TABLES, N_IDS, dtype=np.int64))
+    return cfg
+
+
+def _run_cached(capacity_frac):
+    sets = max(64, int(N_IDS * capacity_frac) // WAYS)
+    cfg = _cfg(cache_size=sets)
+    train = LatentSignalDataset(STEPS + LOOKAHEAD)
+    test = LatentSignalDataset(4, seed=1234)
+    t0 = time.perf_counter()
+    tr = CachedDlrmTrainer(cfg, train, test)
+    final = {}
+
+    def cap(line):
+        if tr.last_window is not None:
+            final.update(tr.last_window)
+        log(f"cap={capacity_frac}: {line}")
+
+    tr.train(max_steps=STEPS, log_fn=cap)
+    acc, auc = tr.evaluate(log_fn=lambda s: None)
+    rows_written = tr.eviction_manager.rows_written
+    tr.close()
+    out = {
+        "capacity_frac": capacity_frac,
+        "rows_per_table": int(np.max(tr.geo.ways * tr.geo.sets)),
+        "acc": float(acc), "auc": float(auc),
+        "loss": float(final.get("loss", np.nan)),
+        "hit_rate": float(final.get("hit_rate", np.nan)),
+        "rows_written": int(rows_written),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    log(f"cached {capacity_frac}: {out}")
+    return out
+
+
+def _run_oracle():
+    cfg = _cfg(use_cache=False, num_indices_per_lookup=1,
+               num_indices_per_lookup_fixed=True)
+    train = LatentSignalDataset(STEPS + LOOKAHEAD)
+    test = LatentSignalDataset(4, seed=1234)
+    t0 = time.perf_counter()
+    log("building full-table oracle (3.3 GB HBM tables)...")
+    tr = FullTableDlrmTrainer(cfg, train, test)
+    tr.train(max_steps=STEPS, log_fn=lambda s: log(f"oracle: {s}"))
+    acc, auc = tr.evaluate(log_fn=lambda s: None)
+    tr.close()
+    out = {"acc": float(acc), "auc": float(auc),
+           "wall_s": round(time.perf_counter() - t0, 1)}
+    log(f"oracle: {out}")
+    return out
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:
+        log(f"compilation cache not enabled: {e}")
+    log(f"backend={jax.default_backend()}, steps={STEPS}")
+
+    # imports AFTER the compilation-cache config (bench.py pattern)
+    global Config, Batch, FullTableDlrmTrainer, CachedDlrmTrainer
+    from cdlrm_tpu.config import Config
+    from cdlrm_tpu.data.synthetic import Batch
+    from cdlrm_tpu.train.fulltable import FullTableDlrmTrainer
+    from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+    oracle = _run_oracle()
+    mid = _run_cached(0.3)
+    tight = _run_cached(0.1)
+
+    result = {
+        "metric": "pressure_auc_gap",
+        "backend": jax.default_backend(),
+        "steps": STEPS,
+        "geometry": {"tables": TABLES, "ids": N_IDS, "dim": DIM,
+                     "batch": BATCH, "ways": WAYS, "lookahead": LOOKAHEAD},
+        "oracle": oracle,
+        "cached": [mid, tight],
+        "pressure_auc_gap": {
+            "30%": round(oracle["auc"] - mid["auc"], 4),
+            "10%": round(oracle["auc"] - tight["auc"], 4),
+        },
+        "pressure_real": bool(
+            tight["hit_rate"] < 0.99 and tight["rows_written"] > 0
+            and mid["rows_written"] > 0
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,46 @@ import numpy as np
 from cdlrm_tpu.ops import native
 
 
+class _DirtyTracker:
+    """Per-table set of row ids ever written back — the EXACT master-table
+    delta since initialization (masters are frozen except for eviction
+    writeback, module doc), and therefore the exact content of an
+    incremental checkpoint. Appends are O(1) per writeback (the eviction
+    thread must not pay a sort per call); fragments consolidate to a sorted
+    unique array when they exceed ``consolidate_rows`` ids. Memory is
+    O(rows ever written), the same asymptotic as the checkpoint itself."""
+
+    def __init__(self, n_tables: int, consolidate_rows: int = 1 << 20):
+        self._frags: List[List[np.ndarray]] = [[] for _ in range(n_tables)]
+        self._frag_rows = [0] * n_tables
+        self._limit = consolidate_rows
+
+    def add(self, t: int, idxs: np.ndarray) -> None:
+        if idxs.size == 0:
+            return
+        self._frags[t].append(np.asarray(idxs, np.int64).copy())
+        self._frag_rows[t] += int(idxs.size)
+        if self._frag_rows[t] > self._limit and len(self._frags[t]) > 1:
+            self.ids(t)
+
+    def ids(self, t: int) -> np.ndarray:
+        """Sorted unique dirty ids for table ``t`` (consolidates in place)."""
+        frags = self._frags[t]
+        if not frags:
+            return np.zeros(0, np.int64)
+        u = frags[0] if len(frags) == 1 else np.unique(np.concatenate(frags))
+        self._frags[t] = [u]
+        self._frag_rows[t] = int(u.size)
+        return u
+
+    def replace(self, t: int, ids: np.ndarray) -> None:
+        self._frags[t] = [np.asarray(ids, np.int64)]
+        self._frag_rows[t] = int(ids.size)
+
+    def total_rows(self) -> int:
+        return sum(self.ids(t).size for t in range(len(self._frags)))
+
+
 class MasterTables:
     def __init__(
         self,
@@ -79,6 +119,7 @@ class MasterTables:
                 arr = np.empty((n, self.dim), dtype=np.float32)
                 fill(arr, n)
             self.tables.append(arr)
+        self._dirty = _DirtyTracker(len(self.ln_emb))
 
     def gather(self, t: int, idxs: np.ndarray) -> np.ndarray:
         """Row gather (reference fetch_unique_idx_slices,
@@ -106,16 +147,66 @@ class MasterTables:
             tab[idxs] = (tab[idxs] + rows) / 2.0
         else:
             tab[idxs] = rows
+        self._dirty.add(t, idxs)
         return int(idxs.size)
 
     # ---- checkpointing (capability upgrade; reference has none) ----
     def save(self, path: str) -> None:
         np.savez(path, **{f"table_{t}": arr for t, arr in enumerate(self.tables)})
 
-    def load(self, path: str) -> None:
+    def save_dirty(self, path: str, init_token: int = 0) -> None:
+        """Incremental checkpoint: (init spec + dirty rows). Masters only
+        mutate via eviction writeback, so the dirty set is the whole delta —
+        file size scales with rows ever written back, not table size
+        (round-3 verdict item 4; at Terabyte geometry a full dump is 100s of
+        GB per checkpoint). ``init_token`` guards the procedural-init
+        assumption: load re-derives the initial tables from the trainer's
+        (seed, geometry) and must refuse a mismatched stream."""
+        payload = {
+            "dirty_format": np.int64(1),
+            "init_token": np.int64(init_token),
+            "ln_emb": np.asarray(self.ln_emb, np.int64),
+            "dim": np.int64(self.dim),
+        }
+        for t in range(len(self.tables)):
+            ids = self._dirty.ids(t)
+            payload[f"dirty_idx_{t}"] = ids
+            payload[f"dirty_rows_{t}"] = self.tables[t][ids]
+        np.savez(path, **payload)
+
+    def load(self, path: str, init_token: int = 0) -> None:
+        """Restore from a full dump or a dirty-row incremental checkpoint
+        (auto-detected). Dirty restore assumes ``self.tables`` currently
+        hold the SAME initial values the saving run started from — i.e. a
+        freshly-constructed master with identical (seed, init, geometry) —
+        and re-marks the loaded rows dirty so later incremental saves stay
+        cumulative."""
         with np.load(path) as data:
+            if "dirty_format" not in data.files:
+                for t in range(len(self.tables)):
+                    self.tables[t][...] = data[f"table_{t}"]
+                return
+            if int(data["init_token"]) != int(init_token):
+                raise ValueError(
+                    f"dirty master checkpoint was saved under init token "
+                    f"{int(data['init_token'])}, loading under {init_token}: "
+                    "the procedurally-derived base tables would differ "
+                    "(same --numpy-rand-seed and master geometry required)"
+                )
+            if (
+                list(data["ln_emb"]) != self.ln_emb
+                or int(data["dim"]) != self.dim
+            ):
+                raise ValueError(
+                    "dirty master checkpoint geometry mismatch: saved "
+                    f"{list(data['ln_emb'])}x{int(data['dim'])}, this master "
+                    f"is {self.ln_emb}x{self.dim}"
+                )
             for t in range(len(self.tables)):
-                self.tables[t][...] = data[f"table_{t}"]
+                ids = data[f"dirty_idx_{t}"]
+                if ids.size:
+                    self.tables[t][ids] = data[f"dirty_rows_{t}"]
+                self._dirty.replace(t, ids)
 
 
 class VirtualMasterTables:

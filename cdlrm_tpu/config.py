@@ -96,6 +96,14 @@ class Config:
     save_model: str = ""
     load_model: str = ""
     checkpoint_freq: int = -1  # steps; <=0 disables periodic checkpoints
+    checkpoint_masters: str = "dirty"  # dirty | full. 'dirty' checkpoints
+    #   the master tables as (procedural init + rows ever written back):
+    #   masters only mutate via eviction writeback, so the dirty-row set is
+    #   the exact delta — checkpoint size scales with rows written, not
+    #   table size (at Terabyte geometry a full dump is 100s of GB). 'full'
+    #   dumps every table (cache/master.py save). Resume is bit-identical
+    #   either way (tests/test_trainer_e2e.py); 'dirty' requires loading
+    #   with the same numpy_rand_seed + master geometry (guarded).
     inference_only: bool = False  # skip training; evaluate the test stream
     #   (typically with --load-model). The reference parses this flag but
     #   never uses it (main_no_ddp.py:140); here it is a real serving-style

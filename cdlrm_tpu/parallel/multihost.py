@@ -133,6 +133,10 @@ class ShardedMasterTables:
             self.tables.append(
                 np.ascontiguousarray(self._block[pos] * bound)
             )
+        from cdlrm_tpu.cache.master import _DirtyTracker
+
+        # GLOBAL ids of owned rows ever written back (incremental checkpoint)
+        self._dirty = _DirtyTracker(len(self.ln_emb))
 
     def owned_mask(self, t: int, ids: np.ndarray) -> np.ndarray:
         lo, hi = self.ranges[t]
@@ -178,6 +182,7 @@ class ShardedMasterTables:
             tab[local] = (tab[local] + sel) / 2.0
         else:
             tab[local] = sel
+        self._dirty.add(t, np.asarray(idxs[own], dtype=np.int64))
         return int(local.size)
 
     # ---- checkpointing: each host saves/loads its owned shard ----
@@ -189,22 +194,64 @@ class ShardedMasterTables:
             **{f"table_{t}": arr for t, arr in enumerate(self.tables)},
         )
 
-    def load(self, path: str) -> None:
+    def save_dirty(self, path: str, init_token: int = 0) -> None:
+        """Incremental owned-shard checkpoint (cache/master.py
+        MasterTables.save_dirty): each host stores only the GLOBAL ids +
+        values of owned rows ever written back; the procedurally-seeded base
+        is re-derived at load."""
+        payload = {
+            "dirty_format": np.int64(1),
+            "init_token": np.int64(init_token),
+            "host_id": np.int64(self.shard.host_id),
+            "num_hosts": np.int64(self.shard.num_hosts),
+            "ln_emb": np.asarray(self.ln_emb, np.int64),
+            "dim": np.int64(self.dim),
+        }
+        for t in range(len(self.tables)):
+            ids = self._dirty.ids(t)
+            lo, _ = self.ranges[t]
+            payload[f"dirty_idx_{t}"] = ids
+            payload[f"dirty_rows_{t}"] = self.tables[t][ids - lo]
+        np.savez(path, **payload)
+
+    def _check_shard_identity(self, data) -> None:
+        # hard errors, not asserts (python -O strips asserts; loading
+        # another host's shard would silently corrupt owned rows)
+        if int(data["num_hosts"]) != self.shard.num_hosts:
+            raise ValueError(
+                f"checkpoint saved with {int(data['num_hosts'])} hosts, "
+                f"loading with {self.shard.num_hosts}; re-shard offline"
+            )
+        if int(data["host_id"]) != self.shard.host_id:
+            raise ValueError(
+                f"checkpoint shard belongs to host {int(data['host_id'])}, "
+                f"this is host {self.shard.host_id}"
+            )
+
+    def load(self, path: str, init_token: int = 0) -> None:
         with np.load(path) as data:
-            # hard errors, not asserts (python -O strips asserts; loading
-            # another host's shard would silently corrupt owned rows)
-            if int(data["num_hosts"]) != self.shard.num_hosts:
+            self._check_shard_identity(data)
+            if "dirty_format" not in data.files:
+                for t in range(len(self.tables)):
+                    self.tables[t][...] = data[f"table_{t}"]
+                return
+            if int(data["init_token"]) != int(init_token):
                 raise ValueError(
-                    f"checkpoint saved with {int(data['num_hosts'])} hosts, "
-                    f"loading with {self.shard.num_hosts}; re-shard offline"
+                    f"dirty master checkpoint was saved under init token "
+                    f"{int(data['init_token'])}, loading under {init_token}: "
+                    "the procedurally-derived base tables would differ"
                 )
-            if int(data["host_id"]) != self.shard.host_id:
-                raise ValueError(
-                    f"checkpoint shard belongs to host {int(data['host_id'])}, "
-                    f"this is host {self.shard.host_id}"
-                )
+            if (
+                list(data["ln_emb"]) != self.ln_emb
+                or int(data["dim"]) != self.dim
+            ):
+                raise ValueError("dirty master checkpoint geometry mismatch")
             for t in range(len(self.tables)):
-                self.tables[t][...] = data[f"table_{t}"]
+                ids = data[f"dirty_idx_{t}"]
+                lo, _ = self.ranges[t]
+                if ids.size:
+                    self.tables[t][ids - lo] = data[f"dirty_rows_{t}"]
+                self._dirty.replace(t, ids)
 
 
 class WindowRowStore:

@@ -110,6 +110,85 @@ def test_checkpoint_resume_bitexact(tmp_path):
     assert tr2.global_step >= 25
 
 
+def test_dirty_master_checkpoint(tmp_path):
+    """checkpoint_masters='dirty' (the default): masters restore
+    bit-exactly from (init + dirty rows), the file scales with rows
+    written back instead of table size, a mismatched seed is refused, and
+    a re-saved checkpoint after resume stays cumulative (round-3 verdict
+    item 4)."""
+    import os
+
+    cfg = make_cfg()
+    assert cfg.checkpoint_masters == "dirty"
+    ds = LearnableDataset(cfg.ln_emb, num_batches=60)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=24, log_fn=lambda s: None)
+    ck = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ck)
+    assert tr.eviction_manager.rows_written > 0, "no evictions — test is vacuous"
+    masters_before = [t.copy() for t in tr.master.tables]
+
+    # size scales with rows written, not table rows: bounded by a direct
+    # per-dirty-row accounting (idx int64 + dim float32 values + npz
+    # overhead), and strictly under the full dump even at this toy
+    # geometry where >half the rows are dirty
+    full = str(tmp_path / "full.npz")
+    tr.master.save(full)
+    dirty_sz = os.path.getsize(os.path.join(ck, "master.npz"))
+    full_sz = os.path.getsize(full)
+    n_dirty = tr.master._dirty.total_rows()
+    n_rows = int(np.sum(cfg.ln_emb))
+    assert 0 < n_dirty < n_rows
+    assert dirty_sz < n_dirty * (cfg.m_spa * 4 + 8) * 1.2 + 4096, (
+        dirty_sz, n_dirty,
+    )
+    assert dirty_sz < full_sz
+    tr.close()
+
+    # bit-exact restore onto a freshly-initialized master
+    tr2 = CachedDlrmTrainer(make_cfg(), ds, ds)
+    tr2.load_checkpoint(ck)
+    for a, b in zip(tr2.master.tables, masters_before):
+        np.testing.assert_array_equal(a, b)
+
+    # cumulative: continue, re-save, restore in a THIRD trainer — rows
+    # dirtied before the first checkpoint must still be present
+    tr2.train(max_steps=48, log_fn=lambda s: None)
+    ck2 = str(tmp_path / "ckpt2")
+    tr2.save_checkpoint(ck2)
+    masters_2 = [t.copy() for t in tr2.master.tables]
+    tr2.close()
+    tr3 = CachedDlrmTrainer(make_cfg(), ds, ds)
+    tr3.load_checkpoint(ck2)
+    for a, b in zip(tr3.master.tables, masters_2):
+        np.testing.assert_array_equal(a, b)
+    tr3.close()
+
+    # seed guard: a different procedural base must refuse the dirty file
+    tr4 = CachedDlrmTrainer(make_cfg(numpy_rand_seed=999), ds, ds)
+    with pytest.raises(ValueError, match="init token"):
+        tr4.load_checkpoint(ck)
+    tr4.close()
+
+
+def test_full_master_checkpoint_mode(tmp_path):
+    """checkpoint_masters='full' keeps the round-3 full-dump format and
+    restores identically."""
+    cfg = make_cfg(checkpoint_masters="full")
+    ds = LearnableDataset(cfg.ln_emb, num_batches=40)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=16, log_fn=lambda s: None)
+    ck = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ck)
+    masters_before = [t.copy() for t in tr.master.tables]
+    tr.close()
+    tr2 = CachedDlrmTrainer(make_cfg(checkpoint_masters="full"), ds, ds)
+    tr2.load_checkpoint(ck)
+    for a, b in zip(tr2.master.tables, masters_before):
+        np.testing.assert_array_equal(a, b)
+    tr2.close()
+
+
 @pytest.mark.parametrize("scan,hot", [(1, 0), (3, 0), (3, 16)])
 def test_midstream_resume_equals_uninterrupted(tmp_path, scan, hot):
     """(train 18, checkpoint, fresh trainer, resume 20 more) must be
