@@ -209,6 +209,140 @@ class MasterTables:
                 self._dirty.replace(t, ids)
 
 
+class MDMasterTables:
+    """Mixed-dimension master tables for the CACHED path (beyond-parity:
+    the reference's cached path crashes with MD — its prefetcher reads
+    ``E.weight`` which PrEmbeddingBag doesn't have, model_no_ddp.py:80-87 —
+    and MD is exactly the regime where caching matters: row counts stay
+    huge at small dims).
+
+    Table t stores COMPACT [n_t, d_t] float32 rows (the host-RAM saving is
+    the point of MD at Terabyte scale), while the whole cache pipeline —
+    prefetcher window gathers, aux staging, refills, eviction writeback —
+    sees uniform [., base_dim] rows: ``gather`` zero-pads the tail,
+    ``writeback`` slices it off. The pad columns are SELF-CONSISTENT under
+    training: the per-table projection's pad rows are zero, so gradients
+    w.r.t. pad columns are exactly zero and they remain 0.0 forever
+    (train/step.py _apply_md_proj).
+
+    Init parity: uniform(-sqrt(1/n), sqrt(1/n)) per table — the effective
+    reference init for MD tables (models/tricks.py init_md_embedding note).
+    """
+
+    def __init__(
+        self,
+        ln_emb: Sequence[int],
+        dims: Sequence[int],
+        base_dim: int,
+        rng: Optional[np.random.Generator] = None,
+        mmap_dir: Optional[str] = None,
+    ):
+        self.ln_emb = [int(n) for n in ln_emb]
+        self.dims = [int(d) for d in dims]
+        self.dim = int(base_dim)  # wire/cache row width the pipeline sees
+        if any(d > self.dim for d in self.dims):
+            raise ValueError(f"md dims {self.dims} exceed base dim {self.dim}")
+        rng = rng or np.random.default_rng(0)
+        self.tables: List[np.ndarray] = []
+        for t, (n, d) in enumerate(zip(self.ln_emb, self.dims)):
+            bound = np.float32(np.sqrt(1.0 / n))
+            if mmap_dir is not None:
+                path = os.path.join(mmap_dir, f"master_md_table_{t}.npy")
+                arr = np.lib.format.open_memmap(
+                    path, mode="w+", dtype=np.float32, shape=(n, d)
+                )
+                chunk = max(1, (1 << 24) // max(1, d))
+                for s in range(0, n, chunk):
+                    e = min(n, s + chunk)
+                    r = rng.random((e - s, d), dtype=np.float32)
+                    arr[s:e] = r * (2 * bound) - bound
+            else:
+                r = rng.random((n, d), dtype=np.float32)
+                np.multiply(r, 2 * bound, out=r)
+                np.subtract(r, bound, out=r)
+                arr = r
+            self.tables.append(arr)
+        self._dirty = _DirtyTracker(len(self.ln_emb))
+
+    def gather(self, t: int, idxs: np.ndarray) -> np.ndarray:
+        tab = self.tables[t]
+        idxs = np.asarray(idxs)
+        compact = (
+            native.gather_f32(tab, idxs)
+            if native.available() and tab.flags["C_CONTIGUOUS"]
+            else np.asarray(tab[idxs], dtype=np.float32)
+        )
+        out = np.zeros((idxs.size, self.dim), np.float32)
+        out[:, : compact.shape[1]] = compact
+        return out
+
+    def gather_all(self, idxs_per_table: Sequence[np.ndarray]) -> List[np.ndarray]:
+        return [self.gather(t, idxs) for t, idxs in enumerate(idxs_per_table)]
+
+    def writeback(
+        self, t: int, idxs: np.ndarray, rows: np.ndarray, average: bool = False
+    ) -> int:
+        if idxs.size == 0:
+            return 0
+        tab = self.tables[t]
+        sel = np.ascontiguousarray(rows[:, : tab.shape[1]])
+        if native.available() and tab.flags["C_CONTIGUOUS"]:
+            native.writeback_f32(tab, np.asarray(idxs), sel, average)
+        elif average:
+            tab[idxs] = (tab[idxs] + sel) / 2.0
+        else:
+            tab[idxs] = sel
+        self._dirty.add(t, idxs)
+        return int(idxs.size)
+
+    # ---- checkpointing (same formats as MasterTables, + dims guard) ----
+    def save(self, path: str) -> None:
+        np.savez(path, md_dims=np.asarray(self.dims, np.int64),
+                 **{f"table_{t}": arr for t, arr in enumerate(self.tables)})
+
+    def save_dirty(self, path: str, init_token: int = 0) -> None:
+        payload = {
+            "dirty_format": np.int64(1),
+            "init_token": np.int64(init_token),
+            "ln_emb": np.asarray(self.ln_emb, np.int64),
+            "dim": np.int64(self.dim),
+            "md_dims": np.asarray(self.dims, np.int64),
+        }
+        for t in range(len(self.tables)):
+            ids = self._dirty.ids(t)
+            payload[f"dirty_idx_{t}"] = ids
+            payload[f"dirty_rows_{t}"] = self.tables[t][ids]
+        np.savez(path, **payload)
+
+    def load(self, path: str, init_token: int = 0) -> None:
+        with np.load(path) as data:
+            if "md_dims" in data.files and list(data["md_dims"]) != self.dims:
+                raise ValueError(
+                    f"MD checkpoint dims {list(data['md_dims'])} != this "
+                    f"master's {self.dims}"
+                )
+            if "dirty_format" not in data.files:
+                for t in range(len(self.tables)):
+                    self.tables[t][...] = data[f"table_{t}"]
+                return
+            if int(data["init_token"]) != int(init_token):
+                raise ValueError(
+                    f"dirty master checkpoint was saved under init token "
+                    f"{int(data['init_token'])}, loading under {init_token}: "
+                    "the procedurally-derived base tables would differ"
+                )
+            if (
+                list(data["ln_emb"]) != self.ln_emb
+                or int(data["dim"]) != self.dim
+            ):
+                raise ValueError("dirty master checkpoint geometry mismatch")
+            for t in range(len(self.tables)):
+                ids = data[f"dirty_idx_{t}"]
+                if ids.size:
+                    self.tables[t][ids] = data[f"dirty_rows_{t}"]
+                self._dirty.replace(t, ids)
+
+
 class VirtualMasterTables:
     """Procedurally-generated master tables with a sparse writeback overlay.
 

@@ -112,6 +112,16 @@ class StepConfig(NamedTuple):
     # always in the hot list, so they never consume cold capacity.
     hot_rows: int = 0
     cold_bucket: int = 0
+    # Cached mixed-dimension path (beyond-parity — the reference's cached
+    # path CRASHES with MD, model_no_ddp.py:80-87): cache rows hold
+    # zero-padded [*, D] base-dim MD rows; params carry "md_proj" [T, D, D]
+    # per-table projections (true [d_t, D] blocks zero-padded — pad rows
+    # receive exactly-zero gradients because the pad input columns are 0 —
+    # and FROZEN identity for full-dim tables via md_train_mask). The
+    # projection applies right after pooling, matching the reference
+    # PrEmbeddingBag order (EmbeddingBag -> Linear).
+    md_proj: bool = False
+    md_train_mask: Tuple[float, ...] = ()  # [T] 1.0 = trainable projection
 
     @property
     def cdtype(self):
@@ -326,10 +336,31 @@ def _hot_cold_update(
     return cache, touched
 
 
-def _sync_dense_grads(grads: Params, strict_bias_divergence: bool) -> Params:
+def _apply_md_proj(ly, params, cfg):
+    """Per-table MD projection after pooling (StepConfig.md_proj): one
+    batched [T, B, D] x [T, D, D] einsum on the MXU (~1.7 GFLOP at bench
+    shape — noise next to the MLPs). Pad rows of each projection are zero,
+    so padded input columns contribute nothing and their gradients vanish
+    exactly — the zero-padded cache layout is self-consistent under SGD."""
+    proj = params["md_proj"]
+    cdtype = cfg.cdtype
+    if cdtype is not None:
+        ly = ly.astype(cdtype)
+        proj = proj.astype(cdtype)
+    out = jnp.einsum(
+        "tbd,tde->tbe", ly, proj, preferred_element_type=jnp.float32
+    )
+    return out if cdtype is None else out.astype(cdtype)
+
+
+def _sync_dense_grads(
+    grads: Params, strict_bias_divergence: bool, md_mask=None
+) -> Params:
     """pmean over dp. The reference all-reduces Linear WEIGHTS only, silently
     letting biases diverge (main_no_ddp.py:237-245); we sync both unless
-    strict parity with that bug is requested (SURVEY.md §7 quirk list)."""
+    strict parity with that bug is requested (SURVEY.md §7 quirk list).
+    ``md_mask`` [T]: freezes the identity projections of full-dim MD tables
+    (StepConfig.md_train_mask)."""
 
     def sync_mlp(layers):
         out = []
@@ -340,7 +371,16 @@ def _sync_dense_grads(grads: Params, strict_bias_divergence: bool) -> Params:
             out.append((w, b))
         return out
 
-    return {k: sync_mlp(v) for k, v in grads.items()}
+    out = {}
+    for k, v in grads.items():
+        if k == "md_proj":
+            g = jax.lax.pmean(v, DP_AXIS)
+            if md_mask is not None:
+                g = g * md_mask[:, None, None]
+            out[k] = g
+        else:
+            out[k] = sync_mlp(v)
+    return out
 
 
 def replicate_for_mesh(tree, mesh: Mesh):
@@ -419,6 +459,8 @@ def make_cached_train_step(
                 ly = jnp.sum(r * ls_mask[..., None].astype(r.dtype), axis=2)
             else:
                 ly = rows.reshape(t_count, b_loc, d)
+            if cfg.md_proj:
+                ly = _apply_md_proj(ly, params, cfg)
             p = dlrm_forward(
                 params,
                 x,
@@ -433,8 +475,14 @@ def make_cached_train_step(
 
         return loss_fn
 
+    md_mask = (
+        jnp.asarray(cfg.md_train_mask, jnp.float32) if cfg.md_proj else None
+    )
+
     def finish(params, dparams, p, loss, targets, lr, b_loc):
-        dparams = _sync_dense_grads(dparams, cfg.strict_bias_divergence)
+        dparams = _sync_dense_grads(
+            dparams, cfg.strict_bias_divergence, md_mask
+        )
         params = _sgd(params, dparams, lr)
         correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
         loss_sum, correct = jax.lax.psum((loss * b_loc, correct), DP_AXIS)
@@ -718,6 +766,8 @@ def make_cached_eval_step(
             ly = jnp.sum(r * ls_mask[..., None].astype(r.dtype), axis=2)
         else:
             ly = rows.reshape(t_count, b_loc, d)
+        if cfg.md_proj:
+            ly = _apply_md_proj(ly, params, cfg)
         p = dlrm_forward(
             params, x, ly, cfg.interaction_op, cfg.interaction_itself,
             cfg.loss_threshold, cdtype,

@@ -184,7 +184,31 @@ class CachedDlrmTrainer:
         self.geo = CacheGeometry.build(
             cfg.ln_emb, cfg.m_spa, cfg.cache_size, cfg.num_ways, aux_cap
         )
-        if self.multihost:
+        if cfg.qr_flag:
+            # QR + cache is genuinely pointless (QR tables are SMALL by
+            # construction — ceil(n/c) and c rows); the reference's cached
+            # path would crash here (model_no_ddp.py:80-87). Match intent
+            # with a clear error instead of silently ignoring the flag.
+            raise ValueError(
+                "qr_flag with the cached path: QR-compressed tables are "
+                "small by construction — train them full-resident with "
+                "--no-use-cache (FullTableDlrmTrainer)"
+            )
+        if cfg.md_flag:
+            # cached MD (beyond-parity; StepConfig.md_proj): compact
+            # [n_t, d_t] masters + zero-padded [., m_spa] wire rows
+            if self.multihost:
+                raise NotImplementedError(
+                    "cached MD with row-sharded multi-host masters is not "
+                    "implemented yet; run MD single-host or uncached"
+                )
+            from cdlrm_tpu.cache.master import MDMasterTables
+
+            self.master = MDMasterTables(
+                cfg.ln_emb, cfg.m_spa_per_table, cfg.m_spa, rng,
+                mmap_dir=cfg.master_mmap_dir or None,
+            )
+        elif self.multihost:
             # row-sharded masters with procedural (seeded, host-count-
             # independent) values; master_init is ignored by design
             self.master = ShardedMasterTables(
@@ -212,6 +236,26 @@ class CachedDlrmTrainer:
 
         # dense params (replicated with a leading device axis)
         params = init_dlrm(rng, cfg.ln_bot, cfg.ln_top)
+        self._md_mask: Tuple[float, ...] = ()
+        if cfg.md_flag:
+            # per-table projections [T, D, D]: xavier [d_t, D] blocks
+            # (reference PrEmbeddingBag Linear init) zero-padded below;
+            # full-dim tables get FROZEN identity (md_train_mask 0.0) — the
+            # reference attaches no projection there
+            from cdlrm_tpu.models.tricks import _xavier_uniform
+
+            D = cfg.m_spa
+            proj = np.zeros((len(cfg.ln_emb), D, D), np.float32)
+            mask = []
+            for t, d_t in enumerate(cfg.m_spa_per_table):
+                if d_t == D:
+                    proj[t] = np.eye(D, dtype=np.float32)
+                    mask.append(0.0)
+                else:
+                    proj[t, :d_t] = _xavier_uniform(rng, (int(d_t), D))
+                    mask.append(1.0)
+            params["md_proj"] = proj
+            self._md_mask = tuple(mask)
         self.params = step_lib.replicate_for_mesh(params, self.mesh)
 
         # FLAT per-replica state: [ndev*R, D] sharded P('dp') — each device's
@@ -304,6 +348,8 @@ class CachedDlrmTrainer:
             dedup=False,
             inv_bits=self._inv_bits,
             uniq_bits=self._wire_bits,
+            md_proj=bool(cfg.md_flag),
+            md_train_mask=self._md_mask,
         )
         self._row_wire_dtype = (
             jnp.bfloat16 if cfg.wire_rows_bf16 else np.float32

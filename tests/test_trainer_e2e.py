@@ -472,6 +472,161 @@ def test_cached_equals_fulltable_when_fully_resident():
     tr.close()
 
 
+def test_cached_md_equals_md_oracle_when_fully_resident():
+    """Cached MIXED-DIMENSION training (beyond-parity: the reference's
+    cached path crashes with MD — its prefetcher reads E.weight,
+    model_no_ddp.py:80-87 — and MD is exactly the regime where caching
+    matters, huge row counts at small dims). Fully resident, the cached-MD
+    trajectory must match manual MD-DLRM SGD exactly: compact [n_t, d_t]
+    base rows trained at lr_embeds through the cache, per-table [d_t, D]
+    projections trained at the dense lr, full-dim tables projection-free
+    (frozen identity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdlrm_tpu.models.dlrm import compute_loss, dlrm_forward
+    from cdlrm_tpu.parallel.mesh import local_shard, make_dp_mesh
+    from cdlrm_tpu.train import step as step_lib
+
+    ln_emb = np.array([40, 25, 60])
+    steps, b = 12, 16
+    cfg = make_cfg(
+        mini_batch_size=b, world_size=1, cache_size=64, num_ways=2,
+        lookahead=3, table_agg_freq=10_000, learning_rate=0.1, lr_embeds=0.3,
+        md_flag=True, md_temperature=1.0,
+    )
+    cfg.finalize(ln_emb=ln_emb)
+    dims = cfg.m_spa_per_table
+    D = cfg.m_spa
+    assert any(d < D for d in dims), f"no compression at {dims} — vacuous"
+    assert any(d == D for d in dims), "want a full-dim table to pin freezing"
+
+    ds = LearnableDataset(ln_emb, num_batches=steps + 2, batch=b, seed=3)
+    tr = CachedDlrmTrainer(cfg, ds, mesh=make_dp_mesh(1))
+
+    # oracle gets IDENTICAL init: compact master rows + dense params + proj
+    p0 = step_lib.unreplicate(tr.params)
+    W = [jnp.asarray(tr.master.tables[t].copy()) for t in range(3)]
+    proj0 = jnp.asarray(p0["md_proj"])
+    Ps = [proj0[t, : dims[t]] for t in range(3)]
+
+    tr.train(max_steps=steps, log_fn=lambda s: None)
+
+    params_o = {k: [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in v]
+                for k, v in p0.items() if k != "md_proj"}
+    for i, batch in enumerate(ds.batches()):
+        if i >= steps:
+            break
+        x, tgt = jnp.asarray(batch.x), jnp.asarray(batch.y)
+        ls = batch.ls_i
+
+        def loss_fn(params, W, Ps):
+            lys = []
+            for t in range(3):
+                e = W[t][ls[t]]
+                if dims[t] < D:
+                    e = e @ Ps[t]
+                lys.append(e)
+            p = dlrm_forward(params, x, jnp.stack(lys), "dot", False, 0.0)
+            return compute_loss(p, tgt, cfg.loss_function)
+
+        g_p, g_W, g_P = jax.grad(loss_fn, argnums=(0, 1, 2))(params_o, W, Ps)
+        params_o = {
+            k: [(w - 0.1 * gw, bb - 0.1 * gb)
+                for (w, bb), (gw, gb) in zip(v, g_p[k])]
+            for k, v in params_o.items()
+        }
+        W = [w - 0.3 * gw for w, gw in zip(W, g_W)]
+        # projections are DENSE params (reference PrEmbeddingBag Linear):
+        # dense lr; full-dim tables have no projection to train
+        Ps = [p - (0.1 * gp if dims[t] < D else 0.0)
+              for t, (p, gp) in enumerate(zip(Ps, g_P))]
+
+    got_p = step_lib.unreplicate(tr.params)
+    for k in ("bot", "top"):
+        for (w, bb), (wo, bo) in zip(got_p[k], params_o[k]):
+            np.testing.assert_allclose(w, wo, rtol=2e-4, atol=1e-6)
+            np.testing.assert_allclose(bb, bo, rtol=2e-4, atol=1e-6)
+    for t in range(3):
+        if dims[t] < D:
+            np.testing.assert_allclose(
+                got_p["md_proj"][t, : dims[t]], Ps[t], rtol=2e-4, atol=1e-6
+            )
+            # pad rows of the projection never move off zero
+            np.testing.assert_array_equal(got_p["md_proj"][t, dims[t]:], 0.0)
+        else:
+            # frozen identity for full-dim tables
+            np.testing.assert_array_equal(got_p["md_proj"][t], np.eye(D))
+
+    # cache rows of seen ids equal the oracle's trained compact rows (in
+    # the first d_t columns) and the pad columns stayed EXACTLY zero
+    seen = [set() for _ in range(3)]
+    for i, batch in enumerate(ds.batches()):
+        if i >= steps:
+            break
+        for t in range(3):
+            seen[t].update(batch.ls_i[t].tolist())
+    cache = local_shard(tr.cache)
+    for t in range(3):
+        ids = np.array(sorted(seen[t]), dtype=np.int64)
+        sets_t = int(tr.geo.sets[t])
+        occ = tr.controller.occupancy[t]
+        set_idx = ids % sets_t
+        eq = occ[set_idx] == ids[:, None]
+        assert eq.any(axis=1).all(), f"table {t}: seen ids not resident"
+        way = eq.argmax(axis=1)
+        slots = tr.geo.table_offsets[t] + way * sets_t + set_idx
+        np.testing.assert_allclose(
+            cache[slots][:, : dims[t]], np.asarray(W[t])[ids],
+            rtol=2e-4, atol=1e-6,
+        )
+        np.testing.assert_array_equal(cache[slots][:, dims[t]:], 0.0)
+    tr.close()
+
+
+def test_cached_md_under_pressure_and_checkpoint(tmp_path):
+    """Cached MD with a small cache: evictions write COMPACT rows back
+    through the padded wire; dirty checkpoints restore bit-exactly; eval
+    runs through the projection."""
+    ln_emb = np.array([500, 200, 1000])
+    cfg = make_cfg(cache_size=32, num_ways=2, md_flag=True,
+                   md_temperature=1.0, lookahead=4)
+    cfg.finalize(ln_emb=ln_emb)
+    assert any(d < cfg.m_spa for d in cfg.m_spa_per_table)
+    ds = LearnableDataset(ln_emb, num_batches=60)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=30, log_fn=lambda s: None)
+    acc, auc = tr.evaluate(log_fn=lambda s: None)
+    assert 0.0 <= acc <= 1.0
+    ck = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ck)
+    assert tr.eviction_manager.rows_written > 0
+    snap = [t.copy() for t in tr.master.tables]
+    # masters stayed compact
+    for t, d_t in enumerate(cfg.m_spa_per_table):
+        assert tr.master.tables[t].shape[1] == d_t
+    tr.close()
+
+    cfg2 = make_cfg(cache_size=32, num_ways=2, md_flag=True,
+                    md_temperature=1.0, lookahead=4)
+    cfg2.finalize(ln_emb=ln_emb)
+    tr2 = CachedDlrmTrainer(cfg2, ds, ds)
+    tr2.load_checkpoint(ck)
+    for a, b in zip(tr2.master.tables, snap):
+        np.testing.assert_array_equal(a, b)
+    tr2.train(max_steps=40, log_fn=lambda s: None)
+    tr2.close()
+
+
+def test_qr_with_cache_raises():
+    """QR + cached path: clear error (QR tables are small by construction;
+    the reference would crash in its prefetcher, model_no_ddp.py:80-87)."""
+    cfg = make_cfg(qr_flag=True, qr_collisions=4)
+    ds = LearnableDataset(cfg.ln_emb, num_batches=4)
+    with pytest.raises(ValueError, match="qr_flag with the cached path"):
+        CachedDlrmTrainer(cfg, ds)
+
+
 def test_refill_delta_matches_strict():
     """refill_broadcast='delta' (evicted-row broadcast only, no O(R*D)
     whole-cache psum) must be trajectory-equal to 'strict' when
