@@ -111,9 +111,18 @@ class ShardedMasterTables:
         shard: RowShard,
         rng: Optional[np.random.Generator] = None,
         block_rows: int = 65536,
+        dims: Optional[Sequence[int]] = None,
     ):
+        """``dims``: optional per-table COMPACT row widths (cached MD path,
+        cache/master.py MDMasterTables): owned rows are stored [*, d_t] and
+        every pipeline-facing gather zero-pads to ``dim``; writeback slices
+        the tail. The procedural block init slices the first d_t block
+        columns, so values stay host-count-invariant per (table, id)."""
         self.ln_emb = [int(n) for n in ln_emb]
         self.dim = int(dim)
+        self.dims = [int(d) for d in (dims if dims is not None else [dim] * len(self.ln_emb))]
+        if any(d > self.dim for d in self.dims):
+            raise ValueError(f"md dims {self.dims} exceed base dim {self.dim}")
         self.shard = shard
         # block derivation bit-matches VirtualMasterTables (cache/master.py)
         # so a single-host master_init='virtual' run and any multi-host run
@@ -131,26 +140,34 @@ class ShardedMasterTables:
             ids = np.arange(lo, hi, dtype=np.int64)
             pos = (ids + t * _PHI) % block_rows
             self.tables.append(
-                np.ascontiguousarray(self._block[pos] * bound)
+                np.ascontiguousarray(self._block[pos, : self.dims[t]] * bound)
             )
         from cdlrm_tpu.cache.master import _DirtyTracker
 
         # GLOBAL ids of owned rows ever written back (incremental checkpoint)
         self._dirty = _DirtyTracker(len(self.ln_emb))
 
+    def _pad(self, t: int, compact: np.ndarray) -> np.ndarray:
+        if compact.shape[1] == self.dim:
+            return compact
+        out = np.zeros((compact.shape[0], self.dim), np.float32)
+        out[:, : compact.shape[1]] = compact
+        return out
+
     def owned_mask(self, t: int, ids: np.ndarray) -> np.ndarray:
         lo, hi = self.ranges[t]
         return (ids >= lo) & (ids < hi)
 
     def gather(self, t: int, sorted_ids: np.ndarray) -> np.ndarray:
-        """Rows for the owned slice of a SORTED id array (prefetcher path)."""
+        """Rows for the owned slice of a SORTED id array (prefetcher path);
+        zero-padded to the base dim under MD."""
         lo, hi = self.ranges[t]
         a, b = np.searchsorted(sorted_ids, [lo, hi])
         local = np.asarray(sorted_ids[a:b], dtype=np.int64) - lo
         tab = self.tables[t]
         if native.available() and local.size:
-            return native.gather_f32(tab, local)
-        return np.asarray(tab[local], dtype=np.float32)
+            return self._pad(t, native.gather_f32(tab, local))
+        return self._pad(t, np.asarray(tab[local], dtype=np.float32))
 
     def gather_owned_of(self, t: int, ids: np.ndarray) -> np.ndarray:
         """Rows for EVERY position of ``ids`` (any order); un-owned positions
@@ -159,7 +176,8 @@ class ShardedMasterTables:
         own = self.owned_mask(t, ids)
         out = np.zeros((ids.size, self.dim), np.float32)
         if own.any():
-            out[own] = self.tables[t][np.asarray(ids[own], np.int64) - lo]
+            d_t = self.dims[t]
+            out[own, :d_t] = self.tables[t][np.asarray(ids[own], np.int64) - lo]
         return out
 
     def writeback(
@@ -174,8 +192,8 @@ class ShardedMasterTables:
             return 0
         lo, _ = self.ranges[t]
         local = np.asarray(idxs[own], dtype=np.int64) - lo
-        sel = np.ascontiguousarray(rows[own])
         tab = self.tables[t]
+        sel = np.ascontiguousarray(rows[own][:, : tab.shape[1]])
         if native.available():
             native.writeback_f32(tab, local, sel, average)
         elif average:

@@ -196,18 +196,25 @@ class CachedDlrmTrainer:
             )
         if cfg.md_flag:
             # cached MD (beyond-parity; StepConfig.md_proj): compact
-            # [n_t, d_t] masters + zero-padded [., m_spa] wire rows
-            if self.multihost:
-                raise NotImplementedError(
-                    "cached MD with row-sharded multi-host masters is not "
-                    "implemented yet; run MD single-host or uncached"
+            # [n_t, d_t] masters + zero-padded [., m_spa] wire rows.
+            # Multi-host: row-sharded compact masters (procedural block
+            # init sliced to d_t columns — host-count-invariant values).
+            if self.multihost or cfg.master_init == "virtual":
+                # procedural compact shards; master_init='virtual' single-
+                # host uses RowShard(0, 1) so its values bit-match any
+                # multi-host topology (the cross-topology trajectory tests)
+                self.master = ShardedMasterTables(
+                    cfg.ln_emb, cfg.m_spa,
+                    RowShard(jax.process_index(), jax.process_count()),
+                    rng, dims=cfg.m_spa_per_table,
                 )
-            from cdlrm_tpu.cache.master import MDMasterTables
+            else:
+                from cdlrm_tpu.cache.master import MDMasterTables
 
-            self.master = MDMasterTables(
-                cfg.ln_emb, cfg.m_spa_per_table, cfg.m_spa, rng,
-                mmap_dir=cfg.master_mmap_dir or None,
-            )
+                self.master = MDMasterTables(
+                    cfg.ln_emb, cfg.m_spa_per_table, cfg.m_spa, rng,
+                    mmap_dir=cfg.master_mmap_dir or None,
+                )
         elif self.multihost:
             # row-sharded masters with procedural (seeded, host-count-
             # independent) values; master_init is ignored by design

@@ -39,6 +39,7 @@ def main():
     world = jax.device_count()
     pooled = mode == "pooled"
     soak = mode == "soak"
+    md = mode == "md"
     steps = 16 if mode == "one_window" else (200 if soak else 24)
     lookahead = steps + 4 if mode == "one_window" else (6 if soak else 4)
     cfg = Config(
@@ -74,6 +75,11 @@ def main():
         # soak + pooled also run the UNPACKED wires (round-3 fast-host-link
         # mode): raw int32 ranks / plain int32 slots must stay host-symmetric
         pack_wire=not (soak or pooled),
+        # md: the cached mixed-dimension path across hosts (compact sharded
+        # masters sliced from the procedural block -> values AND projections
+        # are host-count-invariant, so 2x2 must match 1x4)
+        md_flag=md,
+        md_temperature=1.0 if md else 0.3,
     )
     cfg.finalize()
 

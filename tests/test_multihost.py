@@ -232,6 +232,59 @@ def test_routed_row_exchange_simulated(rng, H):
             n += ids.size
 
 
+@pytest.mark.slow
+def test_two_process_cached_md(tmp_path):
+    """Cached MD across a real 2-process cluster: compact sharded masters,
+    padded window exchange, projection training — the 2x2 trajectory must
+    match the 1x4 single-process run (procedural values and projections are
+    host-count-invariant)."""
+    single = _run_cluster(1, 4, 0, "md", tmp_path)[0]
+    duo = _run_cluster(2, 2, 12416, "md", tmp_path)
+    assert np.allclose(duo[0]["losses"], duo[1]["losses"], rtol=1e-5)
+    assert np.allclose(single["losses"], duo[0]["losses"], rtol=2e-3), (
+        single["losses"], duo[0]["losses"],
+    )
+    assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
+
+
+def test_sharded_md_masters_pad_and_partition(rng):
+    """Row-sharded MD masters (cached-MD multi-host leg): compact [*, d_t]
+    owned storage, zero-padded pipeline-facing gathers that agree with the
+    unsharded (H=1) procedural values, sliced writeback partitioned by
+    ownership."""
+    ln_emb, base = [97, 215, 31], 16
+    dims = [8, 4, 16]
+    whole = ShardedMasterTables(ln_emb, base, RowShard(0, 1),
+                                np.random.default_rng(5), dims=dims)
+    parts = [
+        ShardedMasterTables(ln_emb, base, RowShard(h, 2),
+                            np.random.default_rng(5), dims=dims)
+        for h in range(2)
+    ]
+    for t, n in enumerate(ln_emb):
+        assert whole.tables[t].shape[1] == dims[t]  # compact storage
+        ids = np.unique(rng.integers(0, n, 40))
+        want = whole.gather(t, ids)
+        assert want.shape == (ids.size, base)
+        np.testing.assert_array_equal(want[:, dims[t]:], 0.0)  # padded
+        got = np.concatenate([p.gather(t, ids) for p in parts])
+        np.testing.assert_array_equal(got, want)
+        # gather_owned_of sums to the full padded rows
+        any_order = rng.permutation(ids)
+        s = parts[0].gather_owned_of(t, any_order) + parts[1].gather_owned_of(
+            t, any_order
+        )
+        np.testing.assert_array_equal(s, whole.gather_owned_of(t, any_order))
+        # writeback: padded rows in, compact owned slices stored, partitioned
+        rows = rng.random((ids.size, base)).astype(np.float32)
+        wrote = sum(p.writeback(t, ids, rows) for p in parts)
+        assert wrote == ids.size
+        whole.writeback(t, ids, rows)
+        got2 = np.concatenate([p.gather(t, ids) for p in parts])
+        np.testing.assert_array_equal(got2[:, : dims[t]], rows[:, : dims[t]])
+        np.testing.assert_array_equal(got2, whole.gather(t, ids))
+
+
 def test_count_misses_matches_probe(rng):
     """HostCacheController.count_misses (the window aux-bucket negotiation
     primitive) must agree exactly with probe's per-occurrence miss counts,
