@@ -210,6 +210,28 @@ def main():
 
     dstep_ms = device_step_ms()
 
+    # BENCH_SKIP_EXTRAS=1: A/B mode — headline + device_step only (the
+    # hot-tier / wire A/Bs need many runs; eval + steady-state regimes are
+    # invariant to those knobs)
+    if os.environ.get("BENCH_SKIP_EXTRAS", "0") == "1":
+        timed = windows[1:] if len(windows) > 1 else windows
+        n_steps = sum(w["steps"] for w in timed)
+        ms_per_iter = sum(w["ms_per_iter"] * w["steps"] for w in timed) / n_steps
+        w = windows[-1]
+        print(json.dumps({
+            "metric": "cached_dlrm_train_examples_per_sec_per_chip",
+            "value": round(1000.0 * batch / ms_per_iter, 1),
+            "ms_per_iter": round(ms_per_iter, 2),
+            "device_step_ms": round(dstep_ms, 2),
+            "hit_rate": round(w["hit_rate"], 4),
+            "dedup_active": bool(w.get("dedup", False)),
+            "batch": batch, "stream": stream,
+            "hot_tier_rows": cfg.hot_tier_rows,
+            "h2d_bytes_per_step": h2d_bytes["n"],
+        }))
+        trainer.close()
+        return
+
     # serving path: forward-only eval throughput (host probe + staging +
     # cached eval step, misses served from the masters), steady state over
     # the held-out stream — the --inference-only serving surface. PIPELINED

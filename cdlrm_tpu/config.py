@@ -189,7 +189,12 @@ class Config:
     #   measured ~90ns/row XLA:TPU scatter floor and removing the
     #   duplicate-chain serialization cliff entirely (PERF.md findings 8-9).
     #   Exact semantics (same gradient sums, different float order).
-    #   Suggested 1024-4096 on skewed streams; 0 = off.
+    #   QUARANTINED (round 4): measured a net device-step LOSS at every
+    #   configuration tried on v5e — batch 4096/8192/16384 loguniform and
+    #   batch 4096 zipf(1.5), 10.8->15.8, 21.7->24.1, 51.8->67.9,
+    #   5.1->7.8 ms (PERF.md round-4 battery; the auto-dedup wire already
+    #   removes the duplicate-chain cliff more cheaply). Retained as a
+    #   verified-exact implementation only; finalize() warns when enabled.
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
     #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
     #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)
@@ -297,6 +302,22 @@ class Config:
                 stacklevel=2,
             )
             self.refill_broadcast = "strict"
+        if self.hot_tier_rows > 0:
+            import warnings
+
+            # Round-4 regime search (PERF.md): the hot tier measured a net
+            # device-step loss at every shape tried on v5e (batch 4096/8192/
+            # 16384 loguniform, batch 4096 zipf(1.5)) — the membership
+            # resolve + cold compaction padding tax costs more than the
+            # scatter rows it removes, and auto-dedup already guards the
+            # duplicate-chain cliff. Kept as a verified-exact implementation.
+            warnings.warn(
+                f"hot_tier_rows={self.hot_tier_rows}: the hot-tier update "
+                "measured SLOWER than the plain/dedup sparse update at every "
+                "benchmarked configuration (PERF.md round 4); enable only "
+                "with an A/B measurement on your own stream",
+                stacklevel=2,
+            )
         if self.qr_flag:
             if self.qr_operation == "concat" and 2 * m_spa != m_den_out:
                 raise ValueError(
