@@ -24,10 +24,13 @@ import time
 
 import numpy as np
 
-TABLES = 26
-N_IDS = 250_000
-DIM = 128
-BATCH = 4096
+# Geometry is env-overridable so the script can be smoke-tested on the CPU
+# mesh (tiny shapes) before burning a chip run; defaults are the bench
+# geometry the artifact requires.
+TABLES = int(os.environ.get("PRESSURE_TABLES", "26"))
+N_IDS = int(os.environ.get("PRESSURE_IDS", "250000"))
+DIM = int(os.environ.get("PRESSURE_DIM", "128"))
+BATCH = int(os.environ.get("PRESSURE_BATCH", "4096"))
 STEPS = int(os.environ.get("PRESSURE_STEPS", "240"))
 LOOKAHEAD = 8
 WAYS = 8
@@ -145,6 +148,8 @@ def _run_oracle():
 def main():
     import jax
 
+    if os.environ.get("PRESSURE_CPU"):  # smoke mode: run off-chip
+        jax.config.update("jax_platforms", "cpu")
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
     )
