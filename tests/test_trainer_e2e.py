@@ -1030,3 +1030,44 @@ def test_hot_tier_single_replica_scan():
     tr.close()
     assert tr.global_step == 18
     assert np.isfinite(m.loss_sum)
+
+
+def test_eval_pipeline_depth_invariant_and_repeatable():
+    """The pipelined serving path (round-4: producer thread probes/stages
+    ahead, scores D2H lags one batch) must be a pure latency optimization:
+    results identical across pipeline depths and across repeated calls."""
+    results = []
+    for depth in (1, 4):
+        cfg = make_cfg(test_freq=-1, pipeline_depth=depth)
+        ds = LearnableDataset(cfg.ln_emb, num_batches=30)
+        test = LearnableDataset(cfg.ln_emb, num_batches=6, seed=9)
+        tr = CachedDlrmTrainer(cfg, ds, test)
+        tr.train(max_steps=10, log_fn=lambda s: None)
+        a1 = tr.evaluate(log_fn=lambda s: None)
+        a2 = tr.evaluate(log_fn=lambda s: None)
+        tr.close()
+        assert a1 == a2  # repeat on the same trainer: bit-identical
+        results.append(a1)
+    assert results[0] == results[1]  # depth changes scheduling only
+
+
+def test_eval_producer_error_propagates():
+    """An exception in the eval producer thread (mid-stream dataset failure)
+    must surface as an exception from evaluate(), not a hang or a silently
+    truncated metric."""
+
+    class ExplodingDataset(LearnableDataset):
+        def batches(self):
+            for i, b in enumerate(super().batches()):
+                if i == 3:
+                    raise RuntimeError("disk gone")
+                yield b
+
+    cfg = make_cfg(test_freq=-1)
+    ds = LearnableDataset(cfg.ln_emb, num_batches=20)
+    bad = ExplodingDataset(cfg.ln_emb, num_batches=8, seed=9)
+    tr = CachedDlrmTrainer(cfg, ds, bad)
+    tr.train(max_steps=8, log_fn=lambda s: None)
+    with pytest.raises(RuntimeError, match="disk gone"):
+        tr.evaluate(log_fn=lambda s: None)
+    tr.close()
