@@ -48,8 +48,9 @@ def stream_indices(kind, steps, rng):
             ls = (np.exp(u * np.log(R)).astype(np.int64) - 1) % R
         else:
             a = 1.2
-            u = np.minimum(rng.random((T, B), dtype=np.float64), 1 - 1e-12)
-            ls = (np.power(1.0 - u, -1.0 / (a - 1.0)).astype(np.int64) - 1) % R
+            u = rng.random((T, B), dtype=np.float64)
+            v = np.minimum(np.power(1.0 - u, -1.0 / (a - 1.0)), 9e18)
+            ls = (v.astype(np.int64) - 1) % R
         out.append(ls.astype(np.int64))
     return out
 
@@ -90,6 +91,11 @@ def main():
         U_block = len(bu)
         blk_ranks = [np.searchsorted(bu, f).astype(np.int32) for f in flat]
         bu32 = bu.astype(np.int32)
+        # block ranks of each STEP's unique rows (for B's pending-row
+        # gather): real scattered indices, so XLA cannot reduce the gather
+        # to a contiguous slice and under-charge formulation B
+        step_uniq_blk = [
+            np.searchsorted(bu, u).astype(np.int32) for u in step_uniq]
 
         def pow2(n):
             p = 1
@@ -107,6 +113,9 @@ def main():
             for u in step_uniq]))
         nvalid = jnp.asarray(np.array(step_u, np.int32))
         ranks_b = jnp.asarray(np.stack(blk_ranks))
+        uniq_blk = jnp.asarray(np.stack([
+            np.pad(u, (0, u_bucket - len(u)), constant_values=0)
+            for u in step_uniq_blk]))
         uniq_b = jnp.asarray(np.pad(
             bu32, (0, p_rows - U_block), constant_values=CACHE_ROWS - 1))
 
@@ -122,9 +131,9 @@ def main():
         def step_b(carry, i):
             cache, pend = carry
             pend = pend.at[ranks_b[i]].add(grads[i])
-            # effective-weight read: gather the step's touched rows
-            eff = cache[uniq_a[i][:u_bucket]] - 0.1 * pend[
-                jnp.minimum(jnp.arange(u_bucket), U_block - 1)]
+            # effective-weight read: gather the step's touched rows from the
+            # cache AND the pending accumulator (w_eff = base - lr * pend)
+            eff = cache[uniq_a[i]] - 0.1 * pend[uniq_blk[i]]
             return (cache, pend), eff.sum()
 
         import functools
@@ -138,8 +147,7 @@ def main():
         def run_b(cache, pend):
             (cache, pend), s = jax.lax.scan(
                 step_b, (cache, pend), jnp.arange(STEPS))
-            cache = cache.at[uniq_b].add(pend[
-                jnp.minimum(jnp.arange(p_rows), p_rows - 1)])
+            cache = cache.at[uniq_b].add(pend)
             pend = jnp.zeros_like(pend)
             return cache, pend, s.sum()
 
