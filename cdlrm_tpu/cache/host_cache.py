@@ -509,21 +509,48 @@ class HostCacheController:
 
     def probe_dedup_raw(
         self, ls_i: np.ndarray, master,
-        valid: Optional[np.ndarray] = None,
+        valid: Optional[np.ndarray] = None, sort: bool = False,
     ) -> DedupProbeResult:
         """:meth:`probe_dedup` in the UNPACKED wire format: ``inv_wire`` is
         a raw int32 [T, N] array of table-local first-seen ranks (-1 =
         masked), not a bitstream. For fast host links (PCIe) the device then
         skips the ~3.7 ms wire decode entirely (PERF.md round 3). The native
         kernel emits this directly — an LSB-first bitstream at 32 bits IS a
-        little-endian int32 array."""
+        little-endian int32 array.
+
+        ``sort=True`` (Config.sorted_dedup_wire): unique slots are emitted
+        in ASCENDING slot order instead of first-seen order, with ranks
+        remapped accordingly. Because each table's slots (resident + aux)
+        live in its own ascending block and the trash row is the global
+        maximum, the concatenated list is then globally sorted — the device
+        scatter/gather can carry ``indices_are_sorted=True`` (PERF.md
+        finding 8 measured sorting worth ~17% on the raw scatter form).
+        Numerically exact: segments keep their contents, only their bucket
+        positions permute."""
         n = ls_i.shape[1]
         dr = self.probe_dedup(ls_i, master, inv_bits=32, valid=valid)
         ranks = np.ascontiguousarray(
             dr.inv_wire[:, : 4 * n]
         ).view(np.int32).reshape(ls_i.shape[0], n)
+        uniq = dr.uniq
+        if sort and uniq.size:
+            # table blocks are disjoint ascending, so ONE stable global
+            # argsort is a per-table sort; ranks are table-local, remapped
+            # through the within-table permutation
+            order = np.argsort(uniq, kind="stable")
+            uniq = uniq[order]
+            perm_inv = np.empty(order.size, np.int32)
+            perm_inv[order] = np.arange(order.size, dtype=np.int32)
+            base = np.zeros(dr.uniq_counts.size, np.int64)
+            np.cumsum(dr.uniq_counts[:-1], out=base[1:])
+            g = ranks + base[:, None]
+            masked = ranks < 0
+            ranks = np.where(
+                masked, np.int32(-1),
+                perm_inv[np.where(masked, 0, g)] - base[:, None].astype(np.int32),
+            ).astype(np.int32)
         return DedupProbeResult(
-            ranks, dr.uniq, dr.uniq_counts, dr.aux_slots, dr.aux_rows,
+            ranks, uniq, dr.uniq_counts, dr.aux_slots, dr.aux_rows,
             dr.hit_counts, dr.num_lookups,
         )
 

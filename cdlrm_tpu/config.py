@@ -198,6 +198,12 @@ class Config:
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
     #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
     #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)
+    sorted_dedup_wire: bool = False  # emit the UNPACKED dedup wire's unique
+    #   slots in ascending order (one stable host argsort; exact — segments
+    #   keep their contents) so the device unique gather/scatter carry
+    #   indices_are_sorted=True (PERF.md finding 8: host-sorting measured
+    #   ~17% off the raw scatter form). Requires pack_wire=False; no-op on
+    #   the non-dedup wire.
     dedup_lookups: str = "auto"  # on | off | auto — coalesce duplicate slots
     #   on the host and ship (rank wire + unique list) instead of per-lookup
     #   slots: the device sparse update shrinks from N to U scatter rows
@@ -278,6 +284,12 @@ class Config:
             self.dedup_lookups = "on"
         elif self.dedup_lookups is False:
             self.dedup_lookups = "off"
+        if self.sorted_dedup_wire and self.pack_wire:
+            raise ValueError(
+                "sorted_dedup_wire requires the unpacked wire: pass "
+                "pack_wire=False (the packed bitstream keeps the first-seen "
+                "rank layout)"
+            )
         if self.dedup_lookups not in ("on", "off", "auto"):
             raise ValueError(
                 f"dedup_lookups must be on|off|auto, got {self.dedup_lookups!r}"

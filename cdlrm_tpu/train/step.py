@@ -86,6 +86,14 @@ class StepConfig(NamedTuple):
     dedup: bool = False
     inv_bits: int = 13  # rank wire width: >= wire_width(lookups_per_table-1)
     uniq_bits: int = 24  # unique-list wire width (== wire_bits)
+    # sorted unpacked dedup wire (Config.sorted_dedup_wire): the host emits
+    # unique slots in ascending order (one stable argsort — table blocks
+    # are disjoint ascending, so global sort == per-table sort) and the
+    # unique gather/scatter carry indices_are_sorted=True. Exact (segments
+    # keep their contents; only bucket positions permute). Finding 8
+    # measured host-sorting worth 9.44 -> 7.81 ms on the raw N-row scatter;
+    # this applies it to the coalesced unique form. Unpacked wires only.
+    sorted_wire: bool = False
     # Pallas explicit-DMA row gather instead of XLA take for the cache
     # lookup (ops/lookup.py): ~15% faster at Terabyte-class shape
     # (bench_kernels.py: 41us vs 48us for 106k x 128-dim rows). Requires
@@ -241,18 +249,29 @@ def _decode_dedup(
 
 
 def _decode_dedup_raw(
-    inv: jax.Array, uniq_slots: jax.Array, uniq_counts: jax.Array
+    inv: jax.Array, uniq_slots: jax.Array, uniq_counts: jax.Array,
+    sorted_wire: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """UNPACKED dedup wire (host_cache.probe_dedup_raw; selected when
     wire_pack is off): ``inv`` is int32 [T, n] table-local ranks (-1 =
-    masked), ``uniq_slots`` int32 [Ub] GLOBAL cache rows with position 0
-    reserved for the trash rank and trash-row padding. No bit unpacking, no
-    table searchsorted — the packed decode costs ~3.7 ms at bench scale on
-    TPU (PERF.md round 3), pure overhead on hosts where wire bytes are
-    free."""
+    masked), ``uniq_slots`` int32 [Ub] GLOBAL cache rows. No bit unpacking,
+    no table searchsorted — the packed decode costs ~3.7 ms at bench scale
+    on TPU (PERF.md round 3), pure overhead on hosts where wire bytes are
+    free.
+
+    Default layout: position 0 reserved for the trash rank, trash-row
+    padding at the tail. ``sorted_wire`` (StepConfig.sorted_wire): no
+    reserved head — ascending unique slots from position 0, trash padding
+    at the tail (still globally sorted: trash is the max row); masked
+    lanes rank to the LAST position, which the bucket guard keeps as
+    trash."""
     cum = jnp.cumsum(uniq_counts.astype(jnp.int32))
     base = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])[:, None]
-    ginv = jnp.where(inv < 0, 0, inv + 1 + base)
+    if sorted_wire:
+        trash_rank = uniq_slots.shape[0] - 1
+        ginv = jnp.where(inv < 0, trash_rank, inv + base)
+    else:
+        ginv = jnp.where(inv < 0, 0, inv + 1 + base)
     return uniq_slots, ginv.reshape(-1)
 
 
@@ -572,7 +591,12 @@ def make_cached_train_step(
         t_count = inv_wire.shape[0]
         d = cache.shape[-1]
 
-        cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
+        # aux slots are per-table-base + arange concatenated with trash
+        # padding — globally sorted by construction (_pack_aux)
+        cache = cache.at[aux_slots].set(
+            aux_rows.astype(jnp.float32),
+            indices_are_sorted=cfg.sorted_wire,
+        )
         if cfg.wire_pack:
             uniq_slots, ginv = _decode_dedup(
                 inv_wire, uniq_wire, uniq_counts, geo, cfg.inv_bits,
@@ -580,9 +604,11 @@ def make_cached_train_step(
             )
         else:
             uniq_slots, ginv = _decode_dedup_raw(
-                inv_wire, uniq_wire, uniq_counts
+                inv_wire, uniq_wire, uniq_counts, cfg.sorted_wire
             )
-        rows_u = jnp.take(cache, uniq_slots, axis=0)  # [Ub, D]
+        rows_u = jnp.take(
+            cache, uniq_slots, axis=0, indices_are_sorted=cfg.sorted_wire
+        )  # [Ub, D]
 
         loss_fn_rows = make_loss_fn(x, ls_mask, targets, t_count, b_loc, d)
 
@@ -613,9 +639,14 @@ def make_cached_train_step(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(params, rows_u)
 
-            cache = cache.at[uniq_slots].add(-lr_embeds * d_rows_u)
+            cache = cache.at[uniq_slots].add(
+                -lr_embeds * d_rows_u,
+                indices_are_sorted=cfg.sorted_wire,
+            )
             if cfg.track_touched:
-                touched = touched.at[uniq_slots].set(True)
+                touched = touched.at[uniq_slots].set(
+                    True, indices_are_sorted=cfg.sorted_wire
+                )
                 touched = touched.at[geo.trash_row].set(False)
 
         params, loss_sum, correct = finish(

@@ -366,7 +366,8 @@ class CachedDlrmTrainer:
         # mode can switch per window without recompiling earlier variants
         self.step_cfg = scfg
         self.step_cfg_dedup = scfg._replace(
-            dedup=True, use_pallas_lookup=False
+            dedup=True, use_pallas_lookup=False,
+            sorted_wire=bool(cfg.sorted_dedup_wire and not self._wire_pack),
         )
         # scan blocks: one dispatch per `scan_steps` train steps (dispatch
         # amortization; config.py). With dedup, per-window negotiated unique
@@ -768,7 +769,10 @@ class CachedDlrmTrainer:
                 self.controller.probe_dedup, inv_bits=self._inv_bits
             )
         else:
-            probe = self.controller.probe_dedup_raw
+            probe = functools.partial(
+                self.controller.probe_dedup_raw,
+                sort=self.step_cfg_dedup.sorted_wire,
+            )
         for k_loc, r in enumerate(self.local_ids):
             sl = slice(r * b_loc, (r + 1) * b_loc)
             if mask is None:
@@ -818,10 +822,16 @@ class CachedDlrmTrainer:
                     f"{u.size + 1} unique slots exceed dedup bucket {ub}"
                 )
             if not self._wire_pack:
-                # unpacked: GLOBAL rows directly; position 0 + padding are
-                # the trash row (step _decode_dedup_raw contract)
+                # unpacked: GLOBAL rows directly. Default layout: position 0
+                # + padding are the trash row. Sorted wire: ascending slots
+                # from position 0, trash padding at the tail (still globally
+                # sorted — the bucket guard above keeps >=1 trailing trash
+                # slot for masked ranks). Step _decode_dedup_raw contract.
                 row = np.full(ub, self.geo.trash_row, np.int32)
-                row[1 : 1 + u.size] = u
+                if self.step_cfg_dedup.sorted_wire:
+                    row[: u.size] = u
+                else:
+                    row[1 : 1 + u.size] = u
                 uniq_wire[k_loc] = row
                 uniq_counts[k_loc] = cnt
                 continue

@@ -334,3 +334,40 @@ def test_slot_map_dedup_probe_bit_identical(use_valid):
             rows = [master.gather(t, u) for t, u in enumerate(uniq)]
             a.plan_insert(uniq, rows)
             b.plan_insert(uniq, rows)
+
+
+@pytest.mark.parametrize("use_valid", [False, True])
+def test_probe_dedup_raw_sorted(use_valid):
+    """sort=True (Config.sorted_dedup_wire) must emit ascending unique
+    slots while every lane still resolves to the same slot as the
+    first-seen-order wire — a pure permutation of bucket positions."""
+    ln_emb = (100, 7, 63)
+    rng = np.random.default_rng(33)
+    geo = CacheGeometry.build(ln_emb, 4, 10, 2, 32)
+    master = MasterTables(ln_emb, 4, np.random.default_rng(0))
+    ctrl = HostCacheController(geo, seed=5)
+    base = np.zeros(3, np.int64)
+    for step in range(6):
+        ls = np.stack([rng.integers(0, n, 24) for n in ln_emb])
+        valid = (rng.random((3, 24)) < 0.8) if use_valid else None
+        ref = ctrl.probe_dedup_raw(ls, master, valid=valid)
+        srt = ctrl.probe_dedup_raw(ls, master, valid=valid, sort=True)
+        # ascending globally (table blocks are disjoint ascending)
+        assert np.all(np.diff(srt.uniq) > 0)
+        np.testing.assert_array_equal(np.sort(ref.uniq), srt.uniq)
+        np.testing.assert_array_equal(ref.uniq_counts, srt.uniq_counts)
+        np.testing.assert_array_equal(ref.aux_slots, srt.aux_slots)
+        # per-lane resolved slots identical under either rank layout
+        base[1:] = np.cumsum(ref.uniq_counts[:-1])
+        for t in range(3):
+            lanes = np.flatnonzero(valid[t]) if use_valid else np.arange(24)
+            a = ref.uniq[base[t] + ref.inv_wire[t, lanes]]
+            b = srt.uniq[base[t] + srt.inv_wire[t, lanes]]
+            np.testing.assert_array_equal(a, b)
+            masked = np.setdiff1d(np.arange(24), lanes)
+            assert np.all(ref.inv_wire[t, masked] == -1)
+            assert np.all(srt.inv_wire[t, masked] == -1)
+        if step % 2 == 1:
+            uniq = [np.unique(ls[t]) for t in range(3)]
+            rows = [master.gather(t, u) for t, u in enumerate(uniq)]
+            ctrl.plan_insert(uniq, rows)

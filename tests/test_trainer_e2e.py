@@ -294,12 +294,16 @@ def test_config_sanity_check_raises():
         cfg.finalize(ln_emb=np.array([10]))
 
 
-@pytest.mark.parametrize("pooled,pack", [
-    (False, True), (True, True),
-    (False, False), (True, False),  # unpacked wires (pack_wire off):
-    # raw int32 ranks + global unique rows, no device decode
+@pytest.mark.parametrize("pooled,pack,srt", [
+    (False, True, False), (True, True, False),
+    (False, False, False), (True, False, False),  # unpacked wires
+    # (pack_wire off): raw int32 ranks + global unique rows, no device
+    # decode
+    (False, False, True), (True, False, True),  # sorted unpacked wire
+    # (Config.sorted_dedup_wire): ascending unique slots + remapped ranks,
+    # indices_are_sorted scatters — must be a pure bucket permutation
 ])
-def test_dedup_matches_plain_path(pooled, pack):
+def test_dedup_matches_plain_path(pooled, pack, srt):
     """The dedup wire format (rank stream + unique list, train/step.py
     body_dedup) must reproduce the plain path's training exactly: the
     scatter-add coalesces duplicate-slot gradients identically whether XLA
@@ -349,7 +353,7 @@ def test_dedup_matches_plain_path(pooled, pack):
         cfg = make_cfg(
             world_size=4, cache_size=32, num_ways=4, lookahead=3,
             table_agg_freq=5, dedup_lookups=dedup, eviction_fifo_size=64,
-            pack_wire=pack,
+            pack_wire=pack, sorted_dedup_wire=srt,
         )
         cfg.finalize(ln_emb=ln_emb)
         tr = CachedDlrmTrainer(cfg, DupHeavyDataset(), mesh=None)
