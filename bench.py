@@ -115,6 +115,9 @@ def main():
         # decode, PERF.md round 3). The tunnel wall inflates (~2.3x wire
         # bytes); device_step_ms is the number that transfers.
         pack_wire=os.environ.get("BENCH_PACK", "1") == "1",
+        # BENCH_PSCATTER=1 (with BENCH_DEDUP=on): Pallas DMA row scatters
+        # for the dedup sparse update + aux staging (ops/scatter.py)
+        use_pallas_scatter=os.environ.get("BENCH_PSCATTER", "0") == "1",
         # BENCH_SORTED=1 (requires BENCH_PACK=0 BENCH_DEDUP=on): ascending
         # unique slots + indices_are_sorted scatters (config.py
         # sorted_dedup_wire) — the round-4 A/B of finding 8's host-sort

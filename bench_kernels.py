@@ -139,6 +139,49 @@ def main():
                     "ms": round(dt * 1e3, 2),
                     "unique": int(uniq_np.size)})
 
+    # --- Pallas DMA scatter vs XLA scatter (round-4: ops/scatter.py) ---
+    # The step's dominant op: scatter-add the [U, D] unique-row grad block
+    # into the 3.5M-row cache. XLA pays the ~102 ns/row above-cliff rate
+    # (finding 11); the DMA kernel streams read+write rows at the same
+    # pipelined single-row-DMA structure the gather runs at near-BW.
+    from cdlrm_tpu.ops.scatter import scatter_add_rows, scatter_set_rows
+
+    du = jnp.asarray(rngs.random((UB, DIMS), np.float32))
+    nv_rows = int(uniq_np.size)
+
+    dt = timeit_scatter(lambda c, uq, g: c.at[uq].add(g), (uniq_d, du))
+    results.append({"kernel": f"uniq_scatter_add/xla_{UB}_bucket",
+                    "ms": round(dt * 1e3, 2), "unique": nv_rows,
+                    "ns_per_row": round(dt * 1e9 / nv_rows, 1)})
+    try:
+        dt = timeit_scatter(
+            lambda c, uq, g: scatter_add_rows(c, uq, g, nv_rows),
+            (uniq_d, du))
+        results.append({"kernel": f"uniq_scatter_add/pallas_{UB}_bucket",
+                        "ms": round(dt * 1e3, 2), "unique": nv_rows,
+                        "ns_per_row": round(dt * 1e9 / nv_rows, 1)})
+    except Exception as e:
+        results.append({"kernel": "uniq_scatter_add/pallas", "error": str(e)[:300]})
+
+    # aux staging: B=4096 distinct rows written (no read) per step
+    aux_n = 4096
+    aux_slots_d = jnp.asarray(
+        rngs.permutation(R_CACHE - 1)[:aux_n].astype(np.int32))
+    aux_rows_d = jnp.asarray(rngs.random((aux_n, DIMS), np.float32))
+    dt = timeit_scatter(lambda c, s, r: c.at[s].set(r),
+                        (aux_slots_d, aux_rows_d))
+    results.append({"kernel": f"aux_scatter_set/xla_{aux_n}",
+                    "ms": round(dt * 1e3, 2),
+                    "ns_per_row": round(dt * 1e9 / aux_n, 1)})
+    try:
+        dt = timeit_scatter(lambda c, s, r: scatter_set_rows(c, s, r),
+                            (aux_slots_d, aux_rows_d))
+        results.append({"kernel": f"aux_scatter_set/pallas_{aux_n}",
+                        "ms": round(dt * 1e3, 2),
+                        "ns_per_row": round(dt * 1e9 / aux_n, 1)})
+    except Exception as e:
+        results.append({"kernel": "aux_scatter_set/pallas", "error": str(e)[:300]})
+
     # --- destination-size sweep (round-4: the block-coalescing question) ---
     # The block-coalescing formulation (VERDICT r3 item 5) accumulates each
     # step's sparse delta into a [U_block, D] pending buffer and scatters the

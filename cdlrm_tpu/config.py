@@ -198,6 +198,12 @@ class Config:
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
     #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
     #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)
+    use_pallas_scatter: bool = False  # Pallas explicit-DMA row scatters for
+    #   the dedup sparse update (ops/scatter.py): stream the unique-row
+    #   grad scatter-add + aux staging as pipelined single-row DMAs instead
+    #   of XLA's ~102 ns/row above-cliff scatter (PERF.md finding 11).
+    #   Dedup wire only (distinct rows); needs dim % 128 == 0;
+    #   auto-disabled otherwise
     sorted_dedup_wire: bool = False  # emit the UNPACKED dedup wire's unique
     #   slots in ascending order (one stable host argsort; exact — segments
     #   keep their contents) so the device unique gather/scatter carry

@@ -99,6 +99,14 @@ class StepConfig(NamedTuple):
     # (bench_kernels.py: 41us vs 48us for 106k x 128-dim rows). Requires
     # D % 128 == 0 and per-shard lookup count divisible by the block size.
     use_pallas_lookup: bool = False
+    # Pallas explicit-DMA row scatters for the dedup sparse update
+    # (ops/scatter.py): the unique-row grad scatter-add and the aux-staging
+    # row set stream single-row DMAs instead of paying XLA's ~102 ns/row
+    # above-cliff scatter rate (PERF.md finding 11). Requires the dedup
+    # wire (distinct destination rows — the RMW races otherwise) and
+    # D % 128 == 0; per-op bucket shapes fall back to XLA when not a
+    # multiple of the kernel block (static check at trace time).
+    use_pallas_scatter: bool = False
     # ship refill insert rows / per-step miss rows / evicted rows as bf16
     # (halves the dominant refill H2D+D2H traffic). LOSSY: freshly staged
     # rows are bf16-rounded once (trained deltas stay f32 in the cache).
@@ -273,6 +281,13 @@ def _decode_dedup_raw(
     else:
         ginv = jnp.where(inv < 0, 0, inv + 1 + base)
     return uniq_slots, ginv.reshape(-1)
+
+
+def _pallas_blk_ok(n: int) -> bool:
+    """ops/scatter.py block contract: row count a multiple of
+    min(1024, n). Pow2 negotiated buckets always satisfy this; odd static
+    shapes fall back to the XLA scatter at trace time."""
+    return n > 0 and n % min(1024, n) == 0
 
 
 def _upcast_x(x, cdtype):
@@ -592,11 +607,20 @@ def make_cached_train_step(
         d = cache.shape[-1]
 
         # aux slots are per-table-base + arange concatenated with trash
-        # padding — globally sorted by construction (_pack_aux)
-        cache = cache.at[aux_slots].set(
-            aux_rows.astype(jnp.float32),
-            indices_are_sorted=cfg.sorted_wire,
-        )
+        # padding — globally sorted by construction (_pack_aux). Distinct
+        # except the trash padding (whose content is unspecified by the
+        # geometry contract), so the write-only DMA kernel applies.
+        if cfg.use_pallas_scatter and _pallas_blk_ok(aux_slots.shape[0]):
+            from cdlrm_tpu.ops.scatter import scatter_set_rows
+
+            cache = scatter_set_rows(
+                cache, aux_slots, aux_rows.astype(jnp.float32)
+            )
+        else:
+            cache = cache.at[aux_slots].set(
+                aux_rows.astype(jnp.float32),
+                indices_are_sorted=cfg.sorted_wire,
+            )
         if cfg.wire_pack:
             uniq_slots, ginv = _decode_dedup(
                 inv_wire, uniq_wire, uniq_counts, geo, cfg.inv_bits,
@@ -639,10 +663,26 @@ def make_cached_train_step(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(params, rows_u)
 
-            cache = cache.at[uniq_slots].add(
-                -lr_embeds * d_rows_u,
-                indices_are_sorted=cfg.sorted_wire,
-            )
+            if cfg.use_pallas_scatter and _pallas_blk_ok(
+                uniq_slots.shape[0]
+            ):
+                from cdlrm_tpu.ops.scatter import scatter_add_rows
+
+                # valid unique rows are a PREFIX of the bucket (default
+                # layout: [trash, uniq..., trash-pad] — position 0's delta
+                # is the masked-lane gradient, exactly zero; sorted layout:
+                # [uniq..., trash-pad]); rows past the prefix are skipped
+                nv = jnp.sum(uniq_counts.astype(jnp.int32)) + (
+                    0 if cfg.sorted_wire else 1
+                )
+                cache = scatter_add_rows(
+                    cache, uniq_slots, -lr_embeds * d_rows_u, nv
+                )
+            else:
+                cache = cache.at[uniq_slots].add(
+                    -lr_embeds * d_rows_u,
+                    indices_are_sorted=cfg.sorted_wire,
+                )
             if cfg.track_touched:
                 touched = touched.at[uniq_slots].set(
                     True, indices_are_sorted=cfg.sorted_wire

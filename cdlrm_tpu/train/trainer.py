@@ -368,6 +368,14 @@ class CachedDlrmTrainer:
         self.step_cfg_dedup = scfg._replace(
             dedup=True, use_pallas_lookup=False,
             sorted_wire=bool(cfg.sorted_dedup_wire and not self._wire_pack),
+            # DMA scatters apply only on the dedup wire (distinct rows);
+            # remaining shape constraints are static per-op fallbacks in
+            # the step body (_pallas_blk_ok)
+            use_pallas_scatter=bool(
+                cfg.use_pallas_scatter
+                and jax.default_backend() == "tpu"
+                and cfg.m_spa % 128 == 0
+            ),
         )
         # scan blocks: one dispatch per `scan_steps` train steps (dispatch
         # amortization; config.py). With dedup, per-window negotiated unique

@@ -38,3 +38,109 @@ def test_gather_rows_rejects_ragged(rng):
     except ValueError:
         raised = True
     assert raised
+
+
+# ---- scatter kernels (ops/scatter.py) ----
+
+from cdlrm_tpu.ops.scatter import scatter_add_rows, scatter_set_rows
+
+
+def test_scatter_add_rows_matches_xla(rng):
+    """Distinct-slot RMW scatter-add == .at[].add, with a trash-padded tail
+    beyond nvalid that must be left untouched."""
+    R, D, U, NV = 2100, 128, 2048, 1500
+    cache0 = rng.normal(size=(R, D)).astype(np.float32)
+    slots_np = np.full(U, R - 1, np.int32)  # trash padding
+    slots_np[:NV] = rng.permutation(R - 1)[:NV].astype(np.int32)
+    delta_np = rng.normal(size=(U, D)).astype(np.float32)
+    out = np.asarray(scatter_add_rows(
+        jnp.asarray(cache0), jnp.asarray(slots_np), jnp.asarray(delta_np),
+        NV, interpret=True,
+    ))
+    exp = cache0.copy()
+    exp[slots_np[:NV]] += delta_np[:NV]
+    np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+
+def test_scatter_add_rows_full_valid(rng):
+    """nvalid omitted == every row applied (all distinct)."""
+    R, D, U = 300, 128, 256
+    cache0 = rng.normal(size=(R, D)).astype(np.float32)
+    slots_np = rng.permutation(R)[:U].astype(np.int32)
+    delta_np = rng.normal(size=(U, D)).astype(np.float32)
+    out = np.asarray(scatter_add_rows(
+        jnp.asarray(cache0), jnp.asarray(slots_np), jnp.asarray(delta_np),
+        interpret=True,
+    ))
+    exp = cache0.copy()
+    exp[slots_np] += delta_np
+    np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+
+def test_scatter_add_rows_multiblock(rng):
+    """U > _BLOCK_ROWS exercises the grid loop + cross-block write drain."""
+    R, D, U, NV = 5000, 128, 4096, 3333
+    cache0 = rng.normal(size=(R, D)).astype(np.float32)
+    slots_np = np.full(U, R - 1, np.int32)
+    slots_np[:NV] = rng.permutation(R - 1)[:NV].astype(np.int32)
+    delta_np = rng.normal(size=(U, D)).astype(np.float32)
+    out = np.asarray(scatter_add_rows(
+        jnp.asarray(cache0), jnp.asarray(slots_np), jnp.asarray(delta_np),
+        NV, interpret=True,
+    ))
+    exp = cache0.copy()
+    exp[slots_np[:NV]] += delta_np[:NV]
+    np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+
+def test_scatter_set_rows_matches_xla(rng):
+    R, D, U, NV = 900, 128, 1024, 777
+    cache0 = rng.normal(size=(R, D)).astype(np.float32)
+    slots_np = np.full(U, R - 1, np.int32)
+    slots_np[:NV] = rng.permutation(R - 1)[:NV].astype(np.int32)
+    rows_np = rng.normal(size=(U, D)).astype(np.float32)
+    out = np.asarray(scatter_set_rows(
+        jnp.asarray(cache0), jnp.asarray(slots_np), jnp.asarray(rows_np),
+        NV, interpret=True,
+    ))
+    exp = cache0.copy()
+    exp[slots_np[:NV]] = rows_np[:NV]
+    np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+
+def test_scatter_rejects_bad_shapes(rng):
+    cache = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    import pytest
+    with pytest.raises(ValueError):
+        scatter_add_rows(cache, jnp.zeros(1500, jnp.int32),
+                         jnp.zeros((1500, 128), jnp.float32), interpret=True)
+    with pytest.raises(ValueError):
+        scatter_add_rows(cache, jnp.zeros(8, jnp.int32),
+                         jnp.zeros((16, 128), jnp.float32), interpret=True)
+
+
+def test_scatter_add_rows_under_shard_map(rng):
+    """The step calls the kernel inside shard_map (per-shard cache block);
+    pin that composition in interpret mode."""
+    from jax.sharding import PartitionSpec as P
+    from cdlrm_tpu.parallel.mesh import DP_AXIS, make_dp_mesh
+
+    ndev, R, D, U = 2, 200, 128, 64
+    mesh = make_dp_mesh(ndev)
+    cache0 = rng.normal(size=(ndev * R, D)).astype(np.float32)
+    slots_np = np.stack(
+        [rng.permutation(R)[:U].astype(np.int32) for _ in range(ndev)])
+    delta_np = rng.normal(size=(ndev, U, D)).astype(np.float32)
+
+    def body(c, s, g):
+        return scatter_add_rows(c, s[0], g[0], interpret=True)
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
+        out_specs=P(DP_AXIS), check_vma=False,
+    ))(jnp.asarray(cache0), jnp.asarray(slots_np), jnp.asarray(delta_np))
+    exp = cache0.copy()
+    for k in range(ndev):
+        exp[k * R + slots_np[k]] += delta_np[k]
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-6)
