@@ -545,7 +545,14 @@ def make_cached_train_step(
 
         # stage packed miss rows into the aux regions (padding hits the
         # trash row; slots are distinct by construction)
-        cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
+        if cfg.use_pallas_scatter and _pallas_blk_ok(aux_slots.shape[0]):
+            from cdlrm_tpu.ops.scatter import scatter_set_rows
+
+            cache = scatter_set_rows(
+                cache, aux_slots, aux_rows.astype(jnp.float32)
+            )
+        else:
+            cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
 
         flat_slots = slots.reshape(-1)
         if cfg.use_pallas_lookup:
@@ -830,7 +837,14 @@ def make_cached_eval_step(
             )
         t_count = slots.shape[0]
         d = cache.shape[-1]
-        cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
+        if cfg.use_pallas_scatter and _pallas_blk_ok(aux_slots.shape[0]):
+            from cdlrm_tpu.ops.scatter import scatter_set_rows
+
+            cache = scatter_set_rows(
+                cache, aux_slots, aux_rows.astype(jnp.float32)
+            )
+        else:
+            cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
         rows = jnp.take(cache, slots.reshape(-1), axis=0)
         if pooled_width > 0:
             r = rows.reshape(t_count, b_loc, pooled_width, d)

@@ -350,6 +350,16 @@ class CachedDlrmTrainer:
             wire_pack=self._wire_pack,
             wire_bits=self._wire_bits,
             use_pallas_lookup=pallas_ok,
+            # DMA row scatters (ops/scatter.py): on the plain/eval bodies
+            # this covers only the aux staging set (grad scatters there
+            # have duplicate slots); the dedup body also converts the
+            # unique-row scatter-add. Static per-op block-shape fallback
+            # in the step (_pallas_blk_ok).
+            use_pallas_scatter=bool(
+                cfg.use_pallas_scatter
+                and jax.default_backend() == "tpu"
+                and cfg.m_spa % 128 == 0
+            ),
             wire_rows_bf16=cfg.wire_rows_bf16,
             track_touched=self._needs_agg,
             dedup=False,
@@ -368,14 +378,6 @@ class CachedDlrmTrainer:
         self.step_cfg_dedup = scfg._replace(
             dedup=True, use_pallas_lookup=False,
             sorted_wire=bool(cfg.sorted_dedup_wire and not self._wire_pack),
-            # DMA scatters apply only on the dedup wire (distinct rows);
-            # remaining shape constraints are static per-op fallbacks in
-            # the step body (_pallas_blk_ok)
-            use_pallas_scatter=bool(
-                cfg.use_pallas_scatter
-                and jax.default_backend() == "tpu"
-                and cfg.m_spa % 128 == 0
-            ),
         )
         # scan blocks: one dispatch per `scan_steps` train steps (dispatch
         # amortization; config.py). With dedup, per-window negotiated unique
