@@ -906,7 +906,16 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
             )
         if cfg.wire_rows_bf16:
             evicted = evicted.astype(jnp.bfloat16)  # halve the D2H writeback
-        cache = cache.at[insert_slots].set(insert_rows.astype(jnp.float32))
+        if cfg.use_pallas_scatter and _pallas_blk_ok(insert_slots.shape[0]):
+            from cdlrm_tpu.ops.scatter import scatter_set_rows
+
+            cache = scatter_set_rows(
+                cache, insert_slots, insert_rows.astype(jnp.float32)
+            )
+        else:
+            cache = cache.at[insert_slots].set(
+                insert_rows.astype(jnp.float32)
+            )
         if mode == "strict":
             idx = jax.lax.axis_index(DP_AXIS)
             contrib = jnp.where(idx == 0, cache, jnp.zeros_like(cache))
@@ -968,9 +977,23 @@ def make_aggregate_step(
             # static-size compaction; padding targets the trash row, whose
             # (meaningless) value is aggregated alongside — harmless: every
             # step overwrites/ignores it (geometry.py trash-row contract)
+            # nonzero emits ascending indices; the trash-row tail fill is
+            # the per-shard maximum row, so idx is globally non-decreasing
             (idx,) = jnp.nonzero(union, size=k, fill_value=trash_row)
-            rows = jnp.take(cache, idx, axis=0)
-            cache = cache.at[idx].set(combine(rows))
+            rows = jnp.take(cache, idx, axis=0, indices_are_sorted=True)
+            agg_rows = combine(rows)
+            if cfg.use_pallas_scatter and _pallas_blk_ok(idx.shape[0]):
+                # distinct valid prefix; every padded tail entry writes the
+                # SAME combined trash value — order-independent
+                from cdlrm_tpu.ops.scatter import scatter_set_rows
+
+                cache = scatter_set_rows(
+                    cache, idx.astype(jnp.int32), agg_rows
+                )
+            else:
+                cache = cache.at[idx].set(
+                    agg_rows, indices_are_sorted=True
+                )
             return cache, jnp.zeros_like(touched)
 
     else:
