@@ -47,15 +47,40 @@ def main():
     jax.block_until_ready(cache)
     log("cache staged")
 
-    take = jax.jit(lambda c, s: jnp.take(c, s, axis=0))
-    pallas_gather = jax.jit(lambda c, s: gather_rows(c, s))
+    take = lambda c, s: jnp.take(c, s, axis=0)
+    pallas_gather = lambda c, s: gather_rows(c, s)
+
+    # honest chained timing (PERF.md finding 7: block_until_ready returns
+    # early on tunneled backends; finding 10: identical operands get CSE'd
+    # — so chain ITERS gathers over DISTINCT slot sets inside one jitted
+    # scan with a scalar dependency, and end on a real D2H)
+    CHAIN = 10
+    slots_iter = jnp.asarray(
+        rng.integers(0, rows, (CHAIN, n)).astype(np.int32))
+
+    def timeit_gather(fn, iters=5):
+        @jax.jit
+        def run(c, ss):
+            def body(acc, s):
+                # consume EVERY gathered row or XLA shrinks the gather to
+                # the consumed lanes (finding 10 DCE discipline); the sum
+                # may fuse into XLA's take (no [N,D] write) — the same
+                # fusion the real step's pooling gets, so it's fair
+                return acc + jnp.sum(fn(c, s)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), ss)
+            return acc
+        _ = float(run(cache, slots_iter))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = float(run(cache, slots_iter))
+        return (time.perf_counter() - t0) / (iters * CHAIN)
 
     bytes_moved = n * d * 4 * 2  # read + write
     results = []
     for name, fn in [("xla_take", take), ("pallas_gather", pallas_gather)]:
         try:
             log(f"compiling+timing {name}...")
-            dt = timeit(fn, cache, slots, iters=10)
+            dt = timeit_gather(fn)
             log(f"{name}: {dt*1e6:.0f} us")
             results.append(
                 {
