@@ -16,18 +16,6 @@ import numpy as np
 HBM_GBPS = 819.0
 
 
-def timeit(fn, *args, iters=10):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def log(msg):
     print(f"[bench_kernels] {msg}", file=sys.stderr, flush=True)
 
@@ -99,10 +87,22 @@ def main():
     b, t = 4096, 26
     x = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
     ly = jnp.asarray(rng.normal(size=(t, b, d)).astype(np.float32))
-    inter = jax.jit(
-        lambda x, ly: interact_features(x, ly, "dot", False, jnp.bfloat16)
-    )
-    dt = timeit(inter, x, ly)
+
+    @jax.jit
+    def inter_chain(x, ly):
+        # chained honest timing: each round perturbs x by the previous
+        # round's scalar so XLA cannot CSE the chain into one interaction
+        def body(acc, _):
+            z = interact_features(x + acc, ly, "dot", False, jnp.bfloat16)
+            return jnp.sum(z).astype(jnp.float32) * 1e-30, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=CHAIN)
+        return acc
+
+    _ = float(inter_chain(x, ly))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = float(inter_chain(x, ly))
+    dt = (time.perf_counter() - t0) / (5 * CHAIN)
     flops = 2 * b * (t + 1) * (t + 1) * d
     results.append(
         {
