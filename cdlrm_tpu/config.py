@@ -76,6 +76,15 @@ class Config:
     nepochs: int = 1
     learning_rate: float = 0.1
     lr_embeds: float = 0.3
+    optimizer: str = "sgd"  # sgd | adagrad. Beyond-parity (the reference
+    #   trains SGD only, main_no_ddp.py:374-376): AdaGrad = torch-semantics
+    #   element-wise on the dense MLPs + row-wise (torchrec semantics) on
+    #   the cached embedding rows with CACHE-RESIDENT per-row state —
+    #   refill insert resets an inserted slot's state (fresh id), eviction
+    #   drops it (state never round-trips to the masters; documented
+    #   approximation). Requires dedup_lookups='on' (row-wise state needs
+    #   coalesced slots); incompatible with the hot tier and QR/MD tricks.
+    adagrad_eps: float = 1e-10  # torch.optim.Adagrad default eps
     print_precision: int = 5
     numpy_rand_seed: int = 123
     lookahead: int = 2
@@ -290,6 +299,27 @@ class Config:
             self.dedup_lookups = "on"
         elif self.dedup_lookups is False:
             self.dedup_lookups = "off"
+        if self.optimizer not in ("sgd", "adagrad"):
+            raise ValueError(
+                f"optimizer must be sgd|adagrad, got {self.optimizer!r}"
+            )
+        if self.optimizer == "adagrad":
+            if self.use_cache and self.dedup_lookups != "on":
+                raise ValueError(
+                    "optimizer='adagrad' on the cached path requires "
+                    "dedup_lookups='on': the row-wise state update needs "
+                    "duplicate-slot lookups coalesced on the host "
+                    "(config.py optimizer doc)"
+                )
+            if self.hot_tier_rows > 0:
+                raise ValueError(
+                    "optimizer='adagrad' is incompatible with the hot tier"
+                )
+            if self.qr_flag or self.md_flag:
+                raise ValueError(
+                    "optimizer='adagrad' supports plain embeddings only "
+                    "(no QR/MD compression)"
+                )
         if self.sorted_dedup_wire and self.pack_wire:
             raise ValueError(
                 "sorted_dedup_wire requires the unpacked wire: pass "

@@ -56,6 +56,20 @@ class FullTableDlrmTrainer:
             ),
         }
         self.params = step_lib.replicate_for_mesh(params, self.mesh)
+        # optimizer state (config.py optimizer doc): element-wise dense
+        # accumulators + per-table ROW-WISE [N] accumulators — the oracle
+        # the cached adagrad path matches exactly when fully resident
+        self._adagrad = cfg.optimizer == "adagrad"
+        if self._adagrad:
+            accum = {
+                "bot": jax.tree_util.tree_map(np.zeros_like, params["bot"]),
+                "top": jax.tree_util.tree_map(np.zeros_like, params["top"]),
+                "emb": [np.zeros(w.shape[0], np.float32)
+                        for w in params["emb"]],
+            }
+            self.accum = step_lib.replicate_for_mesh(accum, self.mesh)
+        else:
+            self.accum = None
         scfg = step_lib.StepConfig(
             interaction_op=cfg.arch_interaction_op,
             interaction_itself=cfg.arch_interaction_itself,
@@ -64,6 +78,8 @@ class FullTableDlrmTrainer:
             loss_threshold=cfg.loss_threshold,
             strict_bias_divergence=cfg.strict_bias_divergence,
             compute_dtype=cfg.compute_dtype,
+            optimizer=cfg.optimizer,
+            adagrad_eps=cfg.adagrad_eps,
         )
         self._pooled = cfg.num_indices_per_lookup > 1 or not cfg.num_indices_per_lookup_fixed
         self.train_step = step_lib.make_fulltable_train_step(
@@ -112,9 +128,18 @@ class FullTableDlrmTrainer:
                 if max_steps is not None and self.global_step >= max_steps:
                     return
                 x, ls_i, mask, tgt = self._put(batch)
-                self.params, loss_sum, correct = self.train_step(
-                    self.params, x, ls_i, mask, tgt, self._lr, self._lr_emb
-                )
+                if self._adagrad:
+                    self.params, self.accum, loss_sum, correct = (
+                        self.train_step(
+                            self.params, x, ls_i, mask, tgt,
+                            self._lr, self._lr_emb, self.accum,
+                        )
+                    )
+                else:
+                    self.params, loss_sum, correct = self.train_step(
+                        self.params, x, ls_i, mask, tgt,
+                        self._lr, self._lr_emb,
+                    )
                 self.global_step += 1
                 pending.append((loss_sum, correct))
                 if len(pending) >= 4096:
@@ -165,6 +190,15 @@ class FullTableDlrmTrainer:
             os.path.join(path, "fulltable_params.npz"),
             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
         )
+        if self._adagrad:
+            acc_leaves, _ = jax.tree_util.tree_flatten(
+                step_lib.unreplicate(self.accum)
+            )
+            np.savez(
+                os.path.join(path, "fulltable_acc.npz"),
+                **{f"leaf_{i}": np.asarray(l)
+                   for i, l in enumerate(acc_leaves)},
+            )
         with open(os.path.join(path, "meta.pkl"), "wb") as f:
             pickle.dump({"global_step": self.global_step}, f)
 
@@ -176,6 +210,17 @@ class FullTableDlrmTrainer:
         self.params = step_lib.replicate_for_mesh(
             jax.tree_util.tree_unflatten(treedef, leaves), self.mesh
         )
+        if self._adagrad:
+            acc_leaves, acc_treedef = jax.tree_util.tree_flatten(
+                step_lib.unreplicate(self.accum)
+            )
+            with np.load(os.path.join(path, "fulltable_acc.npz")) as data:
+                acc_leaves = [data[f"leaf_{i}"]
+                              for i in range(len(acc_leaves))]
+            self.accum = step_lib.replicate_for_mesh(
+                jax.tree_util.tree_unflatten(acc_treedef, acc_leaves),
+                self.mesh,
+            )
         with open(os.path.join(path, "meta.pkl"), "rb") as f:
             self.global_step = pickle.load(f)["global_step"]
 

@@ -107,6 +107,18 @@ class StepConfig(NamedTuple):
     # D % 128 == 0; per-op bucket shapes fall back to XLA when not a
     # multiple of the kernel block (static check at trace time).
     use_pallas_scatter: bool = False
+    # Optimizer (beyond-parity; the reference trains SGD only,
+    # main_no_ddp.py:374-376): "sgd" | "adagrad". AdaGrad = torch-semantics
+    # element-wise on the dense MLPs + row-wise (torchrec semantics) on the
+    # cached embedding rows, with CACHE-RESIDENT per-row state
+    # ([ndev*R] f32, donated like touched): refill insert resets an
+    # inserted slot's state to zero (fresh id), eviction drops it — the
+    # documented approximation for cached training (state never round-trips
+    # to the masters). Requires the dedup wire (duplicate-slot lookups must
+    # be coalesced before the row-wise state update); enforced in
+    # Config.finalize.
+    optimizer: str = "sgd"
+    adagrad_eps: float = 1e-10  # torch.optim.Adagrad default
     # ship refill insert rows / per-step miss rows / evicted rows as bf16
     # (halves the dominant refill H2D+D2H traffic). LOSSY: freshly staged
     # rows are bf16-rounded once (trained deltas stay f32 in the cache).
@@ -302,6 +314,31 @@ def _sgd(tree, grads, lr):
     return jax.tree_util.tree_map(lambda w, g: w - lr * g, tree, grads)
 
 
+def _dense_adagrad(tree, grads, lr, accum, eps):
+    """Element-wise AdaGrad with torch.optim.Adagrad semantics
+    (std = sqrt(state_sum) + eps; p -= lr * g / std — eps OUTSIDE the
+    sqrt), so dense behavior can be lockstep-pinned against torch. The
+    reference trains SGD only (main_no_ddp.py:374-376); the optimizer
+    surface is a beyond-parity addition. Returns (tree, accum)."""
+    accum = jax.tree_util.tree_map(lambda a, g: a + g * g, accum, grads)
+    tree = jax.tree_util.tree_map(
+        lambda w, g, a: w - lr * g / (jnp.sqrt(a) + eps), tree, grads, accum
+    )
+    return tree, accum
+
+
+def _rowwise_adagrad_scale(d_rows, acc_rows, lr_embeds, eps):
+    """Row-wise AdaGrad on embedding rows (torchrec rowwise_adagrad
+    semantics: per-row state += mean(g^2); update = -lr*g/(sqrt(state)+eps)).
+    ``d_rows`` [U, D] per-row grads, ``acc_rows`` [U] gathered state.
+    Returns (delta_rows [U, D], new_acc_rows [U]). Padding/trash rows carry
+    exactly-zero grads, so their state and delta are unchanged/zero."""
+    ms = jnp.mean(d_rows * d_rows, axis=1)
+    acc_rows = acc_rows + ms
+    delta = (-lr_embeds / (jnp.sqrt(acc_rows) + eps))[:, None] * d_rows
+    return delta, acc_rows
+
+
 def _hot_cold_update(
     cache: jax.Array,
     touched: Optional[jax.Array],
@@ -482,9 +519,21 @@ def make_cached_train_step(
       targets: [B, 1]
       lr, lr_embeds: scalars
     Returns (params, cache, touched, loss_sum, correct) — metrics are global
-    (psum'd) scalars.
+    (psum'd) scalars. With ``cfg.optimizer == 'adagrad'`` two optimizer
+    state args ride after the per-batch inputs (dense_acc: pytree like
+    params; embed_acc: [ndev*R] f32 flat like touched) and are returned
+    updated: (params, cache, touched, dense_acc, embed_acc, loss, correct).
     """
     cdtype = cfg.cdtype
+    adagrad = cfg.optimizer == "adagrad"
+    if adagrad and not cfg.dedup:
+        raise ValueError(
+            "optimizer='adagrad' requires the dedup wire (duplicate-slot "
+            "lookups must be coalesced before the row-wise state update); "
+            "set dedup_lookups='on'"
+        )
+    if adagrad and cfg.hot_rows > 0:
+        raise ValueError("optimizer='adagrad' is incompatible with the hot tier")
 
     def make_loss_fn(x, ls_mask, targets, t_count, b_loc, d):
         def loss_fn(params, rows):
@@ -513,15 +562,22 @@ def make_cached_train_step(
         jnp.asarray(cfg.md_train_mask, jnp.float32) if cfg.md_proj else None
     )
 
-    def finish(params, dparams, p, loss, targets, lr, b_loc):
+    def finish(params, dparams, p, loss, targets, lr, b_loc,
+               dense_acc=None):
         dparams = _sync_dense_grads(
             dparams, cfg.strict_bias_divergence, md_mask
         )
-        params = _sgd(params, dparams, lr)
+        if adagrad:
+            params, dense_acc = _dense_adagrad(
+                params, dparams, lr, dense_acc, cfg.adagrad_eps
+            )
+            dense_acc = jax.tree_util.tree_map(lambda v: v[None], dense_acc)
+        else:
+            params = _sgd(params, dparams, lr)
         correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
         loss_sum, correct = jax.lax.psum((loss * b_loc, correct), DP_AXIS)
         params = jax.tree_util.tree_map(lambda v: v[None], params)
-        return params, loss_sum, correct
+        return params, loss_sum, correct, dense_acc
 
     hot = cfg.hot_rows > 0
 
@@ -594,15 +650,20 @@ def make_cached_train_step(
                 touched = touched.at[flat_slots].set(True)
                 touched = touched.at[geo.trash_row].set(False)
 
-        params, loss_sum, correct = finish(
+        params, loss_sum, correct, _ = finish(
             params, dparams, p, loss, targets, lr, b_loc
         )
         return params, cache, touched, loss_sum, correct
 
     def body_dedup(params, cache, touched, x, inv_wire, ls_mask, uniq_wire,
                    uniq_counts, aux_slots, aux_rows, targets, *tail):
+        dense_acc = embed_acc = None
         if hot:
             hot_slots, lr, lr_embeds = tail
+        elif adagrad:
+            dense_acc, embed_acc, lr, lr_embeds = tail
+            hot_slots = None
+            dense_acc = jax.tree_util.tree_map(lambda v: v[0], dense_acc)
         else:
             (lr, lr_embeds), hot_slots = tail, None
         params = jax.tree_util.tree_map(lambda v: v[0], params)
@@ -670,6 +731,24 @@ def make_cached_train_step(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(params, rows_u)
 
+            if adagrad:
+                # row-wise state ride-along: gather/scatter the [Ub] f32
+                # accumulators at the SAME unique slots (tiny next to the
+                # row traffic). Trash/padding positions carry exactly-zero
+                # grads — their state writes are value-identical no-ops.
+                acc_rows = jnp.take(
+                    embed_acc, uniq_slots,
+                    indices_are_sorted=cfg.sorted_wire,
+                )
+                delta_rows, acc_rows = _rowwise_adagrad_scale(
+                    d_rows_u, acc_rows, lr_embeds, cfg.adagrad_eps
+                )
+                embed_acc = embed_acc.at[uniq_slots].set(
+                    acc_rows, indices_are_sorted=cfg.sorted_wire
+                )
+            else:
+                delta_rows = -lr_embeds * d_rows_u
+
             if cfg.use_pallas_scatter and _pallas_blk_ok(
                 uniq_slots.shape[0]
             ):
@@ -682,13 +761,10 @@ def make_cached_train_step(
                 nv = jnp.sum(uniq_counts.astype(jnp.int32)) + (
                     0 if cfg.sorted_wire else 1
                 )
-                cache = scatter_add_rows(
-                    cache, uniq_slots, -lr_embeds * d_rows_u, nv
-                )
+                cache = scatter_add_rows(cache, uniq_slots, delta_rows, nv)
             else:
                 cache = cache.at[uniq_slots].add(
-                    -lr_embeds * d_rows_u,
-                    indices_are_sorted=cfg.sorted_wire,
+                    delta_rows, indices_are_sorted=cfg.sorted_wire
                 )
             if cfg.track_touched:
                 touched = touched.at[uniq_slots].set(
@@ -696,9 +772,12 @@ def make_cached_train_step(
                 )
                 touched = touched.at[geo.trash_row].set(False)
 
-        params, loss_sum, correct = finish(
-            params, dparams, p, loss, targets, lr, b_loc
+        params, loss_sum, correct, dense_acc = finish(
+            params, dparams, p, loss, targets, lr, b_loc, dense_acc
         )
+        if adagrad:
+            return (params, cache, touched, dense_acc, embed_acc,
+                    loss_sum, correct)
         return params, cache, touched, loss_sum, correct
 
     lead = _spec_leading()
@@ -733,39 +812,57 @@ def make_cached_train_step(
         n_in = len(batch_specs)
 
         def scanned(params, cache, touched, *rest):
-            # rest = block * n_in per-batch inputs + (hot_slots?, lr,
-            # lr_embeds). Stacking happens INSIDE the compiled program, so
-            # staging stays one (pipelined) put per batch and dispatch cost
-            # is paid once per BLOCK: on thin dispatch links (tunneled TPU,
-            # busy hosts) the per-step overhead divides by the block size.
+            # rest = block * n_in per-batch inputs + (hot_slots?,
+            # dense_acc?, embed_acc?, lr, lr_embeds). Stacking happens
+            # INSIDE the compiled program, so staging stays one (pipelined)
+            # put per batch and dispatch cost is paid once per BLOCK: on
+            # thin dispatch links (tunneled TPU, busy hosts) the per-step
+            # overhead divides by the block size.
             lr, lr_embeds = rest[-2], rest[-1]
-            extra = (rest[-3],) if hot else ()  # per-window hot list
-            flat = rest[: -2 - len(extra)]  # batch-major: block groups
+            n_state = 2 if adagrad else 0
+            extra = (rest[-3 - n_state],) if hot else ()  # per-window hot
+            state = tuple(rest[-2 - n_state: -2]) if adagrad else ()
+            flat = rest[: -2 - n_state - len(extra)]  # batch-major groups
             stacked = tuple(
                 jnp.stack([flat[j * n_in + i] for j in range(block)])
                 for i in range(n_in)
             )
 
             def f(carry, xs):
+                if adagrad:
+                    p, c, t, da, ea = carry
+                    p, c, t, da, ea, ls, corr = body_fn(
+                        p, c, t, *xs, da, ea, lr, lr_embeds
+                    )
+                    return (p, c, t, da, ea), (ls, corr)
                 p, c, t = carry
                 p, c, t, ls, corr = body_fn(p, c, t, *xs, *extra, lr, lr_embeds)
                 return (p, c, t), (ls, corr)
 
-            (params, cache, touched), (loss, corr) = jax.lax.scan(
-                f, (params, cache, touched), stacked
-            )
+            carry0 = (params, cache, touched) + state
+            carry, (loss, corr) = jax.lax.scan(f, carry0, stacked)
+            if adagrad:
+                params, cache, touched, da, ea = carry
+                return params, cache, touched, da, ea, loss, corr
+            params, cache, touched = carry
             return params, cache, touched, loss, corr
 
+        state_specs = (lead, lead) if adagrad else ()
+        n_args = 3 + block * n_in + len(hot_specs) + len(state_specs) + 2
         shardmapped = jax.shard_map(
             scanned,
             mesh=mesh,
             in_specs=(lead, lead, lead) + batch_specs * block + hot_specs
-            + (P(), P()),
-            out_specs=(lead, lead, lead, P(), P()),
+            + state_specs + (P(), P()),
+            out_specs=(lead, lead, lead) + state_specs + (P(), P()),
             check_vma=False,
         )
-        return jax.jit(shardmapped, donate_argnums=(1, 2))
+        donate = (1, 2) + (
+            (n_args - 4, n_args - 3) if adagrad else ()
+        )
+        return jax.jit(shardmapped, donate_argnums=donate)
     if cfg.dedup:
+        state_specs = (lead, lead) if adagrad else ()
         shardmapped = jax.shard_map(
             body_dedup,
             mesh=mesh,
@@ -781,14 +878,15 @@ def make_cached_train_step(
                 lead,  # aux_slots (flat)
                 lead,  # aux_rows (flat)
                 P(DP_AXIS),  # targets
-            ) + hot_specs + (
+            ) + hot_specs + state_specs + (
                 P(),  # lr
                 P(),  # lr_embeds
             ),
-            out_specs=(lead, lead, lead, P(), P()),
+            out_specs=(lead, lead, lead) + state_specs + (P(), P()),
             check_vma=False,
         )
-        return jax.jit(shardmapped, donate_argnums=(1, 2))
+        donate = (1, 2) + ((11, 12) if adagrad else ())
+        return jax.jit(shardmapped, donate_argnums=donate)
     shardmapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -896,8 +994,9 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
         mode = "off"
     if mode not in ("strict", "delta", "off"):
         raise ValueError(f"unsupported refill_broadcast mode: {mode!r}")
+    adagrad = cfg.optimizer == "adagrad"
 
-    def body(cache, insert_slots, insert_rows, evict_slots):
+    def body(cache, insert_slots, insert_rows, evict_slots, accum=None):
         evicted = jnp.take(cache, evict_slots, axis=0)
         if mode in ("strict", "delta"):
             idx = jax.lax.axis_index(DP_AXIS)
@@ -916,13 +1015,34 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
             cache = cache.at[insert_slots].set(
                 insert_rows.astype(jnp.float32)
             )
+        if adagrad:
+            # an inserted slot holds a FRESH id: its row-wise AdaGrad state
+            # restarts (the evicted id's state is dropped — documented
+            # cache-resident-state semantic, StepConfig.optimizer)
+            accum = accum.at[insert_slots].set(0.0)
         if mode == "strict":
             idx = jax.lax.axis_index(DP_AXIS)
             contrib = jnp.where(idx == 0, cache, jnp.zeros_like(cache))
             cache = jax.lax.psum(contrib, DP_AXIS)
+            if adagrad:
+                accum = jax.lax.psum(
+                    jnp.where(idx == 0, accum, jnp.zeros_like(accum)),
+                    DP_AXIS,
+                )
+        if adagrad:
+            return cache, accum, evicted
         return cache, evicted
 
     lead = _spec_leading()
+    if adagrad:
+        shardmapped = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(lead, P(), P(), P(), lead),
+            out_specs=(lead, lead, lead),
+            check_vma=False,
+        )
+        return jax.jit(shardmapped, donate_argnums=(0, 4))
     shardmapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -958,6 +1078,7 @@ def make_aggregate_step(
     replica (touched or not) and divided by world size — exactly the
     reference's all_reduce-of-selected-slices semantics."""
     op = cfg.table_agg_op
+    adagrad = cfg.optimizer == "adagrad"
 
     def combine(rows):
         if op == "sum":
@@ -971,7 +1092,7 @@ def make_aggregate_step(
     if union_bucket is not None:
         k = int(union_bucket)
 
-        def body(cache, touched):
+        def body(cache, touched, accum=None):
             # bf16 is exact for {0,1} and halves the mask collective
             union = jax.lax.pmax(touched.astype(jnp.bfloat16), DP_AXIS) > 0
             # static-size compaction; padding targets the trash row, whose
@@ -994,11 +1115,21 @@ def make_aggregate_step(
                 cache = cache.at[idx].set(
                     agg_rows, indices_are_sorted=True
                 )
+            if adagrad:
+                # the row-wise state syncs with its rows (same combine op)
+                # so the per-row update scale stays replica-consistent
+                acc_rows = combine(
+                    jnp.take(accum, idx, indices_are_sorted=True)
+                )
+                accum = accum.at[idx].set(
+                    acc_rows, indices_are_sorted=True
+                )
+                return cache, jnp.zeros_like(touched), accum
             return cache, jnp.zeros_like(touched)
 
     else:
 
-        def body(cache, touched):
+        def body(cache, touched, accum=None):
             union = jax.lax.pmax(touched.astype(jnp.bfloat16), DP_AXIS) > 0
             mask = union[:, None]
             if op == "max":
@@ -1006,9 +1137,27 @@ def make_aggregate_step(
             else:
                 agg = combine(jnp.where(mask, cache, 0.0))
             cache = jnp.where(mask, agg, cache)
+            if adagrad:
+                if op == "max":
+                    acc_agg = jax.lax.pmax(
+                        jnp.where(union, accum, -jnp.inf), DP_AXIS
+                    )
+                else:
+                    acc_agg = combine(jnp.where(union, accum, 0.0))
+                accum = jnp.where(union, acc_agg, accum)
+                return cache, jnp.zeros_like(touched), accum
             return cache, jnp.zeros_like(touched)
 
     lead = _spec_leading()
+    if adagrad:
+        shardmapped = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(lead, lead, lead),
+            out_specs=(lead, lead, lead),
+            check_vma=False,
+        )
+        return jax.jit(shardmapped, donate_argnums=(0, 1, 2))
     shardmapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -1036,9 +1185,13 @@ def make_fulltable_train_step(mesh: Mesh, cfg: StepConfig, pooled: bool = False)
     from cdlrm_tpu.models.embedding import embedding_forward
 
     cdtype = cfg.cdtype
+    adagrad = cfg.optimizer == "adagrad"
 
-    def body(params, x, ls_i, ls_mask, targets, lr, lr_embeds):
+    def body(params, x, ls_i, ls_mask, targets, lr, lr_embeds, *opt):
         params = jax.tree_util.tree_map(lambda v: v[0], params)
+        if adagrad:
+            (accum,) = opt
+            accum = jax.tree_util.tree_map(lambda v: v[0], accum)
 
         def loss_fn(params):
             ly = embedding_forward(params["emb"], ls_i, ls_mask if pooled else None)
@@ -1058,26 +1211,53 @@ def make_fulltable_train_step(mesh: Mesh, cfg: StepConfig, pooled: bool = False)
         grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, DP_AXIS), grads)
         dense = {"bot": params["bot"], "top": params["top"]}
         dense_g = {"bot": grads["bot"], "top": grads["top"]}
-        dense = _sgd(dense, dense_g, lr)
-        emb = _sgd(params["emb"], grads["emb"], lr_embeds)
+        if adagrad:
+            dense, dense_acc = _dense_adagrad(
+                dense, dense_g,
+                lr, {"bot": accum["bot"], "top": accum["top"]},
+                cfg.adagrad_eps,
+            )
+            # row-wise AdaGrad on each FULL table (untouched rows have
+            # exactly-zero dense grads -> state and value unchanged); this
+            # is the oracle the cached adagrad path must match exactly when
+            # fully resident (tests/test_trainer_e2e.py)
+            emb, emb_acc = [], []
+            for w, g, a in zip(params["emb"], grads["emb"], accum["emb"]):
+                delta, a = _rowwise_adagrad_scale(
+                    g, a, lr_embeds, cfg.adagrad_eps
+                )
+                emb.append(w + delta)
+                emb_acc.append(a)
+            accum = {"bot": dense_acc["bot"], "top": dense_acc["top"],
+                     "emb": emb_acc}
+        else:
+            dense = _sgd(dense, dense_g, lr)
+            emb = _sgd(params["emb"], grads["emb"], lr_embeds)
         new_params = {"bot": dense["bot"], "top": dense["top"], "emb": emb}
 
         b_loc = targets.shape[0]
         correct = jnp.sum((jnp.round(p) == targets).astype(jnp.float32))
         loss_sum, correct = jax.lax.psum((loss * b_loc, correct), DP_AXIS)
         new_params = jax.tree_util.tree_map(lambda v: v[None], new_params)
+        if adagrad:
+            accum = jax.tree_util.tree_map(lambda v: v[None], accum)
+            return new_params, accum, loss_sum, correct
         return new_params, loss_sum, correct
 
     lead = _spec_leading()
     mask_spec = P(None, DP_AXIS)
+    opt_specs = (lead,) if adagrad else ()
     shardmapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(lead, P(DP_AXIS), P(None, DP_AXIS), mask_spec, P(DP_AXIS), P(), P()),
-        out_specs=(lead, P(), P()),
+        in_specs=(lead, P(DP_AXIS), P(None, DP_AXIS), mask_spec,
+                  P(DP_AXIS), P(), P()) + opt_specs,
+        out_specs=(lead,) + opt_specs + (P(), P()),
         check_vma=False,
     )
-    return jax.jit(shardmapped, donate_argnums=(0,))
+    return jax.jit(
+        shardmapped, donate_argnums=(0, 7) if adagrad else (0,)
+    )
 
 
 def make_fulltable_eval_step(mesh: Mesh, cfg: StepConfig, pooled: bool = False) -> Callable:

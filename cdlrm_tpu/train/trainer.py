@@ -280,6 +280,24 @@ class CachedDlrmTrainer:
             shard_lead,
             (self.ndev * R,),
         )
+        # optimizer state (config.py optimizer doc): cache-resident row-wise
+        # AdaGrad accumulators ([ndev*R] f32 like touched) + a dense-acc
+        # pytree replicated like params. SGD carries none.
+        self._adagrad = cfg.optimizer == "adagrad"
+        if self._adagrad:
+            self.embed_acc = put_global(
+                np.zeros(self.n_local * R, np.float32),
+                shard_lead,
+                (self.ndev * R,),
+            )
+            self.dense_acc = step_lib.replicate_for_mesh(
+                jax.tree_util.tree_map(
+                    lambda v: np.zeros(v.shape[1:], np.float32), self.params
+                ),
+                self.mesh,
+            )
+        else:
+            self.embed_acc = self.dense_acc = None
 
         # wire packing: bit-packed local slot ids at the smallest width that
         # addresses every table's cache block (train/step.py pack_slots)
@@ -367,6 +385,8 @@ class CachedDlrmTrainer:
             uniq_bits=self._wire_bits,
             md_proj=bool(cfg.md_flag),
             md_train_mask=self._md_mask,
+            optimizer=cfg.optimizer,
+            adagrad_eps=cfg.adagrad_eps,
         )
         self._row_wire_dtype = (
             jnp.bfloat16 if cfg.wire_rows_bf16 else np.float32
@@ -589,12 +609,21 @@ class CachedDlrmTrainer:
             self._row_wire_dtype, copy=False
         )
         ev_slots = pad_to_bucket(plan.evict_slots, 0)
-        self.cache, evicted = self.refill_step(
-            self.cache,
-            jnp.asarray(ins_slots),
-            jnp.asarray(ins_rows),
-            jnp.asarray(ev_slots),
-        )
+        if self._adagrad:
+            self.cache, self.embed_acc, evicted = self.refill_step(
+                self.cache,
+                jnp.asarray(ins_slots),
+                jnp.asarray(ins_rows),
+                jnp.asarray(ev_slots),
+                self.embed_acc,
+            )
+        else:
+            self.cache, evicted = self.refill_step(
+                self.cache,
+                jnp.asarray(ins_slots),
+                jnp.asarray(ins_rows),
+                jnp.asarray(ev_slots),
+            )
         n_evict = plan.evict_slots.shape[0]
         if n_evict:
             # replica-0-broadcast values (train/step.py make_refill_step):
@@ -1292,7 +1321,14 @@ class CachedDlrmTrainer:
             j = self.global_step
 
             if self._needs_agg and j % cfg.table_agg_freq == 0:
-                self.cache, self.touched = self.agg_step(self.cache, self.touched)
+                if self._adagrad:
+                    self.cache, self.touched, self.embed_acc = self.agg_step(
+                        self.cache, self.touched, self.embed_acc
+                    )
+                else:
+                    self.cache, self.touched = self.agg_step(
+                        self.cache, self.touched
+                    )
 
             if j % cfg.print_freq == 0:
                 flush_pending()
@@ -1382,25 +1418,37 @@ class CachedDlrmTrainer:
             # hot tier: the per-window hot list rides as one replicated
             # input before lr (same window for every item in a block)
             hot_extra = (self._hot_slots_dev,) if self._hot else ()
+            # adagrad: the optimizer state rides after the batch inputs and
+            # comes back updated (train/step.py make_cached_train_step doc)
+            opt_extra = (
+                (self.dense_acc, self.embed_acc) if self._adagrad else ()
+            )
             if len(items) == 1:
                 cursor, _, inputs, _, _ = items[0]
-                (
-                    self.params, self.cache, self.touched, loss_sum, correct,
-                ) = self._get_step(1, dedup)(
+                out = self._get_step(1, dedup)(
                     self.params, self.cache, self.touched, *inputs,
-                    *hot_extra, self._lr, self._lr_emb,
+                    *hot_extra, *opt_extra, self._lr, self._lr_emb,
                 )
+                if self._adagrad:
+                    (self.params, self.cache, self.touched, self.dense_acc,
+                     self.embed_acc, loss_sum, correct) = out
+                else:
+                    (self.params, self.cache, self.touched, loss_sum,
+                     correct) = out
                 pending.append((loss_sum, correct, b, None))
                 after_step(cursor)
             else:
                 fn = self._get_step(len(items), dedup)
                 flat = [a for _, _, inputs, _, _ in items for a in inputs]
-                (
-                    self.params, self.cache, self.touched, loss_v, corr_v,
-                ) = fn(
+                out = fn(
                     self.params, self.cache, self.touched, *flat,
-                    *hot_extra, self._lr, self._lr_emb,
+                    *hot_extra, *opt_extra, self._lr, self._lr_emb,
                 )
+                if self._adagrad:
+                    (self.params, self.cache, self.touched, self.dense_acc,
+                     self.embed_acc, loss_v, corr_v) = out
+                else:
+                    self.params, self.cache, self.touched, loss_v, corr_v = out
                 for i, (cursor, _, _, _, _) in enumerate(items):
                     pending.append((loss_v, corr_v, b, i))
                     after_step(cursor)
@@ -1650,6 +1698,14 @@ class CachedDlrmTrainer:
             np.concatenate([np.asarray(s.data) for s in
                             self.touched.addressable_shards]),
         )
+        if self._adagrad:
+            # optimizer state is per-replica like cache/touched (row-wise
+            # accumulators) + replica-identical dense accumulators
+            np.save(
+                os.path.join(path, f"embed_acc{tag}.npy"),
+                np.concatenate([np.asarray(s.data) for s in
+                                self.embed_acc.addressable_shards]),
+            )
         if self.multihost:
             self._save_master(
                 os.path.join(path, f"master.h{jax.process_index()}.npz")
@@ -1664,6 +1720,15 @@ class CachedDlrmTrainer:
             os.path.join(path, "dense_params.npz"),
             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
         )
+        if self._adagrad:
+            acc_leaves, _ = jax.tree_util.tree_flatten(
+                step_lib.unreplicate(self.dense_acc)
+            )
+            np.savez(
+                os.path.join(path, "dense_acc.npz"),
+                **{f"leaf_{i}": np.asarray(l)
+                   for i, l in enumerate(acc_leaves)},
+            )
         np.savez(os.path.join(path, "occupancy.npz"), **self.controller.state_dict())
         meta = {
             # format history: v2 = round-2 layout (full local cache block +
@@ -1715,6 +1780,29 @@ class CachedDlrmTrainer:
             self._shardings["lead"],
             (self.ndev * rows_per_dev,),
         )
+        if self._adagrad:
+            acc_path = os.path.join(path, f"embed_acc{tag}.npy")
+            if not os.path.exists(acc_path):
+                raise ValueError(
+                    f"optimizer='adagrad' but {path!r} carries no optimizer "
+                    "state (saved by an SGD run?); resume with the matching "
+                    "optimizer"
+                )
+            self.embed_acc = put_global(
+                np.load(acc_path),
+                self._shardings["lead"],
+                (self.ndev * rows_per_dev,),
+            )
+            acc_leaves, acc_treedef = jax.tree_util.tree_flatten(
+                step_lib.unreplicate(self.dense_acc)
+            )
+            with np.load(os.path.join(path, "dense_acc.npz")) as data:
+                acc_leaves = [data[f"leaf_{i}"]
+                              for i in range(len(acc_leaves))]
+            self.dense_acc = step_lib.replicate_for_mesh(
+                jax.tree_util.tree_unflatten(acc_treedef, acc_leaves),
+                self.mesh,
+            )
         with np.load(os.path.join(path, "occupancy.npz")) as data:
             self.controller.load_state_dict(dict(data))
         if self.multihost:

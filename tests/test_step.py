@@ -373,3 +373,30 @@ def test_decode_dedup_raw_matches_packed(rng):
     )
     np.testing.assert_array_equal(np.asarray(us_p), np.asarray(us_r))
     np.testing.assert_array_equal(np.asarray(gi_p), np.asarray(gi_r))
+
+
+def test_dense_adagrad_matches_torch():
+    """_dense_adagrad pins torch.optim.Adagrad semantics exactly
+    (std = sqrt(state_sum) + eps, eps OUTSIDE the sqrt) so the dense half
+    of optimizer='adagrad' is lockstep-verifiable against torch."""
+    import pytest as _pytest
+    torch = _pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from cdlrm_tpu.train.step import _dense_adagrad
+
+    rng = np.random.default_rng(7)
+    w0 = rng.normal(size=(5, 4)).astype(np.float32)
+    lr, eps = 0.1, 1e-10
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adagrad([tw], lr=lr, eps=eps)
+    jw = {"w": jnp.asarray(w0)}
+    jacc = {"w": jnp.zeros_like(jw["w"])}
+    for step in range(6):
+        g = rng.normal(size=w0.shape).astype(np.float32)
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+        jw, jacc = _dense_adagrad(jw, {"w": jnp.asarray(g)}, lr, jacc, eps)
+        np.testing.assert_allclose(
+            np.asarray(jw["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7)

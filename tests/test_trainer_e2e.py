@@ -189,8 +189,12 @@ def test_full_master_checkpoint_mode(tmp_path):
     tr2.close()
 
 
-@pytest.mark.parametrize("scan,hot", [(1, 0), (3, 0), (3, 16)])
-def test_midstream_resume_equals_uninterrupted(tmp_path, scan, hot):
+@pytest.mark.parametrize("scan,hot,opt", [
+    (1, 0, "sgd"), (3, 0, "sgd"), (3, 16, "sgd"),
+    (3, 0, "adagrad"),  # optimizer state (embed_acc + dense_acc) must
+    # checkpoint/restore and keep the resumed trajectory step-identical
+])
+def test_midstream_resume_equals_uninterrupted(tmp_path, scan, hot, opt):
     """(train 18, checkpoint, fresh trainer, resume 20 more) must be
     step-for-step identical to an uninterrupted train-38 — including refill
     windows and prefetcher alignment (VERDICT r1 item 4; the data cursor).
@@ -207,7 +211,10 @@ def test_midstream_resume_equals_uninterrupted(tmp_path, scan, hot):
         cfg = make_cfg(
             mini_batch_size=b, world_size=4, cache_size=64, num_ways=2,
             lookahead=4, table_agg_freq=5, scan_steps=scan,
-            hot_tier_rows=hot, dedup_lookups="auto" if hot else "off",
+            hot_tier_rows=hot, optimizer=opt,
+            dedup_lookups=(
+                "on" if opt == "adagrad" else "auto" if hot else "off"
+            ),
         )
         cfg.finalize(ln_emb=ln_emb)
         return cfg
@@ -225,6 +232,7 @@ def test_midstream_resume_equals_uninterrupted(tmp_path, scan, hot):
     tr = CachedDlrmTrainer(cfg_fn(), ds_fn())
     tr.train(max_steps=38, log_fn=lambda s: None)
     cache_ref = np.asarray(tr.cache).copy()
+    acc_ref = (np.asarray(tr.embed_acc).copy() if opt == "adagrad" else None)
     occ_ref = [o.copy() for o in tr.controller.occupancy]
     params_ref = {k: [(np.asarray(w), np.asarray(bb)) for w, bb in v]
                   for k, v in tr.params.items()}
@@ -249,6 +257,10 @@ def test_midstream_resume_equals_uninterrupted(tmp_path, scan, hot):
         np.testing.assert_array_equal(a, bb)
     np.testing.assert_allclose(np.asarray(tr2.cache), cache_ref, rtol=1e-6,
                                atol=1e-7)
+    if opt == "adagrad":
+        np.testing.assert_allclose(
+            np.asarray(tr2.embed_acc), acc_ref, rtol=1e-6, atol=1e-7
+        )
     for k in ("bot", "top"):
         for (w, bi), (wo, bo) in zip(tr2.params[k], params_ref[k]):
             np.testing.assert_allclose(np.asarray(w), wo, rtol=1e-6, atol=1e-7)
@@ -1075,3 +1087,147 @@ def test_eval_producer_error_propagates():
     with pytest.raises(RuntimeError, match="disk gone"):
         tr.evaluate(log_fn=lambda s: None)
     tr.close()
+
+
+@pytest.mark.parametrize("trainer_kind", ["cached", "fulltable"])
+def test_adagrad_equals_hand_oracle_when_fully_resident(trainer_kind):
+    """optimizer='adagrad' (beyond-parity; the reference is SGD-only,
+    main_no_ddp.py:374-376): both the cached path (row-wise state riding
+    the dedup wire, train/step.py body_dedup) and the full-table path must
+    reproduce a LONGHAND AdaGrad oracle exactly when fully resident —
+    element-wise torch-semantics AdaGrad on the dense MLPs, row-wise
+    (torchrec semantics) on embedding rows. Pins the state gather/scatter,
+    refill reset plumbing (no evictions here), and the scan carry."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdlrm_tpu.models.dlrm import compute_loss, dlrm_forward
+    from cdlrm_tpu.parallel.mesh import make_dp_mesh
+    from cdlrm_tpu.train import step as step_lib
+
+    ln_emb = np.array([40, 25, 60])
+    steps, b, eps = 12, 16, 1e-10
+    cfg = make_cfg(
+        mini_batch_size=b, world_size=1, cache_size=64, num_ways=2,
+        lookahead=3, table_agg_freq=10_000, learning_rate=0.1, lr_embeds=0.3,
+        optimizer="adagrad", dedup_lookups="on",
+        use_cache=(trainer_kind == "cached"),
+    )
+    cfg.finalize(ln_emb=ln_emb)
+    ds = LearnableDataset(ln_emb, num_batches=steps + 2, batch=b, seed=3)
+    mesh = make_dp_mesh(1)
+    if trainer_kind == "cached":
+        assert all(int(n) <= cfg.cache_sets for n in ln_emb)
+        tr = CachedDlrmTrainer(cfg, ds, mesh=mesh)
+        tables = [jnp.asarray(tr.master.tables[t].copy()) for t in range(3)]
+    else:
+        from cdlrm_tpu.train.fulltable import FullTableDlrmTrainer
+
+        tr = FullTableDlrmTrainer(cfg, ds, mesh=mesh)
+        tables = [jnp.asarray(np.asarray(w).copy())
+                  for w in step_lib.unreplicate(tr.params)["emb"]]
+
+    p0 = step_lib.unreplicate(tr.params)
+    params_o = {k: [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in v]
+                for k, v in p0.items() if k in ("bot", "top")}
+
+    tr.train(max_steps=steps, log_fn=lambda s: None)
+
+    acc_p = {k: [(jnp.zeros_like(w), jnp.zeros_like(bb))
+                 for w, bb in v] for k, v in params_o.items()}
+    acc_t = [jnp.zeros(t.shape[0]) for t in tables]
+    for i, batch in enumerate(ds.batches()):
+        if i >= steps:
+            break
+        x, tgt = jnp.asarray(batch.x), jnp.asarray(batch.y)
+        ls = batch.ls_i
+
+        def loss_fn(params, tables):
+            ly = jnp.stack([tables[t][ls[t]] for t in range(3)])
+            p = dlrm_forward(params, x, ly, "dot", False, 0.0)
+            return compute_loss(p, tgt, cfg.loss_function)
+
+        g_p, g_t = jax.grad(loss_fn, argnums=(0, 1))(params_o, tables)
+        # element-wise AdaGrad, torch semantics (eps OUTSIDE the sqrt)
+        new_p, new_a = {}, {}
+        for k, v in params_o.items():
+            new_p[k], new_a[k] = [], []
+            for (w, bb), (gw, gb), (aw, ab) in zip(v, g_p[k], acc_p[k]):
+                aw, ab = aw + gw * gw, ab + gb * gb
+                new_p[k].append((w - 0.1 * gw / (jnp.sqrt(aw) + eps),
+                                 bb - 0.1 * gb / (jnp.sqrt(ab) + eps)))
+                new_a[k].append((aw, ab))
+        params_o, acc_p = new_p, new_a
+        # row-wise AdaGrad (torchrec semantics: state += mean(g^2) per row)
+        new_t, new_at = [], []
+        for t, gt, at in zip(tables, g_t, acc_t):
+            at = at + jnp.mean(gt * gt, axis=1)
+            new_t.append(t - 0.3 * gt / (jnp.sqrt(at) + eps)[:, None])
+            new_at.append(at)
+        tables, acc_t = new_t, new_at
+
+    got_p = step_lib.unreplicate(tr.params)
+    for k in ("bot", "top"):
+        for (w, bb), (wo, bo) in zip(got_p[k], params_o[k]):
+            np.testing.assert_allclose(w, wo, rtol=2e-4, atol=1e-6)
+            np.testing.assert_allclose(bb, bo, rtol=2e-4, atol=1e-6)
+
+    if trainer_kind == "fulltable":
+        got_t = step_lib.unreplicate(tr.params)["emb"]
+        for t in range(3):
+            np.testing.assert_allclose(
+                got_t[t], tables[t], rtol=2e-4, atol=1e-6)
+        got_acc = step_lib.unreplicate(tr.accum)["emb"]
+        for t in range(3):
+            np.testing.assert_allclose(
+                got_acc[t], acc_t[t], rtol=2e-4, atol=1e-6)
+        return
+
+    # cached: every seen id's cache row AND row-wise accumulator must match
+    from cdlrm_tpu.parallel.mesh import local_shard
+
+    seen = [set() for _ in range(3)]
+    for i, batch in enumerate(ds.batches()):
+        if i >= steps:
+            break
+        for t in range(3):
+            seen[t].update(batch.ls_i[t].tolist())
+    cache = local_shard(tr.cache)
+    eacc = local_shard(tr.embed_acc)
+    for t in range(3):
+        ids = np.array(sorted(seen[t]), dtype=np.int64)
+        sets_t = int(tr.geo.sets[t])
+        occ = tr.controller.occupancy[t]
+        set_idx = ids % sets_t
+        eq = occ[set_idx] == ids[:, None]
+        assert eq.any(axis=1).all(), f"table {t}: seen ids not resident"
+        way = eq.argmax(axis=1)
+        slots = tr.geo.table_offsets[t] + way * sets_t + set_idx
+        np.testing.assert_allclose(
+            cache[slots], np.asarray(tables[t])[ids], rtol=2e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            eacc[slots], np.asarray(acc_t[t])[ids], rtol=2e-4, atol=1e-6
+        )
+
+
+def test_adagrad_config_guards():
+    ln = np.array([50, 20, 70])
+
+    def raw(**kw):
+        return Config(arch_sparse_feature_size=8, arch_mlp_bot="13-16-8",
+                      arch_mlp_top="8-1", mini_batch_size=64, world_size=8,
+                      cache_size=64, num_ways=4, **kw)
+
+    with pytest.raises(ValueError, match="dedup_lookups"):
+        raw(optimizer="adagrad").finalize(ln_emb=ln)  # default dedup 'auto'
+    with pytest.raises(ValueError, match="hot tier"):
+        raw(optimizer="adagrad", dedup_lookups="on",
+            hot_tier_rows=8).finalize(ln_emb=ln)
+    with pytest.raises(ValueError, match="optimizer"):
+        raw(optimizer="rmsprop").finalize(ln_emb=ln)
+    with pytest.raises(ValueError, match="plain embeddings"):
+        raw(optimizer="adagrad", dedup_lookups="on", qr_flag=True,
+            qr_threshold=10).finalize(ln_emb=ln)
+    # fulltable adagrad needs no dedup wire (no cache probe at all)
+    raw(optimizer="adagrad", use_cache=False).finalize(ln_emb=ln)
