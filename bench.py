@@ -118,6 +118,9 @@ def main():
         # BENCH_PSCATTER=1 (with BENCH_DEDUP=on): Pallas DMA row scatters
         # for the dedup sparse update + aux staging (ops/scatter.py)
         use_pallas_scatter=os.environ.get("BENCH_PSCATTER", "0") == "1",
+        # BENCH_OPT=adagrad (with BENCH_DEDUP=on): row-wise AdaGrad — the
+        # step-cost A/B of the cache-resident state ride-along
+        optimizer=os.environ.get("BENCH_OPT", "sgd"),
         # BENCH_SORTED=1 (requires BENCH_PACK=0 BENCH_DEDUP=on): ascending
         # unique slots + indices_are_sorted scatters (config.py
         # sorted_dedup_wire) — the round-4 A/B of finding 8's host-sort
@@ -204,14 +207,26 @@ def main():
         hot_extra = (trainer._hot_slots_dev,) if trainer._hot else ()
         fn = trainer._get_step(1, dd)
         p, c, t = trainer.params, trainer.cache, trainer.touched
-        p, c, t, ls, _ = fn(p, c, t, *inputs, *hot_extra,
-                            trainer._lr, trainer._lr_emb)
-        _ = float(ls)  # compile + sync
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        if trainer._adagrad:
+            da, ea = trainer.dense_acc, trainer.embed_acc
+            p, c, t, da, ea, ls, _ = fn(p, c, t, *inputs, da, ea,
+                                        trainer._lr, trainer._lr_emb)
+            _ = float(ls)  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, c, t, da, ea, ls, _ = fn(p, c, t, *inputs, da, ea,
+                                            trainer._lr, trainer._lr_emb)
+            _ = float(ls)
+            trainer.dense_acc, trainer.embed_acc = da, ea
+        else:
             p, c, t, ls, _ = fn(p, c, t, *inputs, *hot_extra,
                                 trainer._lr, trainer._lr_emb)
-        _ = float(ls)
+            _ = float(ls)  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, c, t, ls, _ = fn(p, c, t, *inputs, *hot_extra,
+                                    trainer._lr, trainer._lr_emb)
+            _ = float(ls)
         dt = 1e3 * (time.perf_counter() - t0) / iters
         trainer.params, trainer.cache, trainer.touched = p, c, t
         return dt
