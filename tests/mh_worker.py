@@ -40,6 +40,7 @@ def main():
     pooled = mode == "pooled"
     soak = mode == "soak"
     md = mode == "md"
+    adagrad = mode == "adagrad"
     steps = 16 if mode == "one_window" else (200 if soak else 24)
     lookahead = steps + 4 if mode == "one_window" else (6 if soak else 4)
     cfg = Config(
@@ -80,6 +81,15 @@ def main():
         # are host-count-invariant, so 2x2 must match 1x4)
         md_flag=md,
         md_temperature=1.0 if md else 0.3,
+        # adagrad: cache-resident row-wise state across hosts — the accum
+        # union-aggregate and refill insert-reset must keep 2x2 == 1x4.
+        # eps=1e-2 damps 1/sqrt(acc)'s amplification of psum
+        # reduction-order noise (at eps=1e-10 a 2e-8 first-step difference
+        # compounds to ~1% by step 24 in BOTH orderings — numerically
+        # expected, useless as a cross-topology pin)
+        optimizer="adagrad" if adagrad else "sgd",
+        dedup_lookups="on" if adagrad else "auto",
+        adagrad_eps=1e-2,
     )
     cfg.finalize()
 

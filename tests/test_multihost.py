@@ -247,6 +247,21 @@ def test_two_process_cached_md(tmp_path):
     assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
 
 
+@pytest.mark.slow
+def test_two_process_adagrad_matches_single(tmp_path):
+    """optimizer='adagrad' across hosts: the cache-resident row-wise state
+    (union-aggregate sync + refill insert-reset, train/step.py) must keep a
+    2x2 cluster's trajectory identical to the single-process 1x4 run —
+    same mesh, same data, bit-identical masters AND accumulators."""
+    single = _run_cluster(1, 4, 0, "adagrad", tmp_path)[0]
+    duo = _run_cluster(2, 2, 12418, "adagrad", tmp_path)
+    assert np.allclose(duo[0]["losses"], duo[1]["losses"], rtol=1e-5)
+    assert np.allclose(single["losses"], duo[0]["losses"], rtol=2e-3), (
+        single["losses"], duo[0]["losses"],
+    )
+    assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
+
+
 def test_sharded_md_masters_pad_and_partition(rng):
     """Row-sharded MD masters (cached-MD multi-host leg): compact [*, d_t]
     owned storage, zero-padded pipeline-facing gathers that agree with the
