@@ -31,7 +31,6 @@ def main():
     n = 26 * 4096  # bench lookup volume per step
     log("staging cache (512MB H2D)...")
     cache = jnp.asarray(rng.random((rows, d), dtype=np.float32))
-    slots = jnp.asarray(rng.integers(0, rows, n).astype(np.int32))
     jax.block_until_ready(cache)
     log("cache staged")
 

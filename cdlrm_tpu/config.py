@@ -213,6 +213,9 @@ class Config:
     #   of XLA's ~102 ns/row above-cliff scatter (PERF.md finding 11).
     #   Dedup wire only (distinct rows); needs dim % 128 == 0;
     #   auto-disabled otherwise
+    pallas_interpret: bool = False  # testing only: run Pallas scatter
+    #   kernels in interpret mode so use_pallas_scatter's step integration
+    #   is exercisable on the CPU mesh (also lifts the TPU-backend gate)
     sorted_dedup_wire: bool = False  # emit the UNPACKED dedup wire's unique
     #   slots in ascending order (one stable host argsort; exact — segments
     #   keep their contents) so the device unique gather/scatter carry

@@ -210,11 +210,24 @@ class FullTableDlrmTrainer:
         self.params = step_lib.replicate_for_mesh(
             jax.tree_util.tree_unflatten(treedef, leaves), self.mesh
         )
+        acc_file = os.path.join(path, "fulltable_acc.npz")
+        if self._adagrad and not os.path.exists(acc_file):
+            raise ValueError(
+                f"optimizer='adagrad' but {path!r} carries no optimizer "
+                "state (saved by an SGD run?); resume with the matching "
+                "optimizer"
+            )
+        if not self._adagrad and os.path.exists(acc_file):
+            raise ValueError(
+                f"{path!r} carries AdaGrad optimizer state but this run is "
+                "optimizer='sgd'; resuming would silently drop the "
+                "accumulators — pass --optimizer adagrad"
+            )
         if self._adagrad:
             acc_leaves, acc_treedef = jax.tree_util.tree_flatten(
                 step_lib.unreplicate(self.accum)
             )
-            with np.load(os.path.join(path, "fulltable_acc.npz")) as data:
+            with np.load(acc_file) as data:
                 acc_leaves = [data[f"leaf_{i}"]
                               for i in range(len(acc_leaves))]
             self.accum = step_lib.replicate_for_mesh(

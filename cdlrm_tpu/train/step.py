@@ -107,6 +107,10 @@ class StepConfig(NamedTuple):
     # D % 128 == 0; per-op bucket shapes fall back to XLA when not a
     # multiple of the kernel block (static check at trace time).
     use_pallas_scatter: bool = False
+    # testing only: run the Pallas scatter kernels in interpret mode so the
+    # step-level integration (nvalid prefix arithmetic, call-site
+    # contracts) is exercisable on the CPU mesh (tests/test_trainer_e2e.py)
+    pallas_interpret: bool = False
     # Optimizer (beyond-parity; the reference trains SGD only,
     # main_no_ddp.py:374-376): "sgd" | "adagrad". AdaGrad = torch-semantics
     # element-wise on the dense MLPs + row-wise (torchrec semantics) on the
@@ -604,8 +608,13 @@ def make_cached_train_step(
         if cfg.use_pallas_scatter and _pallas_blk_ok(aux_slots.shape[0]):
             from cdlrm_tpu.ops.scatter import scatter_set_rows
 
+            # valid slots are a prefix (host packs then pads with trash);
+            # the count is derivable on-device — padding rows are skipped
+            # entirely (no DMA, no same-destination writes)
+            nv_aux = jnp.sum((aux_slots != geo.trash_row).astype(jnp.int32))
             cache = scatter_set_rows(
-                cache, aux_slots, aux_rows.astype(jnp.float32)
+                cache, aux_slots, aux_rows.astype(jnp.float32), nv_aux,
+                interpret=cfg.pallas_interpret,
             )
         else:
             cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
@@ -676,13 +685,15 @@ def make_cached_train_step(
 
         # aux slots are per-table-base + arange concatenated with trash
         # padding — globally sorted by construction (_pack_aux). Distinct
-        # except the trash padding (whose content is unspecified by the
-        # geometry contract), so the write-only DMA kernel applies.
+        # except the trash padding, which the on-device prefix count skips
+        # entirely (kernel nvalid contract).
         if cfg.use_pallas_scatter and _pallas_blk_ok(aux_slots.shape[0]):
             from cdlrm_tpu.ops.scatter import scatter_set_rows
 
+            nv_aux = jnp.sum((aux_slots != geo.trash_row).astype(jnp.int32))
             cache = scatter_set_rows(
-                cache, aux_slots, aux_rows.astype(jnp.float32)
+                cache, aux_slots, aux_rows.astype(jnp.float32), nv_aux,
+                interpret=cfg.pallas_interpret,
             )
         else:
             cache = cache.at[aux_slots].set(
@@ -761,7 +772,10 @@ def make_cached_train_step(
                 nv = jnp.sum(uniq_counts.astype(jnp.int32)) + (
                     0 if cfg.sorted_wire else 1
                 )
-                cache = scatter_add_rows(cache, uniq_slots, delta_rows, nv)
+                cache = scatter_add_rows(
+                    cache, uniq_slots, delta_rows, nv,
+                    interpret=cfg.pallas_interpret,
+                )
             else:
                 cache = cache.at[uniq_slots].add(
                     delta_rows, indices_are_sorted=cfg.sorted_wire
@@ -938,8 +952,10 @@ def make_cached_eval_step(
         if cfg.use_pallas_scatter and _pallas_blk_ok(aux_slots.shape[0]):
             from cdlrm_tpu.ops.scatter import scatter_set_rows
 
+            nv_aux = jnp.sum((aux_slots != geo.trash_row).astype(jnp.int32))
             cache = scatter_set_rows(
-                cache, aux_slots, aux_rows.astype(jnp.float32)
+                cache, aux_slots, aux_rows.astype(jnp.float32), nv_aux,
+                interpret=cfg.pallas_interpret,
             )
         else:
             cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
@@ -969,7 +985,9 @@ def make_cached_eval_step(
     return jax.jit(shardmapped, donate_argnums=(1,))
 
 
-def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
+def make_refill_step(
+    mesh: Mesh, cfg: StepConfig, trash_row: Optional[int] = None,
+) -> Callable:
     """Jitted refill: gather evicted rows (pre-insert values), scatter insert
     rows, then broadcast replica 0's cache to all replicas (the reference's
     rank-0 CacheEmbeddings + whole-cache NCCL broadcast,
@@ -1005,11 +1023,18 @@ def make_refill_step(mesh: Mesh, cfg: StepConfig) -> Callable:
             )
         if cfg.wire_rows_bf16:
             evicted = evicted.astype(jnp.bfloat16)  # halve the D2H writeback
-        if cfg.use_pallas_scatter and _pallas_blk_ok(insert_slots.shape[0]):
+        if (cfg.use_pallas_scatter and trash_row is not None
+                and _pallas_blk_ok(insert_slots.shape[0])):
             from cdlrm_tpu.ops.scatter import scatter_set_rows
 
+            # inserts never target the trash row, so the bucket's valid
+            # prefix is countable on-device (padding = trash_row)
+            nv_ins = jnp.sum(
+                (insert_slots != trash_row).astype(jnp.int32)
+            )
             cache = scatter_set_rows(
-                cache, insert_slots, insert_rows.astype(jnp.float32)
+                cache, insert_slots, insert_rows.astype(jnp.float32),
+                nv_ins, interpret=cfg.pallas_interpret,
             )
         else:
             cache = cache.at[insert_slots].set(
@@ -1104,12 +1129,14 @@ def make_aggregate_step(
             rows = jnp.take(cache, idx, axis=0, indices_are_sorted=True)
             agg_rows = combine(rows)
             if cfg.use_pallas_scatter and _pallas_blk_ok(idx.shape[0]):
-                # distinct valid prefix; every padded tail entry writes the
-                # SAME combined trash value — order-independent
+                # distinct valid prefix = the union count (on-device, free);
+                # padded tail entries are skipped entirely
                 from cdlrm_tpu.ops.scatter import scatter_set_rows
 
                 cache = scatter_set_rows(
-                    cache, idx.astype(jnp.int32), agg_rows
+                    cache, idx.astype(jnp.int32), agg_rows,
+                    jnp.sum(union.astype(jnp.int32)),
+                    interpret=cfg.pallas_interpret,
                 )
             else:
                 cache = cache.at[idx].set(

@@ -375,9 +375,11 @@ class CachedDlrmTrainer:
             # in the step (_pallas_blk_ok).
             use_pallas_scatter=bool(
                 cfg.use_pallas_scatter
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu"
+                     or cfg.pallas_interpret)
                 and cfg.m_spa % 128 == 0
             ),
+            pallas_interpret=cfg.pallas_interpret,
             wire_rows_bf16=cfg.wire_rows_bf16,
             track_touched=self._needs_agg,
             dedup=False,
@@ -407,7 +409,9 @@ class CachedDlrmTrainer:
         self.eval_step = step_lib.make_cached_eval_step(
             self.mesh, self.geo, scfg, self.pooled_width
         )
-        self.refill_step = step_lib.make_refill_step(self.mesh, scfg)
+        self.refill_step = step_lib.make_refill_step(
+            self.mesh, scfg, trash_row=self.geo.trash_row
+        )
         # sparse union exchange: per-step distinct touched slots <= global
         # lookups per step, so the union since the last aggregation is bounded
         # EXACTLY by freq * B_glob * T * P — no overflow branch needed. Near
@@ -1780,8 +1784,14 @@ class CachedDlrmTrainer:
             self._shardings["lead"],
             (self.ndev * rows_per_dev,),
         )
+        acc_path = os.path.join(path, f"embed_acc{tag}.npy")
+        if not self._adagrad and os.path.exists(acc_path):
+            raise ValueError(
+                f"{path!r} carries AdaGrad optimizer state but this run is "
+                "optimizer='sgd'; resuming would silently drop the "
+                "accumulators — pass --optimizer adagrad"
+            )
         if self._adagrad:
-            acc_path = os.path.join(path, f"embed_acc{tag}.npy")
             if not os.path.exists(acc_path):
                 raise ValueError(
                     f"optimizer='adagrad' but {path!r} carries no optimizer "

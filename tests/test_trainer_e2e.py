@@ -1231,3 +1231,59 @@ def test_adagrad_config_guards():
             qr_threshold=10).finalize(ln_emb=ln)
     # fulltable adagrad needs no dedup wire (no cache probe at all)
     raw(optimizer="adagrad", use_cache=False).finalize(ln_emb=ln)
+
+
+@pytest.mark.parametrize("opt", ["sgd", "adagrad"])
+def test_pallas_scatter_step_integration_matches_xla(opt):
+    """use_pallas_scatter's five step-integration branches (dedup unique-row
+    scatter-add with its nvalid prefix arithmetic, aux staging set, refill
+    insert set, aggregate union set, and the adagrad state ride-along) run
+    in interpret mode on the CPU mesh (Config.pallas_interpret) and must
+    reproduce the XLA-scatter run exactly — the on-chip A/B then only
+    settles PERF, not correctness. D=128 satisfies the kernels' lane
+    contract."""
+    ln_emb = np.array([50, 20, 70])
+
+    def run(pallas):
+        cfg = make_cfg(
+            arch_sparse_feature_size=128, arch_mlp_bot="13-32-128",
+            arch_mlp_top="64-1", mini_batch_size=32, world_size=2,
+            cache_size=32, num_ways=4, lookahead=3, table_agg_freq=4,
+            dedup_lookups="on", eviction_fifo_size=64, optimizer=opt,
+            use_pallas_scatter=pallas, pallas_interpret=pallas,
+        )
+        cfg.finalize(ln_emb=ln_emb)
+        ds = LearnableDataset(ln_emb, num_batches=18, batch=32, seed=6)
+        tr = CachedDlrmTrainer(cfg, ds)
+        assert tr.step_cfg_dedup.use_pallas_scatter is pallas
+        tr.eviction_manager.start = lambda: None  # freeze master (docstring
+        # of test_dedup_matches_plain_path: writeback landing time is
+        # timing-dependent BY DESIGN; freezing keeps the comparison exact)
+        tr.train(max_steps=14, log_fn=lambda s: None)
+        out = (
+            np.asarray(tr.cache).copy(),
+            {k: [(np.asarray(w), np.asarray(b)) for w, b in v]
+             for k, v in tr.params.items()},
+            np.asarray(tr.embed_acc).copy() if opt == "adagrad" else None,
+            tr.metrics.hits, tr.metrics.lookups,
+        )
+        tr.close()
+        return out
+
+    cache_x, params_x, acc_x, hits_x, lk_x = run(False)
+    cache_p, params_p, acc_p, hits_p, lk_p = run(True)
+    assert (hits_x, lk_x) == (hits_p, lk_p)
+    # trash rows (last row of each replica block) are out of contract
+    R = cache_x.shape[0] // 2
+    keep = np.ones(cache_x.shape[0], bool)
+    for r in range(2):
+        keep[r * R + R - 1] = False
+    np.testing.assert_allclose(cache_p[keep], cache_x[keep],
+                               rtol=1e-5, atol=1e-7)
+    if opt == "adagrad":
+        np.testing.assert_allclose(acc_p[keep], acc_x[keep],
+                                   rtol=1e-5, atol=1e-7)
+    for k in ("bot", "top"):
+        for (w, b), (wo, bo) in zip(params_p[k], params_x[k]):
+            np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(b, bo, rtol=1e-5, atol=1e-7)
