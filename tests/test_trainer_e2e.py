@@ -1233,8 +1233,12 @@ def test_adagrad_config_guards():
     raw(optimizer="adagrad", use_cache=False).finalize(ln_emb=ln)
 
 
-@pytest.mark.parametrize("opt", ["sgd", "adagrad"])
-def test_pallas_scatter_step_integration_matches_xla(opt):
+@pytest.mark.parametrize("opt,srt", [
+    ("sgd", False), ("adagrad", False),
+    ("sgd", True), ("adagrad", True),  # sorted unpacked wire: the
+    # no-reserved-head layout flips the nv arithmetic (sum vs 1+sum)
+])
+def test_pallas_scatter_step_integration_matches_xla(opt, srt):
     """use_pallas_scatter's five step-integration branches (dedup unique-row
     scatter-add with its nvalid prefix arithmetic, aux staging set, refill
     insert set, aggregate union set, and the adagrad state ride-along) run
@@ -1251,6 +1255,7 @@ def test_pallas_scatter_step_integration_matches_xla(opt):
             cache_size=32, num_ways=4, lookahead=3, table_agg_freq=4,
             dedup_lookups="on", eviction_fifo_size=64, optimizer=opt,
             use_pallas_scatter=pallas, pallas_interpret=pallas,
+            sorted_dedup_wire=srt, pack_wire=not srt,
         )
         cfg.finalize(ln_emb=ln_emb)
         ds = LearnableDataset(ln_emb, num_batches=18, batch=32, seed=6)
