@@ -142,6 +142,8 @@ def _load() -> Optional[ctypes.CDLL]:
             _PI32, _PI64, _I64, _PI64, _I64, _PU8, _PI64, _PI64, _I64, _I64,
             _I64, _PPI32, _PU8, _PI32, _PI64, _PI32, _PI64,
         ]
+        lib.cdlrm_sort_dedup_wire.restype = None
+        lib.cdlrm_sort_dedup_wire.argtypes = [_PI32, _PI32, _PI64, _I64, _I64]
         lib.cdlrm_unique_i64.restype = _I64
         lib.cdlrm_unique_i64.argtypes = [_PI64, _I64, _I64, _PI64]
         lib.cdlrm_gather_f32.restype = None
@@ -386,6 +388,25 @@ def map_probe_batch_dedup(
         _p(miss_counts, _PI64),
     )
     return inv_wire, uniq, uniq_counts, miss_pos, miss_counts
+
+
+def sort_dedup_wire(
+    ranks: np.ndarray, uniq_cat: np.ndarray, uniq_counts: np.ndarray
+) -> None:
+    """IN-PLACE sorted-wire post-pass (csrc cdlrm_sort_dedup_wire): permute
+    each table's first-seen-order unique segment ascending and remap the
+    table-local ranks (-1 masked lanes unchanged). Bit-identical to the
+    numpy stable-argsort path in host_cache.probe_dedup_raw (slots are
+    distinct per table, so the sorted order is unique)."""
+    lib = _load()
+    assert lib is not None
+    t_count, n = ranks.shape
+    assert ranks.dtype == np.int32 and ranks.flags.c_contiguous
+    assert uniq_cat.dtype == np.int32 and uniq_cat.flags.c_contiguous
+    counts = np.ascontiguousarray(uniq_counts, dtype=np.int64)
+    lib.cdlrm_sort_dedup_wire(
+        _p(ranks, _PI32), _p(uniq_cat, _PI32), _p(counts, _PI64), t_count, n
+    )
 
 
 def map_probe_batch_wire(

@@ -478,6 +478,43 @@ void cdlrm_map_probe_batch_dedup(
 // of `bits`-wide values — the generic wire emitter (train/step.py pack_slots
 // byte layout) for host-assembled buffers like the dedup unique list, where
 // the numpy bit loop costs ~12ms at 65k values and this costs ~0.1ms.
+// Sorted-wire post-pass (Config.sorted_dedup_wire): permute each table's
+// first-seen-order unique segment into ASCENDING slot order and remap the
+// table-local ranks through the permutation. In-place on both buffers.
+// ranks: [t_count, n] int32, -1 = masked (unchanged). uniq_cat:
+// concatenated per-table segments of lengths uniq_counts[t] (slots are
+// distinct within a table, so the order is unique — bit-identical to the
+// numpy stable-argsort fallback in host_cache.probe_dedup_raw). The numpy
+// path costs ~3 ms/batch at bench geometry (argsort + [T,N] fancy-index
+// remap); this is one linear remap pass plus U-element sorts (~2.3k/table).
+void cdlrm_sort_dedup_wire(int32_t* ranks, int32_t* uniq_cat,
+                           const int64_t* uniq_counts, int64_t t_count,
+                           int64_t n) {
+  std::vector<int64_t> base(t_count);
+  int64_t acc = 0;
+  for (int64_t t = 0; t < t_count; ++t) {
+    base[t] = acc;
+    acc += uniq_counts[t];
+  }
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t t = 0; t < t_count; ++t) {
+    const int64_t U = uniq_counts[t];
+    int32_t* u = uniq_cat + base[t];
+    std::vector<std::pair<int32_t, int32_t>> ps((size_t)U);
+    for (int64_t j = 0; j < U; ++j)
+      ps[(size_t)j] = {u[j], (int32_t)j};
+    std::sort(ps.begin(), ps.end());
+    std::vector<int32_t> remap((size_t)U);
+    for (int64_t j = 0; j < U; ++j) {
+      u[j] = ps[(size_t)j].first;
+      remap[(size_t)ps[(size_t)j].second] = (int32_t)j;
+    }
+    int32_t* r = ranks + t * n;
+    for (int64_t i = 0; i < n; ++i)
+      if (r[i] >= 0) r[i] = remap[(size_t)r[i]];
+  }
+}
+
 void cdlrm_pack_bits(const int64_t* vals, int64_t n, int64_t bits,
                      uint8_t* out) {
   const uint64_t sentinel = (1ull << bits) - 1ull;

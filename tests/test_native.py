@@ -288,7 +288,8 @@ def test_wire_roundtrip_every_width(bits):
 
 @pytest.mark.parametrize("masked", [False, True])
 @pytest.mark.parametrize("slot_map", [False, True])
-def test_probe_dedup_raw_native_matches_numpy(rng, masked, slot_map):
+@pytest.mark.parametrize("sort", [False, True])
+def test_probe_dedup_raw_native_matches_numpy(rng, masked, slot_map, sort):
     """The UNPACKED dedup wire (probe_dedup_raw: inv_bits=32 makes the
     bitstream a raw little-endian int32 array) must be bit-identical across
     all four host paths: occupancy-walk / direct-map x native / numpy."""
@@ -309,9 +310,13 @@ def test_probe_dedup_raw_native_matches_numpy(rng, masked, slot_map):
     win = [np.unique(ls_i[t][:64]) for t in range(3)]
     ctrl.plan_insert(win, [np.zeros((u.size, geo.dim), np.float32) for u in win])
 
-    got = ctrl.probe_dedup_raw(ls_i, master, valid=valid)
+    # sort=True additionally pins csrc cdlrm_sort_dedup_wire against the
+    # numpy stable-argsort remap (ascending segments, permuted ranks)
+    got = ctrl.probe_dedup_raw(ls_i, master, valid=valid, sort=sort)
     with mock.patch.object(native, "available", return_value=False):
-        want = ctrl.probe_dedup_raw(ls_i, master, valid=valid)
+        want = ctrl.probe_dedup_raw(ls_i, master, valid=valid, sort=sort)
+    if sort:
+        assert np.all(np.diff(got.uniq) > 0)
     assert got.inv_wire.dtype == want.inv_wire.dtype == np.int32
     assert np.array_equal(got.inv_wire, want.inv_wire)
     assert np.array_equal(got.uniq, want.uniq)
