@@ -959,7 +959,12 @@ def make_cached_eval_step(
             )
         else:
             cache = cache.at[aux_slots].set(aux_rows.astype(jnp.float32))
-        rows = jnp.take(cache, slots.reshape(-1), axis=0)
+        if cfg.use_pallas_lookup:
+            from cdlrm_tpu.ops.lookup import gather_rows
+
+            rows = gather_rows(cache, slots.reshape(-1))
+        else:
+            rows = jnp.take(cache, slots.reshape(-1), axis=0)
         if pooled_width > 0:
             r = rows.reshape(t_count, b_loc, pooled_width, d)
             ly = jnp.sum(r * ls_mask[..., None].astype(r.dtype), axis=2)

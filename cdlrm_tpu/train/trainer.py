@@ -339,17 +339,24 @@ class CachedDlrmTrainer:
         self._dedup = dmode == "on" and capable
         n_per_table = b_loc * max(1, pooled_width)
         self._inv_bits = step_lib.wire_width(n_per_table - 1)
-        pallas_ok = (
+        pallas_base = (
             cfg.use_pallas_lookup
+            and jax.default_backend() == "tpu"
+            and cfg.m_spa % 128 == 0
+        )
+        pallas_ok = (
+            pallas_base
             # dedup's [Ub] gather breaks the block contract; auto mode may
             # switch into dedup at any window boundary, so Pallas needs the
             # wire pinned plain
             and dmode == "off"
-            and jax.default_backend() == "tpu"
-            and cfg.m_spa % 128 == 0
             and _blk_ok(n_train)
             and _blk_ok(n_eval)
         )
+        # the EVAL wire is always plain regardless of the train dedup mode,
+        # so the forward-only (serving) gather can ride Pallas whenever its
+        # own shape qualifies
+        pallas_eval_ok = pallas_base and _blk_ok(n_eval)
         # single replica: aggregation is the identity (psum over one device),
         # so the agg step AND the per-step touched scatters are skipped
         self._needs_agg = self.ndev > 1
@@ -407,7 +414,9 @@ class CachedDlrmTrainer:
         self._scan_block = max(1, cfg.scan_steps)
         self._step_cache: dict = {}  # (block size, dedup) -> compiled step
         self.eval_step = step_lib.make_cached_eval_step(
-            self.mesh, self.geo, scfg, self.pooled_width
+            self.mesh, self.geo,
+            scfg._replace(use_pallas_lookup=pallas_eval_ok),
+            self.pooled_width,
         )
         self.refill_step = step_lib.make_refill_step(
             self.mesh, scfg, trash_row=self.geo.trash_row
