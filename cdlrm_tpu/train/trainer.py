@@ -1794,11 +1794,16 @@ class CachedDlrmTrainer:
             (self.ndev * rows_per_dev,),
         )
         acc_path = os.path.join(path, f"embed_acc{tag}.npy")
-        if not self._adagrad and os.path.exists(acc_path):
+        if (not self._adagrad and os.path.exists(acc_path)
+                and not self.cfg.inference_only):
+            # forward-only serving never reads the accumulators, so
+            # --inference-only may load an adagrad-trained checkpoint
+            # under any optimizer setting
             raise ValueError(
                 f"{path!r} carries AdaGrad optimizer state but this run is "
                 "optimizer='sgd'; resuming would silently drop the "
-                "accumulators — pass --optimizer adagrad"
+                "accumulators — pass --optimizer adagrad (or "
+                "--inference-only for serving)"
             )
         if self._adagrad:
             if not os.path.exists(acc_path):

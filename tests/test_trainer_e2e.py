@@ -1292,3 +1292,30 @@ def test_pallas_scatter_step_integration_matches_xla(opt, srt):
         for (w, b), (wo, bo) in zip(params_p[k], params_x[k]):
             np.testing.assert_allclose(w, wo, rtol=1e-5, atol=1e-7)
             np.testing.assert_allclose(b, bo, rtol=1e-5, atol=1e-7)
+
+
+def test_inference_only_loads_adagrad_checkpoint(tmp_path):
+    """Serving (--inference-only) never reads optimizer state, so an
+    adagrad-trained checkpoint must load under the default SGD config when
+    inference_only is set — and still be refused for TRAINING resume."""
+    ln = np.array([500, 200, 1000])
+    cfg = make_cfg(optimizer="adagrad", dedup_lookups="on")
+    ds = LearnableDataset(ln, num_batches=20)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=8, log_fn=lambda s: None)
+    ck = str(tmp_path / "ag")
+    tr.save_checkpoint(ck)
+    tr.close()
+
+    with pytest.raises(ValueError, match="AdaGrad optimizer state"):
+        t2 = CachedDlrmTrainer(make_cfg(), ds, ds)
+        try:
+            t2.load_checkpoint(ck)
+        finally:
+            t2.close()
+
+    t3 = CachedDlrmTrainer(make_cfg(inference_only=True), ds, ds)
+    t3.load_checkpoint(ck)
+    acc, auc = t3.evaluate(log_fn=lambda s: None)
+    t3.close()
+    assert 0.0 <= acc <= 1.0
