@@ -157,6 +157,21 @@ def main():
         "total": sum(byt.values()), "global_batch": b,
     })
 
+    # ---- adagrad: accum ride-along cost in aggregation (round 4) ----
+    # the [R]-f32 accum joins the union sync; at the sparse bucket its
+    # collective cost is bucket*4 bytes (vs bucket*d*4 for the rows) —
+    # ~1/d relative overhead
+    accum = jax.device_put(jnp.zeros(ndev * R, jnp.float32), lead)
+    scfg_ag = scfg._replace(optimizer="adagrad")
+    fn = step_lib.make_aggregate_step(
+        mesh, scfg_ag, union_bucket=bucket, trash_row=geo.trash_row)
+    compiled = fn.lower(cache, touched, accum).compile()
+    byt = collective_bytes(compiled)
+    results.append({
+        "step": "aggregate_sparse_adagrad", "collective_bytes": byt,
+        "total": sum(byt.values()), "union_bucket": bucket,
+    })
+
     for r in results:
         print(json.dumps(r))
 
