@@ -76,6 +76,10 @@ def main():
         # soak + pooled also run the UNPACKED wires (round-3 fast-host-link
         # mode): raw int32 ranks / plain int32 slots must stay host-symmetric
         pack_wire=not (soak or pooled),
+        # pooled also runs the SORTED unpacked wire across hosts: the
+        # argsort permutation is a pure function of the (host-identical)
+        # probe metadata, so 2x2 must stay aligned with 1x4
+        sorted_dedup_wire=pooled,
         # md: the cached mixed-dimension path across hosts (compact sharded
         # masters sliced from the procedural block -> values AND projections
         # are host-count-invariant, so 2x2 must match 1x4)
