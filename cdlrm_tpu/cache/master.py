@@ -162,6 +162,12 @@ class MasterTables:
         GB per checkpoint). ``init_token`` guards the procedural-init
         assumption: load re-derives the initial tables from the trainer's
         (seed, geometry) and must refuse a mismatched stream."""
+        np.savez(path, **self.dirty_payload(init_token))
+
+    def dirty_payload(self, init_token: int = 0) -> dict:
+        """The :meth:`save_dirty` payload as a SNAPSHOT dict (fancy-index
+        row copies — stable against concurrent eviction writeback), so an
+        async checkpoint writer can serialize it off the train thread."""
         payload = {
             "dirty_format": np.int64(1),
             "init_token": np.int64(init_token),
@@ -172,7 +178,7 @@ class MasterTables:
             ids = self._dirty.ids(t)
             payload[f"dirty_idx_{t}"] = ids
             payload[f"dirty_rows_{t}"] = self.tables[t][ids]
-        np.savez(path, **payload)
+        return payload
 
     def load(self, path: str, init_token: int = 0) -> None:
         """Restore from a full dump or a dirty-row incremental checkpoint
@@ -301,6 +307,9 @@ class MDMasterTables:
                  **{f"table_{t}": arr for t, arr in enumerate(self.tables)})
 
     def save_dirty(self, path: str, init_token: int = 0) -> None:
+        np.savez(path, **self.dirty_payload(init_token))
+
+    def dirty_payload(self, init_token: int = 0) -> dict:
         payload = {
             "dirty_format": np.int64(1),
             "init_token": np.int64(init_token),
@@ -312,7 +321,7 @@ class MDMasterTables:
             ids = self._dirty.ids(t)
             payload[f"dirty_idx_{t}"] = ids
             payload[f"dirty_rows_{t}"] = self.tables[t][ids]
-        np.savez(path, **payload)
+        return payload
 
     def load(self, path: str, init_token: int = 0) -> None:
         with np.load(path) as data:

@@ -213,6 +213,13 @@ class Config:
     #   of XLA's ~102 ns/row above-cliff scatter (PERF.md finding 11).
     #   Dedup wire only (distinct rows); needs dim % 128 == 0;
     #   auto-disabled otherwise
+    checkpoint_async: bool = False  # write checkpoint FILES on a background
+    #   thread: the train-thread cost shrinks to the eviction flush + the
+    #   device D2H + host-side snapshot copies; npz serialization/IO (the
+    #   dominant cost for big masters) overlaps training. The snapshot is
+    #   consistent: dirty-master rows are fancy-index-copied before any new
+    #   writeback can land. A later save/load/close joins the writer and
+    #   re-raises its errors.
     pallas_interpret: bool = False  # testing only: run Pallas scatter
     #   kernels in interpret mode so use_pallas_scatter's step integration
     #   is exercisable on the CPU mesh (also lifts the TPU-backend gate)

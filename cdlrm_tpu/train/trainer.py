@@ -27,6 +27,7 @@ import json
 import os
 import pickle
 import queue
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Iterator, List, Optional, Tuple
@@ -283,6 +284,8 @@ class CachedDlrmTrainer:
         # optimizer state (config.py optimizer doc): cache-resident row-wise
         # AdaGrad accumulators ([ndev*R] f32 like touched) + a dense-acc
         # pytree replicated like params. SGD carries none.
+        self._ckpt_thread = None  # async checkpoint writer (save_checkpoint)
+        self._ckpt_error = None
         self._adagrad = cfg.optimizer == "adagrad"
         if self._adagrad:
             self.embed_acc = put_global(
@@ -1683,9 +1686,30 @@ class CachedDlrmTrainer:
         except TypeError:
             self.master.load(file_path)  # loaders without dirty support
 
+    def _join_ckpt_writer(self) -> None:
+        """Wait for an outstanding async checkpoint writer and re-raise its
+        error (save/load/close are the join points)."""
+        th = getattr(self, "_ckpt_thread", None)
+        if th is not None:
+            th.join()
+            self._ckpt_thread = None
+            err = self._ckpt_error
+            self._ckpt_error = None
+            if err is not None:
+                raise RuntimeError(
+                    f"async checkpoint write failed: {err!r}"
+                ) from err
+
     def save_checkpoint(self, path: str) -> None:
         """Full-state checkpoint (capability upgrade; the reference parses
-        --save-model but never implements it, main_no_ddp.py:111-112)."""
+        --save-model but never implements it, main_no_ddp.py:111-112).
+
+        Structured as SNAPSHOT (on the train thread: eviction flush, device
+        D2H, host-side copies — everything that must see a consistent
+        instant) then WRITE (pure file serialization over the snapshot).
+        ``--checkpoint-async`` runs the write phase on a background thread;
+        the next save/load/close joins it."""
+        self._join_ckpt_writer()
         os.makedirs(path, exist_ok=True)
         # in-flight eviction writebacks must land in the masters first
         if not self.eviction_manager.flush(timeout=self.cfg.eviction_fifo_timeout):
@@ -1693,6 +1717,7 @@ class CachedDlrmTrainer:
                 "eviction writeback flush timed out; checkpoint would miss "
                 "in-flight evicted rows (raise --eviction-fifo-timeout)"
             )
+        # ---- snapshot phase ----
         # per-replica state is saved IN FULL: replicas legitimately diverge
         # between aggregations (local sparse SGD), and `touched` carries the
         # pending-aggregation set — collapsing either would make a resumed
@@ -1701,63 +1726,100 @@ class CachedDlrmTrainer:
         # host 0 additionally saves the replica-identical dense params,
         # occupancy, and meta.
         tag = f".h{jax.process_index()}" if self.multihost else ""
-        np.save(
-            os.path.join(path, f"cache{tag}.npy"),
-            np.concatenate([np.asarray(s.data) for s in
-                            self.cache.addressable_shards]),
-        )
-        np.save(
-            os.path.join(path, f"touched{tag}.npy"),
-            np.concatenate([np.asarray(s.data) for s in
-                            self.touched.addressable_shards]),
-        )
+        writes: list = []
+
+        def _npy(name, arr):
+            writes.append((np.save, os.path.join(path, name), arr))
+
+        def _npz(name, payload):
+            writes.append((
+                lambda p, d: np.savez(p, **d), os.path.join(path, name),
+                payload,
+            ))
+
+        _npy(f"cache{tag}.npy", np.concatenate(
+            [np.asarray(s.data) for s in self.cache.addressable_shards]))
+        _npy(f"touched{tag}.npy", np.concatenate(
+            [np.asarray(s.data) for s in self.touched.addressable_shards]))
         if self._adagrad:
             # optimizer state is per-replica like cache/touched (row-wise
             # accumulators) + replica-identical dense accumulators
-            np.save(
-                os.path.join(path, f"embed_acc{tag}.npy"),
-                np.concatenate([np.asarray(s.data) for s in
-                                self.embed_acc.addressable_shards]),
-            )
-        if self.multihost:
-            self._save_master(
-                os.path.join(path, f"master.h{jax.process_index()}.npz")
-            )
-            if jax.process_index() != 0:
-                return
-        else:
-            self._save_master(os.path.join(path, "master.npz"))
-        params = step_lib.unreplicate(self.params)
-        leaves, _ = jax.tree_util.tree_flatten(params)
-        np.savez(
-            os.path.join(path, "dense_params.npz"),
-            **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+            _npy(f"embed_acc{tag}.npy", np.concatenate(
+                [np.asarray(s.data)
+                 for s in self.embed_acc.addressable_shards]))
+        master_file = os.path.join(
+            path,
+            f"master.h{jax.process_index()}.npz" if self.multihost
+            else "master.npz",
         )
-        if self._adagrad:
-            acc_leaves, _ = jax.tree_util.tree_flatten(
-                step_lib.unreplicate(self.dense_acc)
+        if (self.cfg.checkpoint_masters == "dirty"
+                and hasattr(self.master, "dirty_payload")):
+            # snapshot the dirty rows NOW (fancy-index copies) — training
+            # may resume writebacks while the writer serializes
+            _npz(os.path.basename(master_file),
+                 self.master.dirty_payload(self._init_token()))
+        else:
+            # full/virtual dumps have no snapshot API; write synchronously
+            self._save_master(master_file)
+        if not (self.multihost and jax.process_index() != 0):
+            params = step_lib.unreplicate(self.params)
+            leaves, _ = jax.tree_util.tree_flatten(params)
+            _npz("dense_params.npz",
+                 {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+            if self._adagrad:
+                acc_leaves, _ = jax.tree_util.tree_flatten(
+                    step_lib.unreplicate(self.dense_acc)
+                )
+                _npz("dense_acc.npz",
+                     {f"leaf_{i}": np.asarray(l)
+                      for i, l in enumerate(acc_leaves)})
+            # state_dict returns LIVE occupancy arrays — copy at snapshot
+            _npz("occupancy.npz",
+                 {k: np.copy(v)
+                  for k, v in self.controller.state_dict().items()})
+            meta = {
+                # format history: v2 = round-2 layout (full local cache
+                # block + touched mask, unversioned); v3 adds this version
+                # field. Bump on any layout change so load_checkpoint can
+                # fail with a clear message instead of an incidental
+                # FileNotFoundError/reshape.
+                "format_version": CHECKPOINT_FORMAT_VERSION,
+                "global_step": self.global_step,
+                "rng_state": self.controller.rng.bit_generator.state,
+                # data cursor: resume continues the SAME stream alignment
+                "cursor": self._cursor,
+            }
+
+            def _meta(p, m):
+                with open(p, "wb") as f:
+                    pickle.dump(m, f)
+
+            writes.append((_meta, os.path.join(path, "meta.pkl"), meta))
+
+        # ---- write phase ----
+        def run_writes():
+            try:
+                for fn, p, data in writes:
+                    fn(p, data)
+            except BaseException as e:  # surfaced at the next join point
+                self._ckpt_error = e
+
+        if self.cfg.checkpoint_async:
+            self._ckpt_error = None
+            self._ckpt_thread = threading.Thread(
+                target=run_writes, name="ckpt-writer", daemon=True
             )
-            np.savez(
-                os.path.join(path, "dense_acc.npz"),
-                **{f"leaf_{i}": np.asarray(l)
-                   for i, l in enumerate(acc_leaves)},
-            )
-        np.savez(os.path.join(path, "occupancy.npz"), **self.controller.state_dict())
-        meta = {
-            # format history: v2 = round-2 layout (full local cache block +
-            # touched mask, unversioned); v3 adds this version field. Bump on
-            # any layout change so load_checkpoint can fail with a clear
-            # message instead of an incidental FileNotFoundError/reshape.
-            "format_version": CHECKPOINT_FORMAT_VERSION,
-            "global_step": self.global_step,
-            "rng_state": self.controller.rng.bit_generator.state,
-            # data cursor: resume continues the SAME stream/window alignment
-            "cursor": self._cursor,
-        }
-        with open(os.path.join(path, "meta.pkl"), "wb") as f:
-            pickle.dump(meta, f)
+            self._ckpt_thread.start()
+        else:
+            run_writes()
+            err = self._ckpt_error
+            self._ckpt_error = None
+            if err is not None:
+                raise err
 
     def load_checkpoint(self, path: str) -> None:
+        # an outstanding async writer may still be producing the files
+        self._join_ckpt_writer()
         # meta first: an incompatible-format checkpoint must fail with a
         # clear error, not an incidental FileNotFoundError mid-restore
         # (round-2 advisor finding)
@@ -1847,6 +1909,7 @@ class CachedDlrmTrainer:
 
     # ---------------------------------------------------------------- cleanup
     def close(self) -> None:
+        self._join_ckpt_writer()
         if self._metrics_fp is not None:
             self._metrics_fp.close()
             self._metrics_fp = None

@@ -1319,3 +1319,58 @@ def test_inference_only_loads_adagrad_checkpoint(tmp_path):
     acc, auc = t3.evaluate(log_fn=lambda s: None)
     t3.close()
     assert 0.0 <= acc <= 1.0
+
+
+def test_async_checkpoint_matches_sync(tmp_path):
+    """--checkpoint-async: the write phase runs on a background thread over
+    a consistent snapshot (dirty-master rows fancy-index-copied before new
+    writebacks land). Training CONTINUES during the write; the files must
+    equal a synchronous save taken at the same step of an identical run."""
+    ln = np.array([500, 200, 1000])
+
+    def run(async_mode):
+        cfg = make_cfg(checkpoint_async=async_mode)
+        ds = LearnableDataset(ln, num_batches=60)
+        tr = CachedDlrmTrainer(cfg, ds, ds)
+        tr.train(max_steps=24, log_fn=lambda s: None)
+        ck = str(tmp_path / ("async" if async_mode else "sync"))
+        tr.save_checkpoint(ck)
+        if async_mode:
+            assert tr._ckpt_thread is not None
+            # keep training while the writer serializes — new writebacks
+            # must not leak into the snapshot
+            tr.train(max_steps=48, log_fn=lambda s: None)
+        tr.close()  # joins the writer
+        return ck
+
+    ck_s = run(False)
+    ck_a = run(True)
+    import os
+    for name in sorted(os.listdir(ck_s)):
+        if name == "meta.pkl":
+            # identical runs pickle identical meta (rng state may hold
+            # arrays, so compare serialized bytes)
+            with open(os.path.join(ck_s, name), "rb") as f:
+                ms = f.read()
+            with open(os.path.join(ck_a, name), "rb") as f:
+                ma = f.read()
+            assert ms == ma
+            continue
+        # .npy loads return arrays, .npz return archives — handle both
+        a_s = np.load(os.path.join(ck_s, name), allow_pickle=False)
+        a_a = np.load(os.path.join(ck_a, name), allow_pickle=False)
+        if name.endswith(".npz"):
+            assert sorted(a_s.files) == sorted(a_a.files), name
+            for k in a_s.files:
+                np.testing.assert_array_equal(a_s[k], a_a[k], err_msg=f"{name}:{k}")
+            a_s.close(); a_a.close()
+        else:
+            np.testing.assert_array_equal(a_s, a_a, err_msg=name)
+
+    # and the async checkpoint restores into a working trainer
+    tr = CachedDlrmTrainer(make_cfg(), LearnableDataset(ln, num_batches=60),
+                           LearnableDataset(ln, num_batches=4, seed=9))
+    tr.load_checkpoint(ck_a)
+    assert tr.global_step == 24
+    tr.train(max_steps=30, log_fn=lambda s: None)
+    tr.close()
