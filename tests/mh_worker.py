@@ -41,12 +41,15 @@ def main():
     soak = mode == "soak"
     md = mode == "md"
     adagrad = mode == "adagrad"
+    pscatter = mode == "pscatter"
     steps = 16 if mode == "one_window" else (200 if soak else 24)
     lookahead = steps + 4 if mode == "one_window" else (6 if soak else 4)
     cfg = Config(
-        arch_sparse_feature_size=8,
+        # pscatter: the Pallas DMA row scatters need dim % 128 == 0
+        # (trainer gate) — dim 128 at the same tiny tables
+        arch_sparse_feature_size=128 if pscatter else 8,
         arch_embedding_size="300-500-200",
-        arch_mlp_bot="13-16-8",
+        arch_mlp_bot="13-16-128" if pscatter else "13-16-8",
         arch_mlp_top="8-1",
         mini_batch_size=8 * world,
         world_size=world,
@@ -92,8 +95,13 @@ def main():
         # compounds to ~1% by step 24 in BOTH orderings — numerically
         # expected, useless as a cross-topology pin)
         optimizer="adagrad" if adagrad else "sgd",
-        dedup_lookups="on" if adagrad else "auto",
+        dedup_lookups="on" if (adagrad or pscatter) else "auto",
         adagrad_eps=1e-2,
+        # pscatter: interpret-mode Pallas DMA scatters across hosts — the
+        # unique-row scatter-add, aux staging, and refill-insert DMA sites
+        # are per-shard local, so 2x2 must stay aligned with 1x4
+        use_pallas_scatter=pscatter,
+        pallas_interpret=pscatter,
     )
     cfg.finalize()
 
