@@ -38,31 +38,54 @@ until probe; do
 done
 echo "[queue] TPU live after $n failed probes ($(date -u +%H:%M:%S))" >&2
 
+FAILED=()
+
 run() {
-    local name="$1" tmo="$2"
+    local name="$1" tmo="$2" attempt="${ATTEMPT:-1}"
     shift 2
-    echo "[queue] >>> $name: $* ($(date -u +%H:%M:%S))" >&2
+    echo "[queue] >>> $name (attempt $attempt): $* ($(date -u +%H:%M:%S))" >&2
     local t0=$SECONDS
     if timeout "$tmo" env "$@" >"$OUT/$name.out" 2>"$OUT/$name.log"; then
         echo "[queue] <<< $name ok in $((SECONDS - t0))s" >&2
         # the contract: each harness's final stdout line is the JSON result
-        printf '{"harness": "%s", "result": %s}\n' \
-            "$name" "$(tail -n 1 "$OUT/$name.out")" >>"$RESULTS"
+        printf '{"harness": "%s", "attempt": %s, "result": %s}\n' \
+            "$name" "$attempt" "$(tail -n 1 "$OUT/$name.out")" >>"$RESULTS"
     else
         echo "[queue] <<< $name FAILED/timeout after $((SECONDS - t0))s (see $OUT/$name.log)" >&2
-        printf '{"harness": "%s", "result": null, "error": true}\n' \
-            "$name" >>"$RESULTS"
+        printf '{"harness": "%s", "attempt": %s, "result": null, "error": true}\n' \
+            "$name" "$attempt" >>"$RESULTS"
+        FAILED+=("$name $tmo $*")
     fi
 }
 
-run kernels        3600  python bench_kernels.py
-run block_ab       5400  python bench_block_ab.py
-run ab_dedup_base  3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on python bench.py
-run ab_sorted      3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PACK=0 BENCH_SORTED=1 python bench.py
-run ab_unsorted_up 3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PACK=0 python bench.py
-run ab_pscatter    3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PSCATTER=1 python bench.py
-run ab_adagrad     3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_OPT=adagrad python bench.py
-run headline       7200  python bench.py
-run pressure      14400  python bench_pressure.py
+pass() {
+    run kernels        3600  python bench_kernels.py
+    run block_ab       5400  python bench_block_ab.py
+    run ab_dedup_base  3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on python bench.py
+    run ab_sorted      3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PACK=0 BENCH_SORTED=1 python bench.py
+    run ab_unsorted_up 3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PACK=0 python bench.py
+    run ab_pscatter    3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PSCATTER=1 python bench.py
+    run ab_adagrad     3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_OPT=adagrad python bench.py
+    run headline       7200  python bench.py
+    run pressure      14400  python bench_pressure.py
+}
 
-echo "[queue] done ($(date -u +%H:%M:%S)); results in $RESULTS" >&2
+pass
+
+# one retry round for tunnel-flap casualties: wait for the link again, then
+# re-run each failed harness once
+if [ "${#FAILED[@]}" -gt 0 ]; then
+    echo "[queue] ${#FAILED[@]} harness(es) failed; waiting for link to retry" >&2
+    until probe; do
+        echo "[queue] retry probe failed ($(date -u +%H:%M:%S)); retry in 120s" >&2
+        sleep 120
+    done
+    RETRY=("${FAILED[@]}")
+    FAILED=()
+    for spec in "${RETRY[@]}"; do
+        # shellcheck disable=SC2086
+        ATTEMPT=2 run $spec
+    done
+fi
+
+echo "[queue] done, ${#FAILED[@]} still failed ($(date -u +%H:%M:%S)); results in $RESULTS" >&2
