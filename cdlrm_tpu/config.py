@@ -213,6 +213,18 @@ class Config:
     #   of XLA's ~102 ns/row above-cliff scatter (PERF.md finding 11).
     #   Dedup wire only (distinct rows); needs dim % 128 == 0;
     #   auto-disabled otherwise
+    refill_prestage: bool = True  # start the refill's insert-row H2D while
+    #   the previous window still trains: a depth-1 stager thread joins each
+    #   shadow-planned window's insert plan (pure build_insert_plan) and
+    #   dispatches the padded insert/evict transfers as soon as the window
+    #   is ready, so the boundary pays only plan replay + dispatch instead
+    #   of the synchronous transfer. Plan metadata/occupancy stay
+    #   bit-identical (shadow-planned); inserted row VALUES keep the
+    #   reference's eventually-consistent writeback envelope, read up to
+    #   one window earlier (trainer._WindowStager doc). Single-host
+    #   shadow-planned windows only (multi-host rows need the
+    #   boundary-ordered allgather first). Costs up to one extra window's
+    #   insert rows in HBM while staged.
     checkpoint_async: bool = False  # write checkpoint FILES on a background
     #   thread: the train-thread cost shrinks to the eviction flush + the
     #   device D2H + host-side snapshot copies; npz serialization/IO (the

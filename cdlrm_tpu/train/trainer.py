@@ -127,6 +127,98 @@ class _ProbeStats:
         m.table_lookups += self.lookups // self.table_hits.shape[0]
 
 
+class _WindowStager(threading.Thread):
+    """Depth-1 refill prestager (config.refill_prestage): pops ready windows
+    from the LookaheadPrefetcher and, for shadow-planned windows, joins the
+    insert plan (``build_insert_plan`` — a pure (plan_spec, rows) join) and
+    STARTS the H2D of the padded insert/evict arrays while the previous
+    window is still training. By the time the train thread reaches the
+    boundary the refill's device inputs are already in flight or landed, so
+    ``_apply_refill`` pays plan replay + dispatch instead of the synchronous
+    transfer (on the paper config the insert rows are the window's dominant
+    refill transfer; reference analog: the cache-manager process hiding its
+    fills off the trainer's critical path, cache_manager.py).
+
+    Exactness: the occupancy mutation (``apply_plan_spec``) stays on the
+    train thread at the boundary, preserving the probe/insert serialization
+    invariant (train/pipeline.py module doc); plan METADATA is shadow-planned
+    and therefore bit-identical with or without staging. The one re-timed
+    surface is inserted row VALUES: popping the window FIFO a step earlier
+    shifts when the prefetcher's master gathers run relative to in-flight
+    eviction writebacks — the same eventually-consistent envelope the
+    reference's asynchronous cache manager has (cache_manager.py:48-64), and
+    with no writebacks in flight the trajectory is bit-identical
+    (tests/test_trainer_e2e.py::test_refill_prestage_matches_unstaged pins
+    both statements). Windows without a plan_spec (mid-window resume
+    replays, shadowless unit configs) pass through unstaged. Cost: up to one
+    extra window's insert rows held in HBM while staged."""
+
+    def __init__(self, trainer):
+        super().__init__(daemon=True, name="window-stager")
+        self.trainer = trainer
+        self.out: "queue.Queue" = queue.Queue(maxsize=1)
+        self.error: Optional[BaseException] = None
+        self._stop_event = threading.Event()
+
+    def _stage(self, window: WindowData):
+        tr = self.trainer
+        plan = build_insert_plan(window.plan_spec, window.rows, tr.geo.dim)
+        dev = (
+            jnp.asarray(pad_to_bucket(plan.insert_slots, tr.geo.trash_row)),
+            jnp.asarray(
+                pad_to_bucket(plan.insert_rows, 0.0).astype(
+                    tr._row_wire_dtype, copy=False
+                )
+            ),
+            jnp.asarray(pad_to_bucket(plan.evict_slots, 0)),
+        )
+        return plan, dev
+
+    def run(self) -> None:
+        try:
+            while not self._stop_event.is_set():
+                try:
+                    window = self.trainer.prefetcher.get_window(timeout=0.1)
+                except queue.Empty:
+                    continue
+                if window is None:
+                    break
+                staged = (
+                    self._stage(window)
+                    if window.plan_spec is not None else None
+                )
+                while not self._stop_event.is_set():
+                    try:
+                        self.out.put((window, staged), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:
+            self.error = e
+        finally:
+            while not self._stop_event.is_set():
+                try:
+                    self.out.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self) -> Optional[Tuple[WindowData, Optional[tuple]]]:
+        """Pop (window, staged); None = stream exhausted (errors re-raised)."""
+        item = self.out.get()
+        if item is None and self.error is not None:
+            raise self.error
+        return item
+
+    def stop(self) -> None:
+        self._stop_event.set()
+        try:
+            while True:
+                self.out.get_nowait()
+        except queue.Empty:
+            pass
+
+
 class CachedDlrmTrainer:
     """End-to-end cached-DLRM trainer over a 1-D dp mesh."""
 
@@ -541,6 +633,7 @@ class CachedDlrmTrainer:
         self._dummy_masks: dict = {}  # (T, N_local) -> cached device constant
         self._pipeline_started = False
         self._pipe = None
+        self._stager = None
         self._stream_done = False
         self.global_step = 0
         # data cursor: (epoch, next batch index within it) — saved in
@@ -599,7 +692,7 @@ class CachedDlrmTrainer:
                 yield batch.ls_i
 
     # ------------------------------------------------------------------ refill
-    def _apply_refill(self, window: WindowData) -> None:
+    def _apply_refill(self, window: WindowData, staged=None) -> None:
         t0 = time.perf_counter()
         rows = window.rows
         if self.multihost:
@@ -608,37 +701,40 @@ class CachedDlrmTrainer:
             # window's train misses from it
             rows = exchange_window_rows(self.master, window.uniques, rows)
             self._window_store = WindowRowStore(window.uniques, rows)
-        if window.plan_spec is not None:
-            # shadow-planned window (cache/prefetcher.py): replay the
-            # occupancy mutations and join the row values — planning already
-            # happened off the refill critical path, on the prefetcher
-            plan = build_insert_plan(window.plan_spec, rows, self.geo.dim)
+        if staged is not None:
+            # prestaged by the _WindowStager: plan already joined and the
+            # padded device transfers already in flight — only the
+            # occupancy replay remains for the critical path
+            plan, (d_ins_slots, d_ins_rows, d_ev_slots) = staged
             self.controller.apply_plan_spec(window.plan_spec)
         else:
-            plan = self.controller.plan_insert(window.uniques, rows)
+            if window.plan_spec is not None:
+                # shadow-planned window (cache/prefetcher.py): replay the
+                # occupancy mutations and join the row values — planning
+                # already happened off the refill critical path, on the
+                # prefetcher
+                plan = build_insert_plan(window.plan_spec, rows, self.geo.dim)
+                self.controller.apply_plan_spec(window.plan_spec)
+            else:
+                plan = self.controller.plan_insert(window.uniques, rows)
+            d_ins_slots = jnp.asarray(
+                pad_to_bucket(plan.insert_slots, self.geo.trash_row))
+            d_ins_rows = jnp.asarray(
+                pad_to_bucket(plan.insert_rows, 0.0).astype(
+                    self._row_wire_dtype, copy=False))
+            d_ev_slots = jnp.asarray(pad_to_bucket(plan.evict_slots, 0))
         # occupancy is final for this window — adopt its negotiated staging
         # buckets (multihost: host-symmetric shapes; scan: batches stacked
         # in one block must share shapes)
         self._apply_window_stats(window)
-        ins_slots = pad_to_bucket(plan.insert_slots, self.geo.trash_row)
-        ins_rows = pad_to_bucket(plan.insert_rows, 0.0).astype(
-            self._row_wire_dtype, copy=False
-        )
-        ev_slots = pad_to_bucket(plan.evict_slots, 0)
         if self._adagrad:
             self.cache, self.embed_acc, evicted = self.refill_step(
-                self.cache,
-                jnp.asarray(ins_slots),
-                jnp.asarray(ins_rows),
-                jnp.asarray(ev_slots),
+                self.cache, d_ins_slots, d_ins_rows, d_ev_slots,
                 self.embed_acc,
             )
         else:
             self.cache, evicted = self.refill_step(
-                self.cache,
-                jnp.asarray(ins_slots),
-                jnp.asarray(ins_rows),
-                jnp.asarray(ev_slots),
+                self.cache, d_ins_slots, d_ins_rows, d_ev_slots,
             )
         n_evict = plan.evict_slots.shape[0]
         if n_evict:
@@ -1231,6 +1327,14 @@ class CachedDlrmTrainer:
                 skip_first_plan=(j0 % cfg.lookahead != 0),
             )
             self.prefetcher.start()
+            # refill prestager (config.refill_prestage doc): single-host
+            # only — multi-host window rows need the boundary-ordered
+            # allgather before the plan join, so there is nothing safe to
+            # stage ahead there
+            self._stager = None
+            if cfg.refill_prestage and not self.multihost:
+                self._stager = _WindowStager(self)
+                self._stager.start()
             self._pipe = AssemblyPipeline(
                 self, cfg.nepochs, cfg.lookahead,
                 max(1, cfg.pipeline_depth),
@@ -1494,7 +1598,11 @@ class CachedDlrmTrainer:
                     break
                 if boundary is not None:
                     item = boundary
-                    window = self.prefetcher.get_window()
+                    if self._stager is not None:
+                        popped = self._stager.get()
+                        window, staged = popped if popped else (None, None)
+                    else:
+                        window, staged = self.prefetcher.get_window(), None
                     if window is None:
                         break
                     if item is WINDOW_REPLAY:
@@ -1513,7 +1621,7 @@ class CachedDlrmTrainer:
                             )
                         self._apply_window_stats(window)
                     else:
-                        self._apply_refill(window)
+                        self._apply_refill(window, staged)
                     pipe.notify_refill_applied()
         finally:
             # the pipeline persists across train() calls; close() stops it
@@ -1916,6 +2024,8 @@ class CachedDlrmTrainer:
         if self._pipeline_started:
             if self._pipe is not None:
                 self._pipe.stop()
+            if self._stager is not None:
+                self._stager.stop()
             if self.prefetcher is not None:
                 self.prefetcher.stop()
             self.eviction_fifo.put(None)

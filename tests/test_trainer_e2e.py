@@ -1374,3 +1374,67 @@ def test_async_checkpoint_matches_sync(tmp_path):
     assert tr.global_step == 24
     tr.train(max_steps=30, log_fn=lambda s: None)
     tr.close()
+
+
+def test_refill_prestage_matches_unstaged():
+    """config.refill_prestage (default): the _WindowStager pre-joins each
+    shadow-planned window's insert plan and starts the padded H2D during the
+    previous window's compute.
+
+    Exactness envelope: plan METADATA (insert/evict slots, occupancy, RNG —
+    all shadow-planned, timing-independent) must be BIT-identical to the
+    synchronous boundary path, and with no writebacks in flight the whole
+    trajectory must be bit-identical too. Inserted row VALUES may read
+    either side of an in-flight eviction writeback (the reference's
+    eventually-consistent cache-manager semantics, cache_manager.py:48-64 —
+    a pre-existing envelope the stager only re-times), so under heavy
+    eviction the trajectories must agree to tolerance, not bitwise."""
+    ln = np.array([500, 200, 1000])
+
+    def run(prestage, **cfg_kw):
+        cfg = make_cfg(refill_prestage=prestage, **cfg_kw)
+        ds = LearnableDataset(ln, num_batches=60)
+        tr = CachedDlrmTrainer(cfg, ds, ds)
+        tr.train(max_steps=48, log_fn=lambda s: None)
+        if prestage:
+            assert tr._stager is not None and tr._stager.is_alive()
+        else:
+            assert tr._stager is None
+        import jax
+        from cdlrm_tpu.train import step as step_lib
+        leaves, _ = jax.tree_util.tree_flatten(
+            step_lib.unreplicate(tr.params))
+        out = (
+            [np.asarray(l) for l in leaves],
+            np.concatenate([np.asarray(s.data)
+                            for s in tr.cache.addressable_shards]),
+            float(tr.metrics.loss_sum),
+            int(tr.eviction_manager.rows_written),
+            tr.metrics.refills,
+            {k: np.copy(v) for k, v in tr.controller.state_dict().items()},
+        )
+        tr.close()
+        return out
+
+    # heavy-eviction regime: metadata bitwise, values to tolerance
+    p_on, c_on, loss_on, wb_on, rf_on, occ_on = run(True)
+    p_off, c_off, loss_off, wb_off, rf_off, occ_off = run(False)
+    assert rf_on == rf_off and rf_on > 1  # refills actually happened
+    assert wb_on == wb_off and wb_on > 0  # eviction writebacks live
+    assert sorted(occ_on) == sorted(occ_off)
+    for k in occ_on:
+        np.testing.assert_array_equal(occ_on[k], occ_off[k], err_msg=k)
+    assert loss_on == pytest.approx(loss_off, rel=1e-5)
+    for a, b in zip(p_on, p_off):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    # no-eviction regime: masters never mutate -> BIT-identical end to end
+    big = dict(cache_size=1024, num_ways=8)
+    p_on, c_on, loss_on, wb_on, rf_on, _ = run(True, **big)
+    p_off, c_off, loss_off, wb_off, rf_off, _ = run(False, **big)
+    assert rf_on == rf_off and rf_on > 1
+    assert wb_on == wb_off == 0
+    assert loss_on == loss_off
+    for a, b in zip(p_on, p_off):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(c_on, c_off)
