@@ -126,6 +126,11 @@ def main():
         # sorted_dedup_wire) — the round-4 A/B of finding 8's host-sort
         # trick applied to the coalesced unique form
         sorted_dedup_wire=os.environ.get("BENCH_SORTED", "0") == "1",
+        # BENCH_PRESTAGE=0: disable the refill prestager (config.py
+        # refill_prestage; default on) — the A/B shows up in the
+        # steady-state regime's caching_overhead_ms_per_iter (the headline
+        # timed region contains no refills by construction)
+        refill_prestage=os.environ.get("BENCH_PRESTAGE", "1") == "1",
     )
     cfg.finalize(ln_emb=ln_emb)
 
