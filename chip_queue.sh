@@ -67,6 +67,7 @@ pass() {
     run ab_pscatter    3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PSCATTER=1 python bench.py
     run ab_adagrad     3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_OPT=adagrad python bench.py
     run headline       7200  python bench.py
+    run ss_prestage_off 7200 BENCH_PRESTAGE=0 python bench.py
     run pressure      14400  python bench_pressure.py
 }
 
