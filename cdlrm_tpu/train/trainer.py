@@ -160,20 +160,6 @@ class _WindowStager(threading.Thread):
         self.error: Optional[BaseException] = None
         self._stop_event = threading.Event()
 
-    def _stage(self, window: WindowData):
-        tr = self.trainer
-        plan = build_insert_plan(window.plan_spec, window.rows, tr.geo.dim)
-        dev = (
-            jnp.asarray(pad_to_bucket(plan.insert_slots, tr.geo.trash_row)),
-            jnp.asarray(
-                pad_to_bucket(plan.insert_rows, 0.0).astype(
-                    tr._row_wire_dtype, copy=False
-                )
-            ),
-            jnp.asarray(pad_to_bucket(plan.evict_slots, 0)),
-        )
-        return plan, dev
-
     def run(self) -> None:
         try:
             while not self._stop_event.is_set():
@@ -183,10 +169,20 @@ class _WindowStager(threading.Thread):
                     continue
                 if window is None:
                     break
-                staged = (
-                    self._stage(window)
-                    if window.plan_spec is not None else None
-                )
+                # wait for the depth-1 slot BEFORE staging: the documented
+                # HBM budget is ONE extra window's insert rows — staging
+                # ahead of queue space would hold two
+                while self.out.full() and not self._stop_event.is_set():
+                    time.sleep(0.05)
+                if self._stop_event.is_set():
+                    return
+                tr = self.trainer
+                staged = None
+                if window.plan_spec is not None:
+                    plan = build_insert_plan(
+                        window.plan_spec, window.rows, tr.geo.dim
+                    )
+                    staged = (plan, tr._refill_device_inputs(plan))
                 while not self._stop_event.is_set():
                     try:
                         self.out.put((window, staged), timeout=0.1)
@@ -692,6 +688,18 @@ class CachedDlrmTrainer:
                 yield batch.ls_i
 
     # ------------------------------------------------------------------ refill
+    def _refill_device_inputs(self, plan: InsertPlan):
+        """The refill step's padded device operands for an insert plan —
+        the ONE place the pad/astype/H2D triple lives (both the boundary
+        path and the _WindowStager stage from here, so staged and unstaged
+        refills cannot drift)."""
+        return (
+            jnp.asarray(pad_to_bucket(plan.insert_slots, self.geo.trash_row)),
+            jnp.asarray(pad_to_bucket(plan.insert_rows, 0.0).astype(
+                self._row_wire_dtype, copy=False)),
+            jnp.asarray(pad_to_bucket(plan.evict_slots, 0)),
+        )
+
     def _apply_refill(self, window: WindowData, staged=None) -> None:
         t0 = time.perf_counter()
         rows = window.rows
@@ -717,12 +725,8 @@ class CachedDlrmTrainer:
                 self.controller.apply_plan_spec(window.plan_spec)
             else:
                 plan = self.controller.plan_insert(window.uniques, rows)
-            d_ins_slots = jnp.asarray(
-                pad_to_bucket(plan.insert_slots, self.geo.trash_row))
-            d_ins_rows = jnp.asarray(
-                pad_to_bucket(plan.insert_rows, 0.0).astype(
-                    self._row_wire_dtype, copy=False))
-            d_ev_slots = jnp.asarray(pad_to_bucket(plan.evict_slots, 0))
+            d_ins_slots, d_ins_rows, d_ev_slots = (
+                self._refill_device_inputs(plan))
         # occupancy is final for this window — adopt its negotiated staging
         # buckets (multihost: host-symmetric shapes; scan: batches stacked
         # in one block must share shapes)
@@ -1914,8 +1918,11 @@ class CachedDlrmTrainer:
 
         if self.cfg.checkpoint_async:
             self._ckpt_error = None
+            # NON-daemon: a process exit that bypasses close() must block
+            # on the writer instead of killing it mid-np.savez and leaving
+            # a silently truncated checkpoint on disk
             self._ckpt_thread = threading.Thread(
-                target=run_writes, name="ckpt-writer", daemon=True
+                target=run_writes, name="ckpt-writer", daemon=False
             )
             self._ckpt_thread.start()
         else:
@@ -2017,18 +2024,22 @@ class CachedDlrmTrainer:
 
     # ---------------------------------------------------------------- cleanup
     def close(self) -> None:
-        self._join_ckpt_writer()
-        if self._metrics_fp is not None:
-            self._metrics_fp.close()
-            self._metrics_fp = None
-        if self._pipeline_started:
-            if self._pipe is not None:
-                self._pipe.stop()
-            if self._stager is not None:
-                self._stager.stop()
-            if self.prefetcher is not None:
-                self.prefetcher.stop()
-            self.eviction_fifo.put(None)
+        # join the async checkpoint writer FIRST (its error must surface),
+        # but never let that raise skip the thread/file shutdown below
+        try:
+            self._join_ckpt_writer()
+        finally:
+            if self._metrics_fp is not None:
+                self._metrics_fp.close()
+                self._metrics_fp = None
+            if self._pipeline_started:
+                if self._pipe is not None:
+                    self._pipe.stop()
+                if self._stager is not None:
+                    self._stager.stop()
+                if self.prefetcher is not None:
+                    self.prefetcher.stop()
+                self.eviction_fifo.put(None)
 
 
 def _pad_batch(batch: Batch, to_size: int) -> Batch:

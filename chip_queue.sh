@@ -47,9 +47,19 @@ run() {
     local t0=$SECONDS
     if timeout "$tmo" env "$@" >"$OUT/$name.out" 2>"$OUT/$name.log"; then
         echo "[queue] <<< $name ok in $((SECONDS - t0))s" >&2
-        # the contract: each harness's final stdout line is the JSON result
-        printf '{"harness": "%s", "attempt": %s, "result": %s}\n' \
-            "$name" "$attempt" "$(tail -n 1 "$OUT/$name.out")" >>"$RESULTS"
+        # the contract: each harness's final stdout line is the JSON
+        # result — validate before interpolating so one stray stdout line
+        # cannot corrupt the whole results.jsonl
+        local last
+        last="$(tail -n 1 "$OUT/$name.out")"
+        if printf '%s' "$last" | python -c 'import json,sys; json.loads(sys.stdin.read())' 2>/dev/null; then
+            printf '{"harness": "%s", "attempt": %s, "result": %s}\n' \
+                "$name" "$attempt" "$last" >>"$RESULTS"
+        else
+            echo "[queue] $name: last stdout line is not JSON (see $OUT/$name.out)" >&2
+            printf '{"harness": "%s", "attempt": %s, "result": null, "bad_output": true}\n' \
+                "$name" "$attempt" >>"$RESULTS"
+        fi
     else
         echo "[queue] <<< $name FAILED/timeout after $((SECONDS - t0))s (see $OUT/$name.log)" >&2
         printf '{"harness": "%s", "attempt": %s, "result": null, "error": true}\n' \
