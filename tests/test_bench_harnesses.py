@@ -1,0 +1,80 @@
+"""Bitrot guards for the benchmark harnesses.
+
+The on-chip measurement queue (chip_queue.sh) runs bench.py /
+bench_kernels.py / bench_block_ab.py / bench_pressure.py the moment the
+TPU link is available — a harness that stopped importing or crashed at
+startup would burn the chip window on a traceback. Each harness exposes a
+CPU smoke mode (env-forced `jax_platforms=cpu` IN-PROCESS, because the
+image's sitecustomize pre-registers the axon TPU backend — CLAUDE.md);
+these tests run them at the tiniest geometry and assert the final stdout
+line is the JSON contract the queue collects.
+
+bench.py and bench_kernels.py have no CPU mode (they measure the real
+chip; bench.py's backend probe would hang on a down tunnel), so they get
+compile-only guards.
+"""
+
+import json
+import os
+import py_compile
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(env_extra, script, timeout=300):
+    env = dict(os.environ, **env_extra)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, script)],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [l for l in p.stdout.strip().splitlines() if l.strip()]
+    assert lines, f"{script}: no stdout"
+    return [json.loads(l) for l in lines if l.lstrip().startswith("{")]
+
+
+@pytest.mark.slow
+def test_block_ab_cpu_smoke():
+    out = _run(
+        {"BLOCKAB_CPU": "1", "BLOCKAB_TABLES": "2", "BLOCKAB_IDS": "500",
+         "BLOCKAB_BATCH": "32", "BLOCKAB_CACHE_ROWS": "2048"},
+        "bench_block_ab.py",
+    )
+    # one JSON line per stream, each carrying the A/B ratio
+    assert len(out) >= 2
+    for rec in out:
+        assert "B_over_A" in rec and rec["B_over_A"] > 0
+
+
+@pytest.mark.slow
+def test_pressure_cpu_smoke():
+    out = _run(
+        {"PRESSURE_CPU": "1", "PRESSURE_TABLES": "2", "PRESSURE_IDS": "600",
+         "PRESSURE_DIM": "8", "PRESSURE_BATCH": "32", "PRESSURE_STEPS": "12"},
+        "bench_pressure.py", timeout=600,
+    )
+    rec = out[-1]
+    assert rec["metric"] == "pressure_auc_gap"
+    assert "oracle" in rec and "cached" in rec
+    assert rec["pressure_real"] is False  # smoke geometry, flagged honestly
+
+
+@pytest.mark.slow
+def test_serving_ab_cpu_smoke():
+    out = _run({"SERVINGAB_CPU": "1"}, "bench_serving_ab.py", timeout=600)
+    rec = out[-1]
+    assert rec["metric"] == "serving_pipeline_ab"
+    assert rec["serial_examples_per_sec"] > 0
+    assert rec["pipelined_examples_per_sec"] > 0
+
+
+def test_chip_queue_harnesses_compile():
+    """bench.py / bench_kernels.py probe the real backend at import-of-main
+    (would hang on a down tunnel), so guard them compile-only."""
+    for script in ("bench.py", "bench_kernels.py", "bench_scaling.py",
+                   "bench_collectives.py"):
+        py_compile.compile(os.path.join(REPO, script), doraise=True)
