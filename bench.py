@@ -307,6 +307,9 @@ def main():
         wire_x_fp8=cfg.wire_x_fp8,
         wire_rows_bf16=True,
         pack_wire=cfg.pack_wire,
+        # the BENCH_PRESTAGE A/B lives HERE — the headline's timed region
+        # has no refills, so the knob must reach this regime's config
+        refill_prestage=cfg.refill_prestage,
     )
     cfg_ss.finalize(ln_emb=ln_emb)
     log(f"steady-state regime: lookahead={ss_lookahead}, {ss_steps} steps")
