@@ -10,8 +10,9 @@
 #   2. bench_block_ab.py           — block-coalescing go/no-go (VERDICT r3 #5)
 #   3. bench.py A/B set            — sorted wire / Pallas scatter / AdaGrad
 #                                    deltas vs the round-3 dedup headline
-#   4. bench.py (full)             — headline + eval + steady-state regimes
-#   5. bench_pressure.py           — full-table HBM oracle vs 30%/10% capacity
+#   4. bench_serving_ab.py         — versioned serial-vs-pipelined eval A/B
+#   5. bench.py (full)             — headline + eval + steady-state regimes
+#   6. bench_pressure.py           — full-table HBM oracle vs 30%/10% capacity
 #
 # Usage: ./chip_queue.sh [outdir]   (default outdir: chipqueue)
 set -u
@@ -76,6 +77,7 @@ pass() {
     run ab_unsorted_up 3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PACK=0 python bench.py
     run ab_pscatter    3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PSCATTER=1 python bench.py
     run ab_adagrad     3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_OPT=adagrad python bench.py
+    run serving_ab     3600  python bench_serving_ab.py
     run headline       7200  python bench.py
     run ss_prestage_off 7200 BENCH_PRESTAGE=0 python bench.py
     run pressure      14400  python bench_pressure.py
