@@ -43,6 +43,10 @@ def main():
             fig = (f"stream={res.get('stream')}: B/A={res['B_over_A']} "
                    f"(A={res.get('per_step_ms_A_dedup')} ms, "
                    f"B={res.get('per_step_ms_B_coalesced')} ms)")
+        elif isinstance(res, dict) and res.get("metric") == "serving_pipeline_ab":
+            fig = (f"serial={res.get('serial_examples_per_sec')} "
+                   f"pipelined={res.get('pipelined_examples_per_sec')} ex/s "
+                   f"({res.get('speedup')}x, hit={res.get('eval_hit_rate')})")
         elif isinstance(res, dict) and res.get("metric") == "pressure_auc_gap":
             fig = (f"gap={res.get('pressure_auc_gap')} "
                    f"real={res.get('pressure_real')}")
