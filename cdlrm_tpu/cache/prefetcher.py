@@ -48,9 +48,22 @@ HOT_SAMPLE_CAP = 1 << 22
 _WORKER_TABLES: List[np.ndarray] = []
 
 
-def _process_worker_init(table_paths: List[str]) -> None:
+def _worker_pin(counter, base: int) -> None:
+    """Pin the calling pool worker to base + (its arrival rank) — the
+    reference's per-worker taskset layout (cache_manager.py:21-23,79).
+    ``counter`` is a multiprocessing.Value so the same code serves both the
+    thread pool (shared in-process) and fork-inherited process workers."""
+    with counter.get_lock():
+        rank = counter.value
+        counter.value += 1
+    _pin_current_thread(base + rank)
+
+
+def _process_worker_init(table_paths: List[str], pin=None) -> None:
     global _WORKER_TABLES
     _WORKER_TABLES = [np.load(p, mmap_mode="r") for p in table_paths]
+    if pin is not None:
+        _worker_pin(*pin)
 
 
 def _process_worker_gather(t: int, idx_parts: List[np.ndarray]):
@@ -200,6 +213,7 @@ class LookaheadPrefetcher(threading.Thread):
         cache_workers: int = 2,
         nepochs: int = 1,
         pin_core: Optional[int] = None,
+        worker_pin_base: Optional[int] = None,
         backend: str = "thread",
         start_epoch: int = 0,
         skip_batches: int = 0,
@@ -240,6 +254,7 @@ class LookaheadPrefetcher(threading.Thread):
         self.cache_workers = max(1, cache_workers)
         self.nepochs = nepochs
         self.pin_core = pin_core
+        self.worker_pin_base = worker_pin_base
         self.backend = backend
         if backend == "process":
             paths = [
@@ -416,11 +431,23 @@ class LookaheadPrefetcher(threading.Thread):
         return stats
 
     def _make_pool(self):
+        pin = None
+        if self.worker_pin_base is not None:
+            import multiprocessing as mp
+
+            # fork-inherited shared counter: each worker takes the next core
+            pin = (mp.Value("i", 0), self.worker_pin_base)
         if self.backend == "process":
             return ProcessPoolExecutor(
                 max_workers=self.cache_workers,
                 initializer=_process_worker_init,
-                initargs=(self._table_paths,),
+                initargs=(self._table_paths, pin),
+            )
+        if pin is not None:
+            return ThreadPoolExecutor(
+                max_workers=self.cache_workers,
+                initializer=_worker_pin,
+                initargs=pin,
             )
         return ThreadPoolExecutor(max_workers=self.cache_workers)
 

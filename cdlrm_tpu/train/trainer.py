@@ -551,11 +551,21 @@ class CachedDlrmTrainer:
 
         # host pipeline
         self.eviction_fifo: "queue.Queue" = queue.Queue(maxsize=cfg.eviction_fifo_size)
+        # core-pin layout (cfg.main_start_core doc; reference
+        # main_no_ddp.py:634-635, cache_manager.py:71,79): main +0,
+        # prefetcher +1, eviction +2, worker p at +3+p. Pin the main thread
+        # BEFORE spawning pipeline threads — children inherit affinity, and
+        # every pinned thread re-pins itself to its own core on start.
+        if cfg.pin_cores:
+            from cdlrm_tpu.cache.prefetcher import _pin_current_thread
+
+            _pin_current_thread(cfg.main_start_core)
         self.eviction_manager = EvictionManager(
             self.master,
             self.eviction_fifo,
             average_on_writeback=cfg.average_on_writeback,
             timeout=cfg.eviction_fifo_timeout,
+            pin_core=cfg.main_start_core + 2 if cfg.pin_cores else None,
         )
         # built in _start_pipeline: its stream cursor depends on a possible
         # load_checkpoint between construction and the first train() call
@@ -1310,6 +1320,10 @@ class CachedDlrmTrainer:
                 batch_fifo_size=cfg.batch_fifo_size,
                 cache_workers=cfg.cache_workers,
                 nepochs=cfg.nepochs,
+                pin_core=cfg.main_start_core + 1 if cfg.pin_cores else None,
+                worker_pin_base=(
+                    cfg.main_start_core + 3 if cfg.pin_cores else None
+                ),
                 backend=cfg.prefetch_backend,
                 start_epoch=epoch0,
                 skip_batches=(j0 // cfg.lookahead) * cfg.lookahead,

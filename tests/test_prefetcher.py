@@ -138,7 +138,10 @@ def test_process_backend_mmap(rng, tmp_path):
     b1 = np.array([[1, 2, 2], [0, 1, 2]])
     b2 = np.array([[2, 3, 4], [2, 2, 2]])
     pf = LookaheadPrefetcher(make_stream([b1, b2]), master, lookahead=2,
-                             cache_workers=2, backend="process")
+                             cache_workers=2, backend="process",
+                             # fork-inherited pin counter must survive the
+                             # executor's initargs plumbing (pin_cores path)
+                             worker_pin_base=0)
     pf.start()
     w = pf.get_window(timeout=120)
     np.testing.assert_array_equal(w.uniques[0], [1, 2, 3, 4])
@@ -302,3 +305,58 @@ def test_hot_selection_and_cold_counts_exact(rng):
                 )
             worst_cold = max(worst_cold, cold)
     assert w.stats.worst_cold == worst_cold
+
+
+def test_pin_cores_layout(monkeypatch):
+    """cfg.pin_cores wires the reference's taskset layout end-to-end
+    (main_no_ddp.py:634-635, cache_manager.py:71,79): main thread at
+    main_start_core, prefetcher +1, eviction +2, cache worker p at +3+p
+    (mod cpu count). Recorded by intercepting the one syscall wrapper all
+    pin sites share."""
+    import os
+    import threading
+
+    from tests.test_trainer_e2e import LearnableDataset, make_cfg
+    from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+    calls = []  # (thread_name, cores) — GIL-append is thread-safe
+
+    def record(pid, cores):
+        assert pid == 0  # every pin targets the CALLING thread
+        calls.append((threading.current_thread().name, frozenset(cores)))
+
+    monkeypatch.setattr(os, "sched_setaffinity", record, raising=False)
+    cfg = make_cfg(pin_cores=True, main_start_core=5, cache_workers=2)
+    ds = LearnableDataset(cfg.ln_emb, num_batches=8)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=8, log_fn=lambda s: None)
+    tr.close()
+
+    ncpu = os.cpu_count()
+    by_thread = {name: cores for name, cores in calls}
+    assert by_thread["MainThread"] == {5 % ncpu}
+    assert by_thread["lookahead-prefetcher"] == {6 % ncpu}
+    assert by_thread["eviction-manager"] == {7 % ncpu}
+    worker_cores = sorted(
+        min(c) for n, c in calls
+        if n not in ("MainThread", "lookahead-prefetcher", "eviction-manager")
+    )
+    assert worker_cores == [8 % ncpu, 9 % ncpu]
+
+
+def test_pin_cores_default_off(monkeypatch):
+    """Without pin_cores no affinity syscall is ever issued."""
+    import os
+
+    from tests.test_trainer_e2e import LearnableDataset, make_cfg
+    from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+    def boom(pid, cores):  # pragma: no cover - failure path
+        raise AssertionError("sched_setaffinity called with pin_cores off")
+
+    monkeypatch.setattr(os, "sched_setaffinity", boom, raising=False)
+    cfg = make_cfg()
+    ds = LearnableDataset(cfg.ln_emb, num_batches=8)
+    tr = CachedDlrmTrainer(cfg, ds, ds)
+    tr.train(max_steps=8, log_fn=lambda s: None)
+    tr.close()
