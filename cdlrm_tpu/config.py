@@ -98,7 +98,10 @@ class Config:
     test_freq: int = -1
     test_mini_batch_size: int = -1
     test_num_workers: int = -1
-    print_time: bool = False
+    print_time: bool = False  # parsed for reference-CLI parity only: the
+    #   reference parses --print-time and never reads it
+    #   (main_no_ddp.py:104); ms/it + amortized caching overhead are always
+    #   in our print_freq window line (and --metrics-log)
 
     # ---- checkpointing (reference parses but never implements,
     #      main_no_ddp.py:111-112; we implement it) ----
@@ -119,7 +122,9 @@ class Config:
     #   eval path.
 
     # ---- mlperf (main_no_ddp.py:116-124) ----
-    mlperf_logging: bool = False
+    mlperf_logging: bool = False  # parsed for reference-CLI parity only
+    #   (the reference parses --mlperf-logging and never reads it,
+    #   main_no_ddp.py:116); the stop thresholds below are LIVE here
     mlperf_acc_threshold: float = 0.0
     mlperf_auc_threshold: float = 0.0
     mlperf_bin_loader: bool = False
