@@ -101,4 +101,5 @@ if [ "${#FAILED[@]}" -gt 0 ]; then
     done
 fi
 
+python chip_queue_finalize.py "$RESULTS" >&2 || true
 echo "[queue] done, ${#FAILED[@]} still failed ($(date -u +%H:%M:%S)); results in $RESULTS" >&2

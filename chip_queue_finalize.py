@@ -1,0 +1,47 @@
+"""Post-queue artifact extraction: lift selected harness results out of
+chipqueue/results.jsonl into the round-4 judge-facing artifact files
+(last successful attempt wins). Idempotent; run by chip_queue.sh after the
+pass, or by hand.
+
+Usage: python chip_queue_finalize.py [chipqueue/results.jsonl]
+"""
+
+import json
+import os
+import sys
+
+ARTIFACTS = {
+    "pressure": "PRESSURE_r04.json",
+    "serving_ab": "SERVING_r04.json",
+    "block_ab": "BLOCK_AB_r04.json",
+    "kernels": "KERNELS_r04.json",
+}
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "chipqueue/results.jsonl"
+    if not os.path.exists(path):
+        print(f"no results at {path}")
+        return 1
+    latest = {}
+    for line in open(path):
+        if not line.strip():
+            continue
+        r = json.loads(line)
+        if r.get("result") is not None:
+            latest[r["harness"]] = r["result"]
+    wrote = 0
+    for harness, out in ARTIFACTS.items():
+        if harness in latest:
+            with open(out, "w") as f:
+                json.dump(latest[harness], f, indent=1)
+                f.write("\n")
+            print(f"wrote {out}")
+            wrote += 1
+    if not wrote:
+        print("no artifact-mapped harness results yet")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
