@@ -230,10 +230,13 @@ class Config:
     #   of the synchronous transfer. Plan metadata/occupancy stay
     #   bit-identical (shadow-planned); inserted row VALUES keep the
     #   reference's eventually-consistent writeback envelope, read up to
-    #   one window earlier (trainer._WindowStager doc). Single-host
-    #   shadow-planned windows only (multi-host rows need the
-    #   boundary-ordered allgather first). Costs up to one extra window's
-    #   insert rows in HBM while staged.
+    #   one window earlier (trainer._WindowStager doc). Multi-host: the
+    #   same hoist runs on the MAIN thread at a deterministic mid-window
+    #   point (first block of each window), because the window-row
+    #   allgather must keep every host's collective sequence identical —
+    #   it moves the allgather + plan join + insert H2D off the boundary
+    #   (trainer._prefetch_next_window doc). Costs up to one extra
+    #   window's rows + insert payload in RAM/HBM while staged.
     checkpoint_async: bool = False  # write checkpoint FILES on a background
     #   thread: the train-thread cost shrinks to the eviction flush + the
     #   device D2H + host-side snapshot copies; npz serialization/IO (the

@@ -710,14 +710,50 @@ class CachedDlrmTrainer:
             jnp.asarray(pad_to_bucket(plan.evict_slots, 0)),
         )
 
-    def _apply_refill(self, window: WindowData, staged=None) -> None:
+    def _prefetch_next_window(self) -> None:
+        """Multi-host refill prestage (config.refill_prestage): run the NEXT
+        boundary's host half one window early — pop window w+1 from the
+        prefetcher while window w still trains, allgather its rows, join the
+        insert plan, and start the padded insert/evict H2D. Called from the
+        main loop right after the FIRST block of each window: a point that
+        is the same on every host (block caps are pure functions of shared
+        state), so the allgather keeps the hosts' collective sequences
+        identical — the reason the threaded _WindowStager cannot serve
+        multi-host. The occupancy replay (apply_plan_spec) stays at the
+        boundary: probe/insert serialization invariant (train/pipeline.py).
+
+        Exactness matches the single-host stager's documented envelope:
+        plan metadata is shadow-planned (bit-identical); window row VALUES
+        were already gathered at window production, so the only re-timed
+        surface is the prefetcher's next gather moving one FIFO slot
+        earlier — the reference's eventually-consistent writeback envelope
+        (cache_manager.py:48-64). Cost: one extra window's rows + insert
+        payload held until the boundary."""
+        window = self.prefetcher.get_window()
+        if window is None:
+            self._mh_pending = (None, None, None)
+            return
+        rows = exchange_window_rows(self.master, window.uniques, window.rows)
+        staged = None
+        if window.plan_spec is not None:
+            plan = build_insert_plan(window.plan_spec, rows, self.geo.dim)
+            staged = (plan, self._refill_device_inputs(plan))
+        self._mh_pending = (window, rows, staged)
+        self.mh_prefetches += 1
+
+    def _apply_refill(self, window: WindowData, staged=None,
+                      rows_exchanged=None) -> None:
         t0 = time.perf_counter()
         rows = window.rows
         if self.multihost:
             # reassemble the full window from per-host owned slices (one
             # fixed-shape allgather; parallel/multihost.py), then serve this
-            # window's train misses from it
-            rows = exchange_window_rows(self.master, window.uniques, rows)
+            # window's train misses from it. rows_exchanged: the allgather
+            # already ran mid-previous-window (_prefetch_next_window)
+            if rows_exchanged is not None:
+                rows = rows_exchanged
+            else:
+                rows = exchange_window_rows(self.master, window.uniques, rows)
             self._window_store = WindowRowStore(window.uniques, rows)
         if staged is not None:
             # prestaged by the _WindowStager: plan already joined and the
@@ -1345,14 +1381,20 @@ class CachedDlrmTrainer:
                 skip_first_plan=(j0 % cfg.lookahead != 0),
             )
             self.prefetcher.start()
-            # refill prestager (config.refill_prestage doc): single-host
-            # only — multi-host window rows need the boundary-ordered
-            # allgather before the plan join, so there is nothing safe to
-            # stage ahead there
+            # refill prestager (config.refill_prestage doc). Single-host:
+            # a thread (_WindowStager). Multi-host: the window rows need
+            # the collective-ordered allgather, which must stay on the
+            # MAIN thread — so the main loop itself runs the boundary's
+            # host half one window early, at a deterministic mid-window
+            # point (_prefetch_next_window).
             self._stager = None
             if cfg.refill_prestage and not self.multihost:
                 self._stager = _WindowStager(self)
                 self._stager.start()
+            self._mh_prestage = cfg.refill_prestage and self.multihost
+            self._mh_pending: Optional[tuple] = None
+            self._mh_want_prefetch = False
+            self.mh_prefetches = 0  # observability + test pin
             self._pipe = AssemblyPipeline(
                 self, cfg.nepochs, cfg.lookahead,
                 max(1, cfg.pipeline_depth),
@@ -1611,18 +1653,29 @@ class CachedDlrmTrainer:
                     items.append(item)
                 if items:
                     run_block(items)
+                    if self._mh_want_prefetch:
+                        # first block of this window has been dispatched —
+                        # the deterministic hoist point for the next
+                        # window's allgather + plan join + H2D
+                        self._mh_want_prefetch = False
+                        self._prefetch_next_window()
                 if stream_end:
                     self._stream_done = True
                     break
                 if boundary is not None:
                     item = boundary
+                    rows_ex = None
                     if self._stager is not None:
                         popped = self._stager.get()
                         window, staged = popped if popped else (None, None)
+                    elif self._mh_pending is not None:
+                        window, rows_ex, staged = self._mh_pending
+                        self._mh_pending = None
                     else:
                         window, staged = self.prefetcher.get_window(), None
                     if window is None:
                         break
+                    self._mh_want_prefetch = self._mh_prestage
                     if item is WINDOW_REPLAY:
                         # mid-window resume: the checkpointed occupancy and
                         # controller RNG already reflect this window's insert
@@ -1639,7 +1692,8 @@ class CachedDlrmTrainer:
                             )
                         self._apply_window_stats(window)
                     else:
-                        self._apply_refill(window, staged)
+                        self._apply_refill(window, staged,
+                                           rows_exchanged=rows_ex)
                     pipe.notify_refill_applied()
         finally:
             # the pipeline persists across train() calls; close() stops it
@@ -1945,6 +1999,17 @@ class CachedDlrmTrainer:
             self._ckpt_error = None
             if err is not None:
                 raise err
+            if self.multihost:
+                # shared-dir visibility barrier: a host must not be able to
+                # return from save (and possibly load_checkpoint the same
+                # dir) before EVERY host's files exist. Synchronous saves
+                # only — an async writer finishes off the main thread, where
+                # no collective may run; async cross-host resume needs
+                # external completion coordination (each host joins only
+                # its OWN writer).
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("cdlrm_ckpt_save")
 
     def load_checkpoint(self, path: str) -> None:
         # an outstanding async writer may still be producing the files

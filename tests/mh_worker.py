@@ -48,7 +48,11 @@ def main():
         # pscatter: the Pallas DMA row scatters need dim % 128 == 0
         # (trainer gate) — dim 128 at the same tiny tables
         arch_sparse_feature_size=128 if pscatter else 8,
-        arch_embedding_size="300-500-200",
+        # resume: fully-resident geometry (128 cache rows/table >= every
+        # table) — bit-exact resume is the contract only when no miss-row
+        # gather races an eviction writeback, same as the single-host pin
+        # (test_trainer_e2e.py::test_midstream_resume_equals_uninterrupted)
+        arch_embedding_size="60-40-50" if mode == "resume" else "300-500-200",
         arch_mlp_bot="13-16-128" if pscatter else "13-16-8",
         arch_mlp_top="8-1",
         mini_batch_size=8 * world,
@@ -67,7 +71,14 @@ def main():
         # multi_window also exercises scan blocks across hosts: block caps
         # are pure functions of shared state, so every host runs identical
         # block sizes and the in-scan collectives stay aligned
-        scan_steps=3 if mode == "multi_window" else (5 if mode == "soak" else 1),
+        scan_steps=(
+            3 if mode in ("multi_window", "noprestage")
+            else (5 if mode == "soak" else 1)
+        ),
+        # noprestage: multi_window with the main-thread window prefetch
+        # (trainer._prefetch_next_window) disabled — the parent pins the
+        # boundary-time and hoisted paths to the same trajectory
+        refill_prestage=mode != "noprestage",
         # soak: every round-2/3 feature at once — scan blocks, insert-delta
         # refill (agg freq 3 divides lookahead 6 -> trajectory-equal),
         # eviction-heavy geometry, per-window negotiated miss bucket, and
@@ -129,17 +140,64 @@ def main():
     )
 
     losses = []
-    trainer = CachedDlrmTrainer(cfg, train, test)
 
-    def log(line):
-        if trainer.last_window is not None:
-            losses.append(float(trainer.last_window["loss"]))
+    def _state(tr):
+        cache = np.concatenate(
+            [np.asarray(s.data) for s in tr.cache.addressable_shards]
+        )
+        leaves = jax.tree_util.tree_leaves(tr.params)
+        # params are replicated: any addressable shard carries the value
+        return cache, [
+            np.asarray(l.addressable_shards[0].data) for l in leaves
+        ]
 
-    try:
-        m = trainer.train(max_steps=steps, log_fn=log)
-        acc, auc = trainer.evaluate(log_fn=lambda s: None)
-    finally:
-        trainer.close()
+    if mode == "resume":
+        # multi-host mid-window checkpoint/resume (single-host pinned in
+        # tests/test_trainer_e2e.py::test_midstream_resume_equals_...):
+        # final cache + dense params must be bit-identical to the
+        # uninterrupted run, with the mh refill prestage live throughout
+        # SHARED across hosts: per-host files carry .h{pid} tags; host 0
+        # writes the replica-identical pieces; save_checkpoint's multihost
+        # barrier orders every host's writes before any host returns
+        ckpt = os.path.join(os.path.dirname(outfile), f"ckpt_{nproc}")
+        base = CachedDlrmTrainer(cfg, train, test)
+        try:
+            base.train(max_steps=steps, log_fn=lambda s: None)
+            base_cache, base_params = _state(base)
+        finally:
+            base.close()
+        part = CachedDlrmTrainer(cfg, train, test)
+        try:
+            part.train(max_steps=14, log_fn=lambda s: None)  # mid-window
+            part.save_checkpoint(ckpt)
+        finally:
+            part.close()
+        trainer = CachedDlrmTrainer(cfg, train, test)
+        try:
+            trainer.load_checkpoint(ckpt)
+            m = trainer.train(max_steps=steps, log_fn=lambda s: None)
+            res_cache, res_params = _state(trainer)
+            assert np.array_equal(base_cache, res_cache), (
+                "resumed cache diverged from the uninterrupted run"
+            )
+            for b, r in zip(base_params, res_params):
+                assert np.array_equal(b, r), "resumed dense params diverged"
+            losses.append(float(np.abs(res_cache).sum()))  # cross-host pin
+            acc, auc = trainer.evaluate(log_fn=lambda s: None)
+        finally:
+            trainer.close()
+    else:
+        trainer = CachedDlrmTrainer(cfg, train, test)
+
+        def log(line):
+            if trainer.last_window is not None:
+                losses.append(float(trainer.last_window["loss"]))
+
+        try:
+            m = trainer.train(max_steps=steps, log_fn=log)
+            acc, auc = trainer.evaluate(log_fn=lambda s: None)
+        finally:
+            trainer.close()
 
     if trainer.multihost:
         # negotiated eval miss bucket (trainer._assemble, VERDICT r2 item
@@ -163,6 +221,7 @@ def main():
         "hit_rate": m.hit_rate,
         "rows_written": trainer.eviction_manager.rows_written,
         "multihost": trainer.multihost,
+        "mh_prefetches": trainer.mh_prefetches,
         # buckets must be identical across hosts (compiled global shapes);
         # the parent asserts cross-process equality
         "eval_buckets": [list(kv) for kv in trainer._eval_bucket_log],

@@ -163,6 +163,43 @@ def test_two_process_multi_window_with_writeback(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_refill_prestage_matches_boundary_path(tmp_path):
+    """Multi-host refill prestage (trainer._prefetch_next_window): hoisting
+    the window-row allgather + plan join + insert H2D to mid-window must
+    leave the trajectory identical to the boundary-time path — plan
+    metadata is shadow-planned either way, and at this scale no writeback
+    races the prefetcher's gathers (the single-host stager's pinned
+    envelope, test_trainer_e2e.py::test_refill_prestage_matches_unstaged)."""
+    pre = _run_cluster(2, 2, 12421, "multi_window", tmp_path)
+    off = _run_cluster(2, 2, 12422, "noprestage", tmp_path)
+    # the hoisted path actually engaged (one prefetch per non-first window)
+    assert all(r["mh_prefetches"] > 0 for r in pre)
+    assert all(r["mh_prefetches"] == 0 for r in off)
+    assert np.allclose(pre[0]["losses"], off[0]["losses"], rtol=1e-6)
+    assert pre[0]["hit_rate"] == pytest.approx(off[0]["hit_rate"])
+    assert (
+        sum(r["rows_written"] for r in pre)
+        == sum(r["rows_written"] for r in off)
+    )
+
+
+@pytest.mark.slow
+def test_two_process_midstream_resume(tmp_path):
+    """Multi-host mid-window checkpoint/resume over a SHARED checkpoint dir
+    (host-tagged shard files + the save-side visibility barrier): the
+    resumed run's final cache and dense params must be bit-identical to the
+    uninterrupted run on every host — asserted inside the worker
+    (tests/mh_worker.py mode='resume'); the mh refill prestage is live
+    throughout."""
+    duo = _run_cluster(2, 2, 12423, "resume", tmp_path)
+    assert all(r["multihost"] for r in duo)
+    assert all(r["mh_prefetches"] > 0 for r in duo)
+    # the |cache| signature is per-host (different replicas) — equality is
+    # asserted in-worker against that host's own uninterrupted run
+    assert all(np.isfinite(r["losses"]).all() for r in duo)
+
+
+@pytest.mark.slow
 def test_two_process_pooled_multihot(tmp_path):
     """Padded multi-hot bags through the multi-host path (wire sentinel for
     masked positions, window-store misses, eval exchange) must match the
