@@ -34,6 +34,7 @@ import numpy as np
 
 from cdlrm_tpu.cache.master import MasterTables
 from cdlrm_tpu.ops import native
+from cdlrm_tpu.utils import affinity
 
 _SENTINEL = None
 
@@ -49,14 +50,7 @@ _WORKER_TABLES: List[np.ndarray] = []
 
 
 def _worker_pin(counter, base: int) -> None:
-    """Pin the calling pool worker to base + (its arrival rank) — the
-    reference's per-worker taskset layout (cache_manager.py:21-23,79).
-    ``counter`` is a multiprocessing.Value so the same code serves both the
-    thread pool (shared in-process) and fork-inherited process workers."""
-    with counter.get_lock():
-        rank = counter.value
-        counter.value += 1
-    _pin_current_thread(base + rank)
+    _worker_pin_impl(counter, base)
 
 
 def _process_worker_init(table_paths: List[str], pin=None) -> None:
@@ -105,11 +99,10 @@ class WindowData:
     hot_slots: Optional[np.ndarray] = None
 
 
-def _pin_current_thread(core: int) -> None:
-    try:
-        os.sched_setaffinity(0, {core % os.cpu_count()})
-    except (AttributeError, OSError):  # non-Linux or restricted
-        pass
+# canonical home is utils/affinity.py (the data loaders pin too); these
+# aliases keep the pipeline-local names
+_pin_current_thread = affinity.pin_current_thread
+_worker_pin_impl = affinity.worker_pin
 
 
 class EvictionManager(threading.Thread):
@@ -431,12 +424,7 @@ class LookaheadPrefetcher(threading.Thread):
         return stats
 
     def _make_pool(self):
-        pin = None
-        if self.worker_pin_base is not None:
-            import multiprocessing as mp
-
-            # fork-inherited shared counter: each worker takes the next core
-            pin = (mp.Value("i", 0), self.worker_pin_base)
+        pin = affinity.make_pin(self.worker_pin_base)
         if self.backend == "process":
             return ProcessPoolExecutor(
                 max_workers=self.cache_workers,

@@ -160,9 +160,10 @@ class Config:
     aux_capacity: int = -1  # miss-row slots per table per step; -1 = local batch
     pin_cores: bool = False  # sched_setaffinity pinning of pipeline threads
     main_start_core: int = 0  # base of the pin layout when pin_cores: main
-    #   thread at +0, prefetcher +1, eviction +2, cache worker p at +3+p —
-    #   the reference's taskset layout (main_no_ddp.py:130,634,
-    #   cache_manager.py:71,79); cores wrap modulo os.cpu_count()
+    #   thread at +0, prefetcher +1, eviction +2, cache worker p at +3+p,
+    #   Criteo loader worker w at +3+cache_workers+w — the reference's
+    #   taskset layout (main_no_ddp.py:130,634, cache_manager.py:71,79,
+    #   dlrm_data_pytorch.py:341-343); cores wrap modulo os.cpu_count()
     prefetch_backend: str = "thread"  # thread | process
     master_init: str = "uniform"  # uniform | tile | virtual (see cache/master.py)
     master_mmap_dir: str = ""  # file-back master tables here (enables process prefetch)

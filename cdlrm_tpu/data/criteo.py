@@ -59,12 +59,17 @@ class CriteoStreamingDataset:
         drop_last: bool = False,
         counts_file: Optional[str] = None,
         num_workers: int = 0,
+        pin_base: Optional[int] = None,
     ):
         """``num_workers`` > 0: decompress the NEXT day file on a background
         thread while the current day streams (the reference threads
         args.num_workers into its torch DataLoaders,
         dlrm_data_pytorch.py:528-543; here the npz day decompress is the
-        heavy unit of read work, and zlib releases the GIL)."""
+        heavy unit of read work, and zlib releases the GIL).
+
+        ``pin_base``: pin loader threads at pin_base+id — the reference's
+        criteo_worker_pin_fn layout (dlrm_data_pytorch.py:341-343), wired
+        from config pin_cores by make_criteo_datasets."""
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.npzfile_prefix = npzfile_prefix
@@ -74,6 +79,7 @@ class CriteoStreamingDataset:
         self.max_ind_range = max_ind_range
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.pin_base = pin_base
 
         day_count_file = npzfile_prefix + "_count.npz"
         if not path.exists(day_count_file):
@@ -177,7 +183,14 @@ class CriteoStreamingDataset:
         if self.num_workers > 0 and len(live_days) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            pool = ThreadPoolExecutor(max_workers=1)
+            from cdlrm_tpu.utils import affinity
+
+            pin = affinity.make_pin(self.pin_base)
+            pool = ThreadPoolExecutor(
+                max_workers=1,
+                **({"initializer": affinity.worker_pin, "initargs": pin}
+                   if pin else {}),
+            )
         try:
             yield from self._stream(
                 live_days, rem, b, carry, load_day, pool, futures
@@ -325,6 +338,7 @@ class CriteoBinDataset:
         shuffle: bool = False,
         seed: int = 123,
         num_workers: int = 0,
+        pin_base: Optional[int] = None,
     ):
         """``shuffle``: seeded batch-order permutation, the equivalent of the
         reference's RandomSampler over the bin dataset
@@ -336,7 +350,10 @@ class CriteoBinDataset:
         (dlrm_data_pytorch.py:528-543): random access makes batches
         independently fetchable, so ``batches()`` keeps up to 2*num_workers
         reads in flight on a thread pool and yields in order. 0 = fetch on
-        the calling thread."""
+        the calling thread.
+
+        ``pin_base``: pin fetch threads at pin_base+id (reference
+        criteo_worker_pin_fn, dlrm_data_pytorch.py:341-343)."""
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.data_file = data_file
@@ -347,6 +364,7 @@ class CriteoBinDataset:
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = num_workers
+        self.pin_base = pin_base
         with np.load(counts_file) as data:
             self.counts = data["counts"]
         self.m_den = DEN_FEA
@@ -407,8 +425,15 @@ class CriteoBinDataset:
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
+            from cdlrm_tpu.utils import affinity
+
+            pin = affinity.make_pin(self.pin_base)
             depth = 2 * self.num_workers
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            with ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                **({"initializer": affinity.worker_pin, "initargs": pin}
+                   if pin else {}),
+            ) as pool:
                 pending: deque = deque()
                 for i in order:
                     pending.append(pool.submit(self.get_batch, int(i)))
@@ -483,6 +508,15 @@ def make_criteo_datasets(cfg):
     # empty batches forever
     if cfg.test_mini_batch_size <= 0:
         cfg.test_mini_batch_size = cfg.mini_batch_size
+    # loader-worker pin layout: after the cache workers (the reference
+    # hardcodes 13+id, dlrm_data_pytorch.py:341-343; derived here so the
+    # layout composes with main/prefetcher/eviction/worker pins —
+    # config.main_start_core doc). Train and test loaders share the range:
+    # they are never hot concurrently (test cadences pause the train loop)
+    lpin = (
+        cfg.main_start_core + 3 + cfg.cache_workers
+        if cfg.pin_cores else None
+    )
     if cfg.mlperf_bin_loader:
         d_path = os.path.dirname(cfg.processed_data_file) or "."
         counts_file = os.path.join(d_path, "day_fea_count.npz")
@@ -493,12 +527,12 @@ def make_criteo_datasets(cfg):
             os.path.join(d_path, "train_data.bin"), counts_file,
             cfg.mini_batch_size, cfg.max_ind_range,
             shuffle=cfg.mlperf_bin_shuffle, seed=cfg.numpy_rand_seed,
-            num_workers=max(0, cfg.num_workers),
+            num_workers=max(0, cfg.num_workers), pin_base=lpin,
         )
         test = CriteoBinDataset(
             os.path.join(d_path, "test_data.bin"), counts_file,
             cfg.test_mini_batch_size, cfg.max_ind_range,
-            num_workers=max(0, cfg.test_num_workers),
+            num_workers=max(0, cfg.test_num_workers), pin_base=lpin,
         )
         cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
         return train, test, cfg
@@ -532,12 +566,12 @@ def make_criteo_datasets(cfg):
         train = CriteoStreamingDataset(
             npzfile_prefix, range(days - 1), cfg.mini_batch_size,
             split="train", max_ind_range=cfg.max_ind_range, drop_last=True,
-            num_workers=max(0, cfg.num_workers),
+            num_workers=max(0, cfg.num_workers), pin_base=lpin,
         )
         test = CriteoStreamingDataset(
             npzfile_prefix, [days - 1], cfg.test_mini_batch_size,
             split="test", max_ind_range=cfg.max_ind_range,
-            num_workers=max(0, cfg.test_num_workers),
+            num_workers=max(0, cfg.test_num_workers), pin_base=lpin,
         )
         cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
         return train, test, cfg

@@ -557,9 +557,9 @@ class CachedDlrmTrainer:
         # BEFORE spawning pipeline threads — children inherit affinity, and
         # every pinned thread re-pins itself to its own core on start.
         if cfg.pin_cores:
-            from cdlrm_tpu.cache.prefetcher import _pin_current_thread
+            from cdlrm_tpu.utils.affinity import pin_current_thread
 
-            _pin_current_thread(cfg.main_start_core)
+            pin_current_thread(cfg.main_start_core)
         self.eviction_manager = EvictionManager(
             self.master,
             self.eviction_fifo,

@@ -446,3 +446,47 @@ def test_num_workers_streams_identical(prepared, tmp_path):
         out2.append(next(it2))
     check_same(out1, ref)
     check_same(out2, ref)
+
+
+def test_loader_worker_pinning(prepared, tmp_path, monkeypatch):
+    """pin_base pins loader worker threads at base+id (the reference's
+    criteo_worker_pin_fn layout, dlrm_data_pytorch.py:341-343) for both the
+    bin fetch pool and the streaming day-ahead thread; no affinity syscall
+    without it."""
+    import os as os_mod
+    import threading
+
+    d, raw, prefix, pro = prepared
+    train_files = [f"{prefix}_{i}_reordered.npz" for i in range(DAYS - 1)]
+    bin_path = str(tmp_path / "train_data.bin")
+    numpy_to_binary(train_files, bin_path, split="train")
+    counts_file = str(d / "train_fea_count.npz")
+
+    calls = []
+    monkeypatch.setattr(
+        os_mod, "sched_setaffinity",
+        lambda pid, cores: calls.append(
+            (threading.current_thread().name, frozenset(cores))
+        ),
+        raising=False,
+    )
+    ncpu = os_mod.cpu_count()
+
+    ds = CriteoBinDataset(bin_path, counts_file, batch_size=8,
+                          num_workers=2, pin_base=9)
+    list(ds.batches())
+    worker_cores = sorted(min(c) for n, c in calls if "Main" not in n)
+    assert worker_cores == [9 % ncpu, 10 % ncpu]
+
+    calls.clear()
+    stream = CriteoStreamingDataset(
+        prefix, range(DAYS - 1), 8, split="train", num_workers=1, pin_base=9
+    )
+    list(stream.batches())
+    assert [min(c) for n, c in calls if "Main" not in n] == [9 % ncpu]
+
+    calls.clear()
+    unpinned = CriteoBinDataset(bin_path, counts_file, batch_size=8,
+                                num_workers=2)
+    list(unpinned.batches())
+    assert not calls
