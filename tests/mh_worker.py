@@ -86,6 +86,11 @@ def main():
         # the shadow stats must keep the cross-host trajectory aligned)
         refill_broadcast="delta" if mode == "soak" else "strict",
         table_agg_freq=3 if mode == "soak" else 6,
+        # soak also runs MID-TRAIN eval cadences: the eval collectives
+        # (row exchange + one-psum metrics) interleave with refills, agg
+        # steps AND the prestage hoist's allgather — every host must issue
+        # the identical sequence or the cross-topology pins below diverge
+        test_freq=60 if soak else -1,
         hot_tier_rows=16 if soak else 0,
         # soak + pooled also run the UNPACKED wires (round-3 fast-host-link
         # mode): raw int32 ranks / plain int32 slots must stay host-symmetric
