@@ -72,7 +72,7 @@ def main():
         # are pure functions of shared state, so every host runs identical
         # block sizes and the in-scan collectives stay aligned
         scan_steps=(
-            3 if mode in ("multi_window", "noprestage")
+            3 if mode in ("multi_window", "noprestage", "resume")
             else (5 if mode == "soak" else 1)
         ),
         # noprestage: multi_window with the main-thread window prefetch
