@@ -23,7 +23,6 @@ the shutdown sentinel.
 
 from __future__ import annotations
 
-import os
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
