@@ -158,6 +158,15 @@ class Config:
     #   (single-device)
     strict_bias_divergence: bool = False  # reproduce reference bias non-sync bug
     aux_capacity: int = -1  # miss-row slots per table per step; -1 = local batch
+    data_host_slice: bool = False  # multi-host bin-loader IO slicing: each
+    #   host READS only its replicas' row range of every train batch (the
+    #   packed layout makes the slice one contiguous seek+read), zero-
+    #   filling the rest so shapes and cursor accounting are unchanged. The
+    #   prefetcher's index pass always reads full rows (host-identical
+    #   cache metadata). Train-pass IO scales 1/H instead of 1x per host;
+    #   the reference streams the full loader on every rank and slices on
+    #   device (main_no_ddp.py:388-391). Bin loader only; 2-process
+    #   trajectory pinned equal to unsliced (tests/test_multihost.py).
     pin_cores: bool = False  # sched_setaffinity pinning of pipeline threads
     main_start_core: int = 0  # base of the pin layout when pin_cores: main
     #   thread at +0, prefetcher +1, eviction +2, cache worker p at +3+p,

@@ -339,6 +339,7 @@ class CriteoBinDataset:
         seed: int = 123,
         num_workers: int = 0,
         pin_base: Optional[int] = None,
+        host_rows: Optional[tuple] = None,
     ):
         """``shuffle``: seeded batch-order permutation, the equivalent of the
         reference's RandomSampler over the bin dataset
@@ -353,7 +354,20 @@ class CriteoBinDataset:
         the calling thread.
 
         ``pin_base``: pin fetch threads at pin_base+id (reference
-        criteo_worker_pin_fn, dlrm_data_pytorch.py:341-343)."""
+        criteo_worker_pin_fn, dlrm_data_pytorch.py:341-343).
+
+        ``host_rows``: multi-host train-pass IO slicing — (lo, hi) row range
+        of each batch this host's replicas consume (contiguous, process-
+        major; parallel/multihost.py determinism doc). Only those rows are
+        READ (one contiguous seek+read of (hi-lo)/batch_size of the bytes);
+        rows outside come back zero so batch shapes, skip/drop-last
+        accounting, and the assembly's per-replica slicing are unchanged.
+        The trainer touches only its local replicas' rows by construction;
+        the prefetcher's index pass (index_batches / get_index_batch) always
+        reads FULL rows regardless of host_rows — cache metadata must stay
+        host-identical (parallel/multihost.py invariant). The reference has
+        every rank consume the full loader stream and slice on device
+        (main_no_ddp.py:388-391)."""
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.data_file = data_file
@@ -365,6 +379,13 @@ class CriteoBinDataset:
         self.seed = seed
         self.num_workers = num_workers
         self.pin_base = pin_base
+        if host_rows is not None:
+            lo, hi = host_rows
+            if not (0 <= lo < hi <= batch_size):
+                raise ValueError(
+                    f"host_rows {host_rows} outside [0, {batch_size}]"
+                )
+        self.host_rows = host_rows
         with np.load(counts_file) as data:
             self.counts = data["counts"]
         self.m_den = DEN_FEA
@@ -391,9 +412,22 @@ class CriteoBinDataset:
 
     def get_batch(self, idx: int) -> Batch:
         f = self._file()
-        f.seek(idx * self.bytes_per_entry, 0)
-        raw = f.read(self.bytes_per_entry)
-        arr = np.frombuffer(raw, dtype=np.int32).reshape(-1, self.TOT_FEA)
+        if self.host_rows is not None:
+            row_bytes = self.bytes_per_entry // self.batch_size
+            total_rows = os.path.getsize(self.data_file) // row_bytes
+            n = min(self.batch_size, total_rows - idx * self.batch_size)
+            lo, hi = self.host_rows
+            lo, hi = min(lo, n), min(hi, n)
+            f.seek(idx * self.bytes_per_entry + lo * row_bytes, 0)
+            raw = f.read((hi - lo) * row_bytes)
+            arr = np.zeros((n, self.TOT_FEA), dtype=np.int32)
+            arr[lo:hi] = np.frombuffer(raw, dtype=np.int32).reshape(
+                -1, self.TOT_FEA
+            )
+        else:
+            f.seek(idx * self.bytes_per_entry, 0)
+            raw = f.read(self.bytes_per_entry)
+            arr = np.frombuffer(raw, dtype=np.int32).reshape(-1, self.TOT_FEA)
         return transform_batch(
             arr[:, 1 : 1 + DEN_FEA], arr[:, 1 + DEN_FEA :], arr[:, 0], self.max_ind_range
         )
@@ -523,11 +557,24 @@ def make_criteo_datasets(cfg):
         if not path.exists(counts_file):
             base = cfg.raw_data_file.split("/")[-1].split(".")[0]
             counts_file = os.path.join(d_path, base + "_fea_count.npz")
+        host_rows = None
+        if cfg.data_host_slice:
+            import jax
+
+            nproc = jax.process_count()
+            if nproc > 1:
+                # contiguous process-major replica slice of each batch
+                # (trainer asserts the same layout; CriteoBinDataset
+                # host_rows doc). world % nproc and batch % world are
+                # enforced at Config.finalize.
+                pid, b = jax.process_index(), cfg.mini_batch_size
+                host_rows = (pid * b // nproc, (pid + 1) * b // nproc)
         train = CriteoBinDataset(
             os.path.join(d_path, "train_data.bin"), counts_file,
             cfg.mini_batch_size, cfg.max_ind_range,
             shuffle=cfg.mlperf_bin_shuffle, seed=cfg.numpy_rand_seed,
             num_workers=max(0, cfg.num_workers), pin_base=lpin,
+            host_rows=host_rows,
         )
         test = CriteoBinDataset(
             os.path.join(d_path, "test_data.bin"), counts_file,

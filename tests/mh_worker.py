@@ -37,6 +37,8 @@ def main():
     from cdlrm_tpu.train.trainer import CachedDlrmTrainer
 
     world = jax.device_count()
+    if mode == "binslice":
+        return binslice_main(pid, nproc, world, outfile)
     pooled = mode == "pooled"
     soak = mode == "soak"
     md = mode == "md"
@@ -233,6 +235,84 @@ def main():
     }
     with open(outfile, "w") as f:
         json.dump(result, f)
+    print(f"worker {pid}/{nproc} OK", flush=True)
+
+
+def binslice_main(pid, nproc, world, outfile):
+    """config.data_host_slice e2e: a bin-backed training where each host
+    READS only its replicas' row range must be trajectory-identical to the
+    full-read run — catches any code path that would consume the
+    zero-filled out-of-slice rows. Fully-resident geometry (same reasoning
+    as the resume scenario). Every worker fabricates the identical bin
+    bytes from the same seed; no file sharing needed."""
+    import numpy as np
+
+    import jax
+
+    from cdlrm_tpu.config import Config
+    from cdlrm_tpu.data.criteo import SPA_FEA, CriteoBinDataset
+    from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+    steps, b = 16, 8 * world
+    rows = b * (steps + 2)
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 2, (rows, 1))
+    x_int = rng.integers(0, 100, (rows, 13))
+    x_cat = rng.integers(0, 50, (rows, SPA_FEA))
+    d = os.path.dirname(outfile)
+    bin_path = os.path.join(d, f"binslice_{pid}.bin")
+    counts_path = os.path.join(d, f"binslice_counts_{pid}.npz")
+    with open(bin_path, "wb") as f:
+        f.write(np.concatenate([y, x_int, x_cat], axis=1)
+                .astype(np.int32).tobytes())
+    np.savez(counts_path, counts=np.full(SPA_FEA, 50, np.int64))
+
+    cfg_kw = dict(
+        arch_sparse_feature_size=8, arch_mlp_bot="13-16-8",
+        arch_mlp_top="8-1", mini_batch_size=b, world_size=world,
+        cache_size=32, num_ways=4, loss_function="bce", lookahead=4,
+        print_freq=4, round_targets=True, numpy_rand_seed=7,
+        master_init="virtual", batch_fifo_size=4, scan_steps=3,
+    )
+
+    def run(host_rows):
+        cfg = Config(**cfg_kw)
+        train = CriteoBinDataset(bin_path, counts_path, batch_size=b,
+                                 host_rows=host_rows)
+        test = CriteoBinDataset(bin_path, counts_path, batch_size=b)
+        cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
+        tr = CachedDlrmTrainer(cfg, train, test)
+        try:
+            tr.train(max_steps=steps, log_fn=lambda s: None)
+            cache = np.concatenate(
+                [np.asarray(s.data) for s in tr.cache.addressable_shards]
+            )
+            leaves = [
+                np.asarray(l.addressable_shards[0].data)
+                for l in jax.tree_util.tree_leaves(tr.params)
+            ]
+            acc, auc = tr.evaluate(log_fn=lambda s: None)
+            hit = tr.metrics.hit_rate
+        finally:
+            tr.close()
+        return cache, leaves, float(acc), hit
+
+    full_cache, full_params, full_acc, _ = run(None)
+    sl = (pid * b // nproc, (pid + 1) * b // nproc)
+    cache, params, acc, hit = run(sl)
+    assert np.array_equal(full_cache, cache), (
+        "host-sliced run diverged from the full-read run"
+    )
+    for a, bb in zip(full_params, params):
+        assert np.array_equal(a, bb), "dense params diverged under host_rows"
+    assert acc == full_acc
+
+    with open(outfile, "w") as f:
+        json.dump({"pid": pid, "nproc": nproc, "world": world,
+                   "losses": [float(np.abs(cache).sum())],
+                   "acc": acc, "auc": None, "hit_rate": hit,
+                   "rows_written": 0, "multihost": nproc > 1,
+                   "mh_prefetches": 0, "eval_buckets": []}, f)
     print(f"worker {pid}/{nproc} OK", flush=True)
 
 

@@ -490,3 +490,79 @@ def test_loader_worker_pinning(prepared, tmp_path, monkeypatch):
                                 num_workers=2)
     list(unpinned.batches())
     assert not calls
+
+
+def test_bin_host_rows_slice(prepared, tmp_path):
+    """host_rows (config data_host_slice): only the host's row range is
+    read — those rows match the full loader exactly, the rest are the
+    zero-row transform; skip/shuffle ordering is unchanged; and the
+    prefetcher's index view ignores the slice entirely (host-identical
+    cache metadata is the multi-host determinism invariant)."""
+    d, raw, prefix, pro = prepared
+    train_files = [f"{prefix}_{i}_reordered.npz" for i in range(DAYS - 1)]
+    bin_path = str(tmp_path / "train_data.bin")
+    numpy_to_binary(train_files, bin_path, split="train")
+    counts_file = str(d / "train_fea_count.npz")
+    bs, lo, hi = 12, 3, 9
+
+    full = CriteoBinDataset(bin_path, counts_file, batch_size=bs,
+                            shuffle=True, seed=5)
+    part = CriteoBinDataset(bin_path, counts_file, batch_size=bs,
+                            shuffle=True, seed=5, host_rows=(lo, hi))
+    zero = transform_batch(
+        np.zeros((1, 13), np.int32), np.zeros((1, 26), np.int32),
+        np.zeros(1, np.int32),
+    )
+    for k, (a, b) in enumerate(zip(full.batches(skip=2), part.batches(skip=2))):
+        n = a.x.shape[0]
+        assert b.x.shape[0] == n
+        s, e = min(lo, n), min(hi, n)
+        np.testing.assert_array_equal(a.x[s:e], b.x[s:e])
+        np.testing.assert_array_equal(a.ls_i[:, s:e], b.ls_i[:, s:e])
+        np.testing.assert_array_equal(a.y[s:e], b.y[s:e])
+        out = np.r_[0:s, e:n]
+        np.testing.assert_array_equal(b.x[out], np.broadcast_to(zero.x, (out.size, 13)))
+        np.testing.assert_array_equal(b.ls_i[:, out], 0)
+        np.testing.assert_array_equal(b.y[out], 0.0)
+    # index view: bit-identical to the unsliced loader
+    for ia, ib in zip(full.index_batches(), part.index_batches()):
+        np.testing.assert_array_equal(ia, ib)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CriteoBinDataset(bin_path, counts_file, batch_size=bs,
+                         host_rows=(9, 3))
+
+
+def test_make_datasets_host_slice_wiring(prepared, monkeypatch):
+    """config data_host_slice computes the process-major row range for the
+    TRAIN loader only (test loader and a 1-process run stay unsliced)."""
+    import jax
+
+    from cdlrm_tpu.config import Config
+    from cdlrm_tpu.data.criteo import make_criteo_datasets
+
+    d, raw, prefix, pro = prepared
+    # bin files for the factory's expected names
+    train_files = [f"{prefix}_{i}_reordered.npz" for i in range(DAYS - 1)]
+    numpy_to_binary(train_files, str(d / "train_data.bin"), split="train")
+    numpy_to_binary([f"{prefix}_{DAYS-1}_reordered.npz"],
+                    str(d / "test_data.bin"), split="test")
+
+    def cfg_fn():
+        return Config(
+            arch_sparse_feature_size=8, arch_mlp_bot="13-8", arch_mlp_top="8-1",
+            mini_batch_size=32, world_size=4, cache_size=16, num_ways=2,
+            data_generation="dataset", data_set="kaggle",
+            raw_data_file=raw, processed_data_file=str(d / "x.npz"),
+            mlperf_bin_loader=True, data_host_slice=True,
+        )
+
+    train, test, _ = make_criteo_datasets(cfg_fn())
+    assert train.host_rows is None  # 1 process: nothing to slice
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    train, test, _ = make_criteo_datasets(cfg_fn())
+    assert train.host_rows == (16, 32)
+    assert test.host_rows is None

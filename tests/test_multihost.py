@@ -200,6 +200,18 @@ def test_two_process_midstream_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_bin_host_slice(tmp_path):
+    """config.data_host_slice e2e (bin loader): each host reads only its
+    replicas' row range of every train batch; the trajectory must be
+    bit-identical to the full-read run — asserted inside the worker
+    (tests/mh_worker.py binslice_main). Pins that no train-path code
+    consumes the zero-filled out-of-slice rows."""
+    duo = _run_cluster(2, 2, 12424, "binslice", tmp_path)
+    assert all(r["multihost"] for r in duo)
+    assert duo[0]["acc"] == duo[1]["acc"]
+
+
+@pytest.mark.slow
 def test_two_process_pooled_multihot(tmp_path):
     """Padded multi-hot bags through the multi-host path (wire sentinel for
     masked positions, window-store misses, eval exchange) must match the
