@@ -32,6 +32,9 @@ N_IDS = int(os.environ.get("PRESSURE_IDS", "250000"))
 DIM = int(os.environ.get("PRESSURE_DIM", "128"))
 BATCH = int(os.environ.get("PRESSURE_BATCH", "4096"))
 STEPS = int(os.environ.get("PRESSURE_STEPS", "240"))
+# eval stream size (AUC noise scales 1/sqrt(batches*BATCH); the CPU
+# mid-scale study needs more batches at its smaller BATCH)
+EVAL_BATCHES = int(os.environ.get("PRESSURE_EVAL_BATCHES", "4"))
 LOOKAHEAD = 8
 WAYS = 8
 
@@ -101,7 +104,7 @@ def _run_cached(capacity_frac):
     sets = max(64, int(N_IDS * capacity_frac) // WAYS)
     cfg = _cfg(cache_size=sets)
     train = LatentSignalDataset(STEPS + LOOKAHEAD)
-    test = LatentSignalDataset(4, seed=1234)
+    test = LatentSignalDataset(EVAL_BATCHES, seed=1234)
     t0 = time.perf_counter()
     tr = CachedDlrmTrainer(cfg, train, test)
     final = {}
@@ -132,7 +135,7 @@ def _run_oracle():
     cfg = _cfg(use_cache=False, num_indices_per_lookup=1,
                num_indices_per_lookup_fixed=True)
     train = LatentSignalDataset(STEPS + LOOKAHEAD)
-    test = LatentSignalDataset(4, seed=1234)
+    test = LatentSignalDataset(EVAL_BATCHES, seed=1234)
     t0 = time.perf_counter()
     log("building full-table oracle (3.3 GB HBM tables)...")
     tr = FullTableDlrmTrainer(cfg, train, test)
@@ -169,8 +172,19 @@ def main():
     from cdlrm_tpu.train.trainer import CachedDlrmTrainer
 
     oracle = _run_oracle()
-    mid = _run_cached(0.3)
-    tight = _run_cached(0.1)
+    # capacity points: 30%/10% are the paper-style pressure axis, but the
+    # lookahead window's UNIQUE set (~15k rows/table at the default
+    # geometry) still fits 10% of 250k — window-hit protection then keeps
+    # the hit rate ~1 and the miss path never shapes the trajectory. The
+    # hardest point sits BELOW the window-unique size so real thrash
+    # (set-conflict drops, misses, evictions) is guaranteed in the run the
+    # artifact claims it for. Env-overridable: PRESSURE_CAPS=0.3,0.1,0.03
+    caps = [
+        float(c) for c in
+        os.environ.get("PRESSURE_CAPS", "0.3,0.1,0.03").split(",")
+    ]
+    cached = [_run_cached(c) for c in caps]
+    hardest = cached[-1]
 
     result = {
         "metric": "pressure_auc_gap",
@@ -179,14 +193,13 @@ def main():
         "geometry": {"tables": TABLES, "ids": N_IDS, "dim": DIM,
                      "batch": BATCH, "ways": WAYS, "lookahead": LOOKAHEAD},
         "oracle": oracle,
-        "cached": [mid, tight],
+        "cached": cached,
         "pressure_auc_gap": {
-            "30%": round(oracle["auc"] - mid["auc"], 4),
-            "10%": round(oracle["auc"] - tight["auc"], 4),
+            f"{c*100:g}%": round(oracle["auc"] - r["auc"], 4)
+            for c, r in zip(caps, cached)
         },
         "pressure_real": bool(
-            tight["hit_rate"] < 0.99 and tight["rows_written"] > 0
-            and mid["rows_written"] > 0
+            hardest["hit_rate"] < 0.99 and hardest["rows_written"] > 0
         ),
     }
     print(json.dumps(result))
