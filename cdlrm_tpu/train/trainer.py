@@ -1536,6 +1536,9 @@ class CachedDlrmTrainer:
                     "steps": m.steps,
                     # wire format currently active (auto-dedup decision)
                     "dedup": self._dedup,
+                    # multi-host refill prestage hoists completed so far
+                    # (0 single-host / prestage off)
+                    "mh_prefetches": self.mh_prefetches,
                 }
                 log_fn(
                     f"Step {j}: {ms_it:.2f} ms/it, caching overhead "
