@@ -346,6 +346,12 @@ class CriteoBinDataset:
         (dlrm_data_pytorch.py:420, gated by --mlperf-bin-shuffle). Seek
         access makes any order O(1) per batch; the permutation is
         deterministic per seed so trainer and prefetcher streams align.
+        Documented deviation: torch's RandomSampler draws a NEW permutation
+        each epoch; here the permutation is fixed per seed across epochs —
+        both stream passes and the checkpoint cursor must reproduce the
+        identical order, and the MLPerf bin recipe trains one epoch
+        (reference README.md command), so the distinction never reaches a
+        supported run shape.
 
         ``num_workers``: reference-DataLoader-style parallel batch fetch
         (dlrm_data_pytorch.py:528-543): random access makes batches
