@@ -35,6 +35,7 @@ STEPS = int(os.environ.get("PRESSURE_STEPS", "240"))
 # eval stream size (AUC noise scales 1/sqrt(batches*BATCH); the CPU
 # mid-scale study needs more batches at its smaller BATCH)
 EVAL_BATCHES = int(os.environ.get("PRESSURE_EVAL_BATCHES", "4"))
+STREAM = os.environ.get("PRESSURE_STREAM", "loguniform")
 LOOKAHEAD = 8
 WAYS = 8
 
@@ -67,7 +68,17 @@ class LatentSignalDataset:
         for _ in range(self.num_batches):
             x = rng.random((BATCH, self.m_den), dtype=np.float32)
             u = rng.random((TABLES, BATCH), dtype=np.float32)
-            ls = (np.exp(u * np.log(N_IDS)).astype(np.int64) - 1) % N_IDS
+            if STREAM.startswith("zipf"):
+                # bounded Pareto over [1, N] (inverse CDF): P(k) ~ k^-a —
+                # PRESSURE_STREAM=zipf1.2 etc.; skew axis for the envelope
+                a = float(STREAM[4:])
+                ls = (
+                    ((N_IDS ** (1.0 - a) - 1.0) * u + 1.0)
+                    ** (1.0 / (1.0 - a))
+                ).astype(np.int64) - 1
+                ls %= N_IDS
+            else:  # loguniform (default): moderate Criteo-like head
+                ls = (np.exp(u * np.log(N_IDS)).astype(np.int64) - 1) % N_IDS
             v = self.latents[np.arange(TABLES)[:, None], ls].sum(axis=0)
             y = (v > 0).astype(np.float32)[:, None]
             yield Batch(x, ls, None, y)
@@ -191,7 +202,8 @@ def main():
         "backend": jax.default_backend(),
         "steps": STEPS,
         "geometry": {"tables": TABLES, "ids": N_IDS, "dim": DIM,
-                     "batch": BATCH, "ways": WAYS, "lookahead": LOOKAHEAD},
+                     "batch": BATCH, "ways": WAYS, "lookahead": LOOKAHEAD,
+                     "stream": STREAM},
         "oracle": oracle,
         "cached": cached,
         "pressure_auc_gap": {
