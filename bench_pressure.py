@@ -36,7 +36,10 @@ STEPS = int(os.environ.get("PRESSURE_STEPS", "240"))
 # mid-scale study needs more batches at its smaller BATCH)
 EVAL_BATCHES = int(os.environ.get("PRESSURE_EVAL_BATCHES", "4"))
 STREAM = os.environ.get("PRESSURE_STREAM", "loguniform")
-LOOKAHEAD = 8
+# the paper's central design parameter: long lookahead amortizes refill
+# cost but lengthens the window a cached row goes without master sync —
+# sweepable so the staleness axis of the AUC envelope is measurable
+LOOKAHEAD = int(os.environ.get("PRESSURE_LOOKAHEAD", "8"))
 WAYS = 8
 
 
