@@ -107,6 +107,9 @@ def _cfg(**kw):
         scan_steps=4,
         wire_rows_bf16=True,
         batch_fifo_size=4,
+        # PRESSURE_AVG_WB=1: the reference's --average-on-writeback
+        # (cache_manager.py:48-64 averaging arm) — A/B-able under thrash
+        average_on_writeback=os.environ.get("PRESSURE_AVG_WB", "0") == "1",
     )
     base.update(kw)
     cfg = Config(**base)
@@ -206,7 +209,9 @@ def main():
         "steps": STEPS,
         "geometry": {"tables": TABLES, "ids": N_IDS, "dim": DIM,
                      "batch": BATCH, "ways": WAYS, "lookahead": LOOKAHEAD,
-                     "stream": STREAM},
+                     "stream": STREAM,
+                     "avg_writeback":
+                         os.environ.get("PRESSURE_AVG_WB", "0") == "1"},
         "oracle": oracle,
         "cached": cached,
         "pressure_auc_gap": {
