@@ -98,8 +98,8 @@ def _cfg(**kw):
         lookahead=LOOKAHEAD,
         table_agg_freq=1_000_000,
         print_freq=40,
-        learning_rate=0.1,
-        lr_embeds=0.5,
+        learning_rate=float(os.environ.get("PRESSURE_LR", "0.1")),
+        lr_embeds=float(os.environ.get("PRESSURE_LR_EMBEDS", "0.5")),
         num_ways=WAYS,
         eviction_fifo_size=256,
         compute_dtype="bfloat16",
@@ -110,6 +110,12 @@ def _cfg(**kw):
         # PRESSURE_AVG_WB=1: the reference's --average-on-writeback
         # (cache_manager.py:48-64 averaging arm) — A/B-able under thrash
         average_on_writeback=os.environ.get("PRESSURE_AVG_WB", "0") == "1",
+        # PRESSURE_OPT=adagrad: cache-resident row-wise AdaGrad instead of
+        # sparse SGD (torchrec semantics; config.optimizer doc)
+        optimizer=os.environ.get("PRESSURE_OPT", "sgd"),
+        dedup_lookups=(
+            "on" if os.environ.get("PRESSURE_OPT") == "adagrad" else "auto"
+        ),
     )
     base.update(kw)
     cfg = Config(**base)
