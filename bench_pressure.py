@@ -105,7 +105,7 @@ def _cfg(**kw):
         compute_dtype="bfloat16",
         round_targets=True,
         scan_steps=4,
-        wire_rows_bf16=True,
+        wire_rows_bf16=os.environ.get("PRESSURE_ROWS_BF16", "1") == "1",
         batch_fifo_size=4,
         # PRESSURE_AVG_WB=1: the reference's --average-on-writeback
         # (cache_manager.py:48-64 averaging arm) — A/B-able under thrash
