@@ -394,6 +394,25 @@ class Config:
                 stacklevel=2,
             )
             self.refill_broadcast = "strict"
+        if self.optimizer == "adagrad" and max(
+            self.learning_rate, self.lr_embeds
+        ) > 0.2:
+            import warnings
+
+            # Measured interaction (PERF.md round-4 pressure studies): at
+            # SGD-scale lrs AdaGrad's first updates are ~sign-sized
+            # (g/sqrt(g^2) = +-1 per element), which saturated the sigmoid
+            # to AUC 0.5 on the mid-scale task; lr 0.01/0.05 trained to
+            # 0.9528 on the same stream. Warn, don't clamp — the user may
+            # know their loss surface.
+            warnings.warn(
+                f"optimizer='adagrad' with lr={self.learning_rate}/"
+                f"lr_embeds={self.lr_embeds}: AdaGrad first steps are "
+                "sign-sized, and SGD-scale rates measured as saturation "
+                "(AUC 0.5) on a task that trains fine at 10-50x smaller "
+                "(PERF.md round 4); consider lr <= 0.1",
+                stacklevel=2,
+            )
         if self.hot_tier_rows > 0:
             import warnings
 

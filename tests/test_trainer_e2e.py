@@ -1438,3 +1438,18 @@ def test_refill_prestage_matches_unstaged():
     for a, b in zip(p_on, p_off):
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(c_on, c_off)
+
+
+def test_adagrad_hot_lr_warns():
+    """AdaGrad at SGD-scale lrs measured as sigmoid saturation (AUC 0.5,
+    PERF.md round-4 pressure studies) — finalize warns; AdaGrad-scale lrs
+    stay silent."""
+    import warnings
+
+    with pytest.warns(UserWarning, match="sign-sized"):
+        make_cfg(optimizer="adagrad", lr_embeds=0.5,
+                 dedup_lookups="on")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make_cfg(optimizer="adagrad", learning_rate=0.01, lr_embeds=0.05,
+                 dedup_lookups="on")
