@@ -36,6 +36,15 @@ STEPS = int(os.environ.get("PRESSURE_STEPS", "240"))
 # mid-scale study needs more batches at its smaller BATCH)
 EVAL_BATCHES = int(os.environ.get("PRESSURE_EVAL_BATCHES", "4"))
 STREAM = os.environ.get("PRESSURE_STREAM", "loguniform")
+# PRESSURE_HETERO=1: geometric table-size spread (N/10 .. N) instead of
+# uniform N — the shape MD compression exists for; PRESSURE_MD=1 turns on
+# cached mixed-dimension training (the round-4 beyond-parity path)
+HETERO = os.environ.get("PRESSURE_HETERO", "0") == "1"
+MD = os.environ.get("PRESSURE_MD", "0") == "1"
+SIZES = (
+    np.geomspace(max(1000, N_IDS // 10), N_IDS, TABLES).astype(np.int64)
+    if HETERO else np.full(TABLES, N_IDS, dtype=np.int64)
+)
 # the paper's central design parameter: long lookahead amortizes refill
 # cost but lengthens the window a cached row goes without master sync —
 # sweepable so the staleness axis of the AUC envelope is measurable
@@ -56,12 +65,15 @@ class LatentSignalDataset:
     m_den = 13
 
     def __init__(self, num_batches, seed=0, label_seed=99):
-        self.ln_emb = np.full(TABLES, N_IDS, dtype=np.int64)
+        self.ln_emb = SIZES.copy()
         self.num_batches = num_batches
         self.seed = seed
         lrng = np.random.default_rng(label_seed)
-        # 26 x 250k f32 latents = 26 MB host RAM
-        self.latents = lrng.normal(size=(TABLES, N_IDS)).astype(np.float32)
+        # 26 x 250k f32 latents = 26 MB host RAM ([T, max] with per-table
+        # valid prefix under HETERO)
+        self.latents = lrng.normal(
+            size=(TABLES, int(SIZES.max()))
+        ).astype(np.float32)
 
     def __len__(self):
         return self.num_batches
@@ -71,17 +83,18 @@ class LatentSignalDataset:
         for _ in range(self.num_batches):
             x = rng.random((BATCH, self.m_den), dtype=np.float32)
             u = rng.random((TABLES, BATCH), dtype=np.float32)
+            n_t = SIZES[:, None].astype(np.float64)
             if STREAM.startswith("zipf"):
-                # bounded Pareto over [1, N] (inverse CDF): P(k) ~ k^-a —
+                # bounded Pareto over [1, n_t] (inverse CDF): P(k) ~ k^-a —
                 # PRESSURE_STREAM=zipf1.2 etc.; skew axis for the envelope
                 a = float(STREAM[4:])
                 ls = (
-                    ((N_IDS ** (1.0 - a) - 1.0) * u + 1.0)
+                    ((n_t ** (1.0 - a) - 1.0) * u + 1.0)
                     ** (1.0 / (1.0 - a))
                 ).astype(np.int64) - 1
-                ls %= N_IDS
             else:  # loguniform (default): moderate Criteo-like head
-                ls = (np.exp(u * np.log(N_IDS)).astype(np.int64) - 1) % N_IDS
+                ls = np.exp(u * np.log(n_t)).astype(np.int64) - 1
+            ls %= SIZES[:, None]
             v = self.latents[np.arange(TABLES)[:, None], ls].sum(axis=0)
             y = (v > 0).astype(np.float32)[:, None]
             yield Batch(x, ls, None, y)
@@ -116,10 +129,11 @@ def _cfg(**kw):
         dedup_lookups=(
             "on" if os.environ.get("PRESSURE_OPT") == "adagrad" else "auto"
         ),
+        md_flag=MD,
     )
     base.update(kw)
     cfg = Config(**base)
-    cfg.finalize(ln_emb=np.full(TABLES, N_IDS, dtype=np.int64))
+    cfg.finalize(ln_emb=SIZES.copy())
     return cfg
 
 
@@ -215,7 +229,7 @@ def main():
         "steps": STEPS,
         "geometry": {"tables": TABLES, "ids": N_IDS, "dim": DIM,
                      "batch": BATCH, "ways": WAYS, "lookahead": LOOKAHEAD,
-                     "stream": STREAM,
+                     "stream": STREAM, "hetero": HETERO, "md": MD,
                      "avg_writeback":
                          os.environ.get("PRESSURE_AVG_WB", "0") == "1"},
         "oracle": oracle,
