@@ -6,6 +6,37 @@ reference parses but never uses (--save-model/--load-model/--enable-profiling/
 --inference-only/... — see SURVEY.md §5 "dead flags") are either implemented
 properly here (checkpointing, inference) or intentionally dropped; each case
 is noted on the field.
+
+Dropped without a field (the full ledger — every reference flag not present
+below, with its reference disposition):
+
+- ``--activation-function`` (main_no_ddp.py:47), ``--debug-mode`` (:105),
+  ``--plot-compute-graph`` (:107), ``--dense-threshold`` (:131),
+  ``--save-onnx`` (:141): parsed and never read anywhere in the
+  reference — dead letters with no behavior to reproduce (the MLPs are
+  fixed relu/sigmoid regardless, model_no_ddp.py:244-268).
+- ``--evict-victim-cache`` (:96, "# Added"): parsed and never read; the
+  model stores ``victim_cache_entries`` each forward
+  (model_no_ddp.py:120,187) but nothing ever READS them — vestigial
+  state for a feature that was never finished. The live part of that
+  machinery (miss rows staged into the aux region) is our aux staging
+  path (train/step.py, ``aux_capacity``).
+- ``--use-gpu`` (:142): parsed and never read — the reference hardcodes
+  CUDA/NCCL (main_no_ddp.py:225,343). Device selection here is JAX
+  platform config, not a flag.
+- ``--sync-dense-params`` (:90): stored on DLRM_Net (model_no_ddp.py:236)
+  and never read after that — dense grads are ALWAYS all-reduced by the
+  explicit weight-grad pass (main_no_ddp.py:229-248) regardless.
+  Ours syncs dense grads unconditionally too (train/step.py pmean);
+  ``strict_bias_divergence`` reproduces the one place the reference's
+  sync actually diverges.
+- ``--master-port`` (:128): live — the NCCL rendezvous port
+  (main_no_ddp.py:342). Subsumed by ``coordinator_address`` (host:port)
+  for jax.distributed.
+- ``--trainer-start-core`` (:129): parsed, then unconditionally overwritten
+  with main_start_core + cache_workers + 3 (main_no_ddp.py:635) — a derived
+  value, not a user knob. Our pin layout derives the same region for
+  loader/worker threads (``main_start_core`` doc; DESIGN.md D5).
 """
 
 from __future__ import annotations
