@@ -381,6 +381,9 @@ class CriteoBinDataset:
         self.max_ind_range = max_ind_range
         self.bytes_per_entry = bytes_per_feature * self.TOT_FEA * batch_size
         self.num_entries = math.ceil(os.path.getsize(data_file) / self.bytes_per_entry)
+        self.total_rows = os.path.getsize(data_file) // (
+            bytes_per_feature * self.TOT_FEA
+        )
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = num_workers
@@ -420,8 +423,7 @@ class CriteoBinDataset:
         f = self._file()
         if self.host_rows is not None:
             row_bytes = self.bytes_per_entry // self.batch_size
-            total_rows = os.path.getsize(self.data_file) // row_bytes
-            n = min(self.batch_size, total_rows - idx * self.batch_size)
+            n = min(self.batch_size, self.total_rows - idx * self.batch_size)
             lo, hi = self.host_rows
             lo, hi = min(lo, n), min(hi, n)
             f.seek(idx * self.bytes_per_entry + lo * row_bytes, 0)
