@@ -38,6 +38,14 @@ def log(msg):
 def main():
     import jax
 
+    # BENCH_CPU=1: force the CPU backend IN-PROCESS (the image's
+    # sitecustomize pre-registers the axon TPU backend, so the env var is
+    # too late and the backend probe below would hang on a down tunnel) —
+    # the full bench flow at the debuggable geometry, for the bitrot smoke
+    # (tests/test_bench_harnesses.py); never a number to report
+    if os.environ.get("BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
     # persistent compilation cache: tunneled-TPU compiles are the dominant
     # cold-start cost; cached executables make reruns near-instant
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")

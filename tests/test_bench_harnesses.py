@@ -72,9 +72,31 @@ def test_serving_ab_cpu_smoke():
     assert rec["pipelined_examples_per_sec"] > 0
 
 
+@pytest.mark.slow
+def test_bench_cpu_smoke():
+    """The headline artifact end-to-end (BENCH_CPU forces the backend
+    in-process): asserts the FULL JSON contract the driver records —
+    headline + device step + serving + steady-state regime — so a bench.py
+    regression cannot wait for chip time to surface."""
+    out = _run({"BENCH_CPU": "1"}, "bench.py", timeout=900)
+    rec = out[-1]
+    assert rec["metric"] == "cached_dlrm_train_examples_per_sec_per_chip"
+    for key in ("value", "unit", "vs_baseline", "hit_rate", "ms_per_iter",
+                "device_step_ms", "eval_examples_per_sec",
+                "steady_state_examples_per_sec",
+                "steady_state_caching_overhead_ms_per_iter",
+                "h2d_bytes_per_step"):
+        assert key in rec, key
+    assert rec["value"] > 0 and rec["device_step_ms"] > 0
+    assert rec["backend"] == "cpu"
+    # the steady-state regime must actually contain refill boundaries
+    assert rec["steady_refills"] >= 3
+
+
 def test_chip_queue_harnesses_compile():
-    """bench.py / bench_kernels.py probe the real backend at import-of-main
-    (would hang on a down tunnel), so guard them compile-only."""
+    """bench_kernels.py probes the real backend at import-of-main (would
+    hang on a down tunnel), so guard it compile-only (bench.py gets the
+    full BENCH_CPU smoke above)."""
     for script in ("bench.py", "bench_kernels.py", "bench_scaling.py",
                    "bench_collectives.py"):
         py_compile.compile(os.path.join(REPO, script), doraise=True)
