@@ -7,6 +7,7 @@ kernel.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,30 +23,40 @@ def log(msg):
 
 def main():
     import jax
+
+    # KERNELS_CPU=1: bitrot smoke for the chip queue's first harness —
+    # forces the CPU backend in-process (sitecustomize pre-registers the
+    # TPU backend; a down tunnel would hang the probe), shrinks every
+    # shape, and runs the Pallas kernels in interpret mode. Numbers are
+    # meaningless; only the flow + JSON contract are under test.
+    SMOKE = bool(os.environ.get("KERNELS_CPU"))
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from cdlrm_tpu.ops.lookup import gather_rows
 
     rng = np.random.Generator(np.random.SFC64(0))
-    rows, d = 1_000_000, 128
-    n = 26 * 4096  # bench lookup volume per step
+    rows, d = (20_000, 128) if SMOKE else (1_000_000, 128)
+    # smoke n: the Pallas gather tiles slots in 1024-blocks
+    n = 2048 if SMOKE else 26 * 4096  # bench lookup volume per step
     log("staging cache (512MB H2D)...")
     cache = jnp.asarray(rng.random((rows, d), dtype=np.float32))
     jax.block_until_ready(cache)
     log("cache staged")
 
     take = lambda c, s: jnp.take(c, s, axis=0)
-    pallas_gather = lambda c, s: gather_rows(c, s)
+    pallas_gather = lambda c, s: gather_rows(c, s, interpret=SMOKE)
 
     # honest chained timing (PERF.md finding 7: block_until_ready returns
     # early on tunneled backends; finding 10: identical operands get CSE'd
     # — so chain ITERS gathers over DISTINCT slot sets inside one jitted
     # scan with a scalar dependency, and end on a real D2H)
-    CHAIN = 10
+    CHAIN = 2 if SMOKE else 10
     slots_iter = jnp.asarray(
         rng.integers(0, rows, (CHAIN, n)).astype(np.int32))
 
-    def timeit_gather(fn, iters=5):
+    def timeit_gather(fn, iters=1 if SMOKE else 5):
         @jax.jit
         def run(c, ss):
             def body(acc, s):
@@ -83,7 +94,7 @@ def main():
     # dot interaction at bench shape
     from cdlrm_tpu.models.dlrm import interact_features
 
-    b, t = 4096, 26
+    b, t = (64, 26) if SMOKE else (4096, 26)
     x = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
     ly = jnp.asarray(rng.normal(size=(t, b, d)).astype(np.float32))
 
@@ -98,10 +109,11 @@ def main():
         return acc
 
     _ = float(inter_chain(x, ly))
+    inter_iters = 1 if SMOKE else 5
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(inter_iters):
         _ = float(inter_chain(x, ly))
-    dt = (time.perf_counter() - t0) / (5 * CHAIN)
+    dt = (time.perf_counter() - t0) / (inter_iters * CHAIN)
     flops = 2 * b * (t + 1) * (t + 1) * d
     results.append(
         {
@@ -114,7 +126,7 @@ def main():
     # --- sparse-update formulations (PERF.md finding 8: the scatter floor) ---
     # chained-donation timing: block_until_ready can return early on tunneled
     # backends, so chain N donated calls and end on a scalar D2H
-    def timeit_scatter(body, args, iters=10):
+    def timeit_scatter(body, args, iters=2 if SMOKE else 10):
         from jax.sharding import PartitionSpec as P
 
         from cdlrm_tpu.parallel.mesh import DP_AXIS, make_dp_mesh
@@ -133,8 +145,10 @@ def main():
         _ = float(c[0, 0])
         return (time.perf_counter() - t0) / iters
 
-    R_CACHE, DIMS, N_UPD = 3_520_000, 128, 26 * 4096
-    UB = 1 << 16
+    R_CACHE, DIMS, N_UPD = (
+        (80_000, 128, 26 * 64) if SMOKE else (3_520_000, 128, 26 * 4096)
+    )
+    UB = 1 << 10 if SMOKE else 1 << 16
     rngs = np.random.Generator(np.random.SFC64(0))
     u = rngs.random(N_UPD, dtype=np.float32)
     slots_np = np.minimum(
@@ -179,7 +193,8 @@ def main():
                     "ns_per_row": round(dt * 1e9 / nv_rows, 1)})
     try:
         dt = timeit_scatter(
-            lambda c, uq, g: scatter_add_rows(c, uq, g, nv_rows),
+            lambda c, uq, g: scatter_add_rows(c, uq, g, nv_rows,
+                                              interpret=SMOKE),
             (uniq_d, du))
         results.append({"kernel": f"uniq_scatter_add/pallas_{UB}_bucket",
                         "ms": round(dt * 1e3, 2), "unique": nv_rows,
@@ -188,7 +203,7 @@ def main():
         results.append({"kernel": "uniq_scatter_add/pallas", "error": str(e)[:300]})
 
     # aux staging: B=4096 distinct rows written (no read) per step
-    aux_n = 4096
+    aux_n = 256 if SMOKE else 4096
     aux_slots_d = jnp.asarray(
         rngs.permutation(R_CACHE - 1)[:aux_n].astype(np.int32))
     aux_rows_d = jnp.asarray(rngs.random((aux_n, DIMS), np.float32))
@@ -198,8 +213,9 @@ def main():
                     "ms": round(dt * 1e3, 2),
                     "ns_per_row": round(dt * 1e9 / aux_n, 1)})
     try:
-        dt = timeit_scatter(lambda c, s, r: scatter_set_rows(c, s, r),
-                            (aux_slots_d, aux_rows_d))
+        dt = timeit_scatter(
+            lambda c, s, r: scatter_set_rows(c, s, r, interpret=SMOKE),
+            (aux_slots_d, aux_rows_d))
         results.append({"kernel": f"aux_scatter_set/pallas_{aux_n}",
                         "ms": round(dt * 1e3, 2),
                         "ns_per_row": round(dt * 1e9 / aux_n, 1)})
@@ -214,7 +230,9 @@ def main():
     # the ~92 ns/row rate (finding 8/10, measured 65k..3.5M destination rows)
     # falls off for VMEM-sized destinations (the hot tier's [2048, 128] 1 MB
     # buffer measured ~8 ns/row). This sweep locates the cliff.
-    for u_dest in (1024, 2048, 4096, 8192, 16384, 65536, 262144):
+    dests = (256, 1024) if SMOKE else (
+        1024, 2048, 4096, 8192, 16384, 65536, 262144)
+    for u_dest in dests:
         dest_slots = jnp.asarray((slots_np % (u_dest - 1)).astype(np.int32))
 
         def body(c, s, g, u=u_dest):
@@ -231,12 +249,13 @@ def main():
 
     # --- finding 10 (PERF.md round 3): jnp.searchsorted's default 'scan'
     # method lowers to log-many SERIAL dependent gather rounds on TPU ---
-    H = 2048
+    H = 256 if SMOKE else 2048
     hot_d = jnp.asarray(
         np.sort(rngs.choice(R_CACHE - 2, H, replace=False).astype(np.int32))
     )
 
-    def timeit_chained_scalar(body, iters=3, inner=10):
+    def timeit_chained_scalar(body, iters=1 if SMOKE else 3,
+                              inner=2 if SMOKE else 10):
         @jax.jit
         def run(s):
             def f(acc, _):

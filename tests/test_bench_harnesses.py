@@ -93,10 +93,25 @@ def test_bench_cpu_smoke():
     assert rec["steady_refills"] >= 3
 
 
+@pytest.mark.slow
+def test_kernels_cpu_smoke():
+    """The chip queue's FIRST harness end-to-end (KERNELS_CPU: scaled
+    shapes, Pallas in interpret mode): every kernel entry must carry a
+    timing, none may be an error record — a crash here would burn the
+    queue's chip window on a traceback."""
+    out = _run({"KERNELS_CPU": "1"}, "bench_kernels.py", timeout=600)
+    assert len(out) >= 10
+    names = {rec["kernel"] for rec in out}
+    assert any(n.startswith("lookup_gather/pallas") for n in names)
+    assert any(n.startswith("uniq_scatter_add/pallas") for n in names)
+    for rec in out:
+        assert "error" not in rec, rec
+        assert any(k in rec for k in ("us", "ms")), rec
+
+
 def test_chip_queue_harnesses_compile():
-    """bench_kernels.py probes the real backend at import-of-main (would
-    hang on a down tunnel), so guard it compile-only (bench.py gets the
-    full BENCH_CPU smoke above)."""
+    """Harnesses with no CPU mode stay compile-guarded (bench.py and
+    bench_kernels.py get the full smoke runs above)."""
     for script in ("bench.py", "bench_kernels.py", "bench_scaling.py",
                    "bench_collectives.py"):
         py_compile.compile(os.path.join(REPO, script), doraise=True)
