@@ -284,7 +284,12 @@ class Config:
     #   dominant cost for big masters) overlaps training. The snapshot is
     #   consistent: dirty-master rows are fancy-index-copied before any new
     #   writeback can land. A later save/load/close joins the writer and
-    #   re-raises its errors.
+    #   re-raises its errors. Multi-host: async saves skip the shared-dir
+    #   visibility barrier (no collective may run off the main thread) —
+    #   each host joins only its OWN writer, so resuming another host's
+    #   async checkpoint from a shared dir needs external completion
+    #   coordination (trainer.save_checkpoint doc); synchronous saves
+    #   barrier before returning.
     pallas_interpret: bool = False  # testing only: run Pallas scatter
     #   kernels in interpret mode so use_pallas_scatter's step integration
     #   is exercisable on the CPU mesh (also lifts the TPU-backend gate)
