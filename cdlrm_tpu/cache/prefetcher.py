@@ -37,6 +37,15 @@ from cdlrm_tpu.utils import affinity
 
 _SENTINEL = None
 
+
+def _stream_iter(stream_fn, skip, epoch):
+    """Call the stream with the epoch when its signature takes one
+    (trainer._cache_stream does; plain test streams take only skip)."""
+    try:
+        return stream_fn(skip=skip, epoch=epoch)
+    except TypeError:
+        return stream_fn(skip=skip)
+
 # per-window lookup-sample cap for the hot-set frequency estimate
 # (WindowData.hot_slots): selection quality degrades gracefully, correctness
 # never depends on it
@@ -220,7 +229,9 @@ class LookaheadPrefetcher(threading.Thread):
         (start_epoch, skip_batches): resume cursor — the first produced
         window starts at batch ``skip_batches`` of ``start_epoch`` (must be a
         window boundary: trainer passes floor(j/lookahead)*lookahead).
-        ``cache_stream_fn`` must accept a ``skip`` kwarg.
+        ``cache_stream_fn`` must accept a ``skip`` kwarg; it MAY accept an
+        ``epoch`` kwarg (passed when it does — the per-epoch shuffle
+        protocol, data/criteo.py CriteoBinDataset).
 
         ``shadow``: a HostCacheController CLONE of the trainer's controller
         at pipeline start; this thread advances it one plan_insert_spec per
@@ -447,7 +458,9 @@ class LookaheadPrefetcher(threading.Thread):
                     skip = self.skip_batches if epoch == self.start_epoch else 0
                     window: List = []
                     j = skip  # full-batch index of the NEXT stream batch
-                    for ls_i in self.cache_stream_fn(skip=skip):
+                    for ls_i in _stream_iter(
+                        self.cache_stream_fn, skip, epoch
+                    ):
                         if self._stop_event.is_set():
                             return
                         window.append(ls_i)

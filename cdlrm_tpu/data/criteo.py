@@ -344,14 +344,12 @@ class CriteoBinDataset:
         """``shuffle``: seeded batch-order permutation, the equivalent of the
         reference's RandomSampler over the bin dataset
         (dlrm_data_pytorch.py:420, gated by --mlperf-bin-shuffle). Seek
-        access makes any order O(1) per batch; the permutation is
-        deterministic per seed so trainer and prefetcher streams align.
-        Documented deviation: torch's RandomSampler draws a NEW permutation
-        each epoch; here the permutation is fixed per seed across epochs —
-        both stream passes and the checkpoint cursor must reproduce the
-        identical order, and the MLPerf bin recipe trains one epoch
-        (reference README.md command), so the distinction never reaches a
-        supported run shape.
+        access makes any order O(1) per batch. torch's RandomSampler draws
+        a NEW permutation each epoch; the restartable-stream analog here is
+        a permutation seeded per (seed, epoch) — ``batches(epoch=e)``. Both
+        stream passes and the checkpoint cursor reproduce the identical
+        per-epoch order (the epoch is part of the data cursor), and
+        epoch 0 is bit-identical to the pre-epoch-aware order.
 
         ``num_workers``: reference-DataLoader-style parallel batch fetch
         (dlrm_data_pytorch.py:528-543): random access makes batches
@@ -440,18 +438,28 @@ class CriteoBinDataset:
             arr[:, 1 : 1 + DEN_FEA], arr[:, 1 + DEN_FEA :], arr[:, 0], self.max_ind_range
         )
 
-    def batch_order(self) -> np.ndarray:
+    # stream callers (train/pipeline.py _batches_from, the prefetcher's
+    # cache stream) pass the epoch through when this attribute is present —
+    # the per-epoch-permutation protocol (torch RandomSampler parity)
+    epoch_seeded_shuffle = True
+
+    def batch_order(self, epoch: int = 0) -> np.ndarray:
         if self.shuffle:
-            return np.random.default_rng(self.seed).permutation(self.num_entries)
+            # seed + epoch: epoch 0 reproduces the pre-epoch-aware order
+            # bit-identically (checkpoint/artifact compatibility)
+            return np.random.default_rng(
+                self.seed + epoch
+            ).permutation(self.num_entries)
         return np.arange(self.num_entries)
 
-    def batches(self, skip: int = 0) -> Iterator[Batch]:
+    def batches(self, skip: int = 0, epoch: int = 0) -> Iterator[Batch]:
         """``skip`` counts FULL batches — the same unit as the trainer's data
         cursor, which drops the partial last batch before counting. Under
         shuffle the partial entry lands at a random permuted position, so
         skipping raw entries would desynchronize the resumed stream by one
-        whenever the partial precedes the resume point."""
-        order = self.batch_order()
+        whenever the partial precedes the resume point. ``epoch`` selects
+        the shuffle permutation (class doc)."""
+        order = self.batch_order(epoch)
         if skip and os.path.getsize(self.data_file) % self.bytes_per_entry:
             partial = self.num_entries - 1  # last entry is the short one
             full_mask = order != partial
@@ -500,10 +508,12 @@ class CriteoBinDataset:
             x_cat = x_cat % self.max_ind_range
         return np.ascontiguousarray(x_cat.T.astype(np.int64))
 
-    def index_batches(self, skip: int = 0) -> Iterator[np.ndarray]:
-        """Index-only view of ``batches()``: same order (incl. shuffle and
-        the full-batch ``skip`` unit), yielding just [26, B] int64 arrays."""
-        order = self.batch_order()
+    def index_batches(self, skip: int = 0,
+                      epoch: int = 0) -> Iterator[np.ndarray]:
+        """Index-only view of ``batches()``: same order (incl. the per-epoch
+        shuffle and the full-batch ``skip`` unit), yielding just [26, B]
+        int64 arrays."""
+        order = self.batch_order(epoch)
         if skip and os.path.getsize(self.data_file) % self.bytes_per_entry:
             partial = self.num_entries - 1
             full_mask = order != partial

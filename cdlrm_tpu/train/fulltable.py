@@ -122,7 +122,15 @@ class FullTableDlrmTrainer:
             return loss_acc, corr_acc, n
 
         for epoch in range(cfg.nepochs):
-            for j, batch in enumerate(self.dataset.batches()):
+            # per-epoch shuffle protocol (data/criteo.py CriteoBinDataset):
+            # the oracle must consume the SAME epoch order as the cached
+            # trainer or the comparisons diverge on data, not dynamics
+            kw = (
+                {"epoch": epoch}
+                if getattr(self.dataset, "epoch_seeded_shuffle", False)
+                else {}
+            )
+            for j, batch in enumerate(self.dataset.batches(**kw)):
                 if batch.x.shape[0] != b:
                     continue
                 if max_steps is not None and self.global_step >= max_steps:

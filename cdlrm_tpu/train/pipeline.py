@@ -112,7 +112,8 @@ class AssemblyPipeline(threading.Thread):
                 # refill windows are per-epoch (reference j resets)
                 j = self.start_j if epoch == self.start_epoch else 0
                 skip = j
-                for batch in _batches_from(tr.dataset, skip, full_size=b):
+                for batch in _batches_from(tr.dataset, skip,
+                                           full_size=b, epoch=epoch):
                     if self._stop_event.is_set():
                         return
                     if batch.x.shape[0] != b:
@@ -157,16 +158,27 @@ class AssemblyPipeline(threading.Thread):
             self._put(_SENTINEL)
 
 
-def _batches_from(dataset, skip: int, full_size: Optional[int] = None):
+def _batches_from(dataset, skip: int, full_size: Optional[int] = None,
+                  epoch: int = 0):
     """dataset.batches(skip=n) when supported, else iterate-and-drop.
     ``skip`` counts FULL batches — the data cursor's unit (the consumer
     drops partial batches before counting) — so the fallback must count
     only batches of ``full_size`` rows; skipping raw batches would shift a
-    resumed stream by one whenever a partial precedes the cursor."""
-    if skip == 0:
+    resumed stream by one whenever a partial precedes the cursor.
+
+    ``epoch`` reaches only datasets that declare ``epoch_seeded_shuffle``
+    (the per-epoch-permutation protocol, data/criteo.py CriteoBinDataset) —
+    every other stream is epoch-invariant by design (reference parity:
+    RandomDataset regenerates identically; the in-memory dataset shuffles
+    once at construction)."""
+    kw = (
+        {"epoch": epoch}
+        if getattr(dataset, "epoch_seeded_shuffle", False) else {}
+    )
+    if skip == 0 and not kw:
         return dataset.batches()
     try:
-        return dataset.batches(skip=skip)
+        return dataset.batches(skip=skip, **kw)
     except TypeError:
         def gen():
             it = dataset.batches()

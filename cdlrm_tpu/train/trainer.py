@@ -668,7 +668,8 @@ class CachedDlrmTrainer:
         self._metrics_fp.flush()
 
     # ------------------------------------------------------------------ data
-    def _cache_stream(self, skip: int = 0) -> Iterator[np.ndarray]:
+    def _cache_stream(self, skip: int = 0,
+                      epoch: int = 0) -> Iterator[np.ndarray]:
         """The prefetcher's view of the index stream (reference cache_ld,
         dlrm_data_pytorch.py:465-483): a second pass over the same batches,
         dropping the final partial batch exactly as the trainer does.
@@ -682,14 +683,20 @@ class CachedDlrmTrainer:
         b = self.cfg.mini_batch_size
         idx_fn = getattr(self.dataset, "index_batches", None)
         if idx_fn is not None:
-            for ls_i in idx_fn(skip=skip):
+            kw = (
+                {"epoch": epoch}
+                if getattr(self.dataset, "epoch_seeded_shuffle", False)
+                else {}
+            )
+            for ls_i in idx_fn(skip=skip, **kw):
                 if ls_i.shape[1] != b:
                     continue  # identical drop-last rule as the main loop
                 yield ls_i
             return
         from cdlrm_tpu.train.pipeline import _batches_from
 
-        for batch in _batches_from(self.dataset, skip, full_size=b):
+        for batch in _batches_from(self.dataset, skip, full_size=b,
+                                   epoch=epoch):
             if batch.x.shape[0] != b:
                 continue
             if batch.ls_mask is not None:

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from cdlrm_tpu.data.criteo import (
+    SPA_FEA,
     CriteoBinDataset,
     CriteoInMemoryDataset,
     CriteoStreamingDataset,
@@ -566,3 +567,101 @@ def test_make_datasets_host_slice_wiring(prepared, monkeypatch):
     train, test, _ = make_criteo_datasets(cfg_fn())
     assert train.host_rows == (16, 32)
     assert test.host_rows is None
+
+
+def _fabricated_bin(tmp_path, rows, seed=3):
+    rng = np.random.default_rng(seed)
+    arr = np.concatenate(
+        [rng.integers(0, 2, (rows, 1)), rng.integers(0, 100, (rows, 13)),
+         rng.integers(0, 50, (rows, SPA_FEA))], axis=1,
+    ).astype(np.int32)
+    bin_path = tmp_path / "epochs.bin"
+    bin_path.write_bytes(arr.tobytes())
+    counts = tmp_path / "epochs_counts.npz"
+    np.savez(counts, counts=np.full(SPA_FEA, 50, np.int64))
+    return str(bin_path), str(counts)
+
+
+def test_bin_epoch_seeded_shuffle(tmp_path):
+    """Per-epoch shuffle (torch RandomSampler draws a NEW permutation each
+    epoch, dlrm_data_pytorch.py:420): the restartable-stream analog is a
+    (seed, epoch)-seeded permutation. Epoch 0 must stay bit-identical to
+    the pre-epoch-aware order (checkpoint compatibility); every epoch's
+    order is deterministic, distinct, shared by the index view, and
+    composable with the full-batch skip unit."""
+    bin_path, counts = _fabricated_bin(tmp_path, rows=8 * 9)
+    ds = CriteoBinDataset(bin_path, counts, batch_size=8,
+                          shuffle=True, seed=5)
+    o0, o1 = ds.batch_order(0), ds.batch_order(1)
+    # legacy pin: epoch 0 == the old single-permutation order
+    np.testing.assert_array_equal(
+        o0, np.random.default_rng(5).permutation(ds.num_entries))
+    assert not np.array_equal(o0, o1)
+    np.testing.assert_array_equal(o1, ds.batch_order(1))  # deterministic
+    # the index view follows the same epoch order
+    for ia, bat in zip(ds.index_batches(epoch=1), ds.batches(epoch=1)):
+        np.testing.assert_array_equal(ia, bat.ls_i)
+    # skip counts full batches WITHIN the epoch's order
+    ref = list(ds.batches(epoch=1))
+    skipped = list(ds.batches(skip=3, epoch=1))
+    assert len(skipped) == len(ref) - 3
+    for a, b in zip(ref[3:], skipped):
+        np.testing.assert_array_equal(a.ls_i, b.ls_i)
+    # unshuffled: epoch changes nothing
+    plain = CriteoBinDataset(bin_path, counts, batch_size=8)
+    np.testing.assert_array_equal(plain.batch_order(0),
+                                  plain.batch_order(7))
+
+
+def test_bin_shuffle_two_epoch_resume(tmp_path):
+    """E2E through the whole epoch plumbing (pipeline._batches_from ->
+    trainer cursor -> prefetcher _stream_iter): a 2-epoch shuffled
+    bin-loader run resumed from a mid-epoch-2, mid-window checkpoint must
+    bit-match the uninterrupted run — and the two epochs must actually
+    train in different orders (the permutation is live, not cosmetic)."""
+    from cdlrm_tpu.config import Config
+    from cdlrm_tpu.train.trainer import CachedDlrmTrainer
+
+    bin_path, counts = _fabricated_bin(tmp_path, rows=8 * 10 + 4)
+
+    def make(shuffle=True):
+        train = CriteoBinDataset(bin_path, counts, batch_size=8,
+                                 shuffle=shuffle, seed=11)
+        cfg = Config(
+            arch_sparse_feature_size=8, arch_mlp_bot="13-16-8",
+            arch_mlp_top="8-1", mini_batch_size=8, world_size=4,
+            cache_size=64, num_ways=2, loss_function="bce", lookahead=4,
+            print_freq=1000, table_agg_freq=4, nepochs=2,
+            round_targets=True,
+        )
+        cfg.finalize(ln_emb=train.ln_emb, m_den=train.m_den)
+        return cfg, train
+
+    # epoch orders differ -> the two epochs' window uniques differ
+    cfg, train = make()
+    tr = CachedDlrmTrainer(cfg, train)
+    tr.train(max_steps=20, log_fn=lambda s: None)  # 10 full batches/epoch
+    assert tr.global_step == 20
+    cache_ref = np.asarray(tr.cache).copy()
+    occ_ref = [o.copy() for o in tr.controller.occupancy]
+    tr.close()
+
+    cfg1, train1 = make()
+    tr1 = CachedDlrmTrainer(cfg1, train1)
+    tr1.train(max_steps=15, log_fn=lambda s: None)
+    assert tr1._cursor == (1, 5)  # mid-epoch-2, mid-window (5 % 4 != 0)
+    ck = str(tmp_path / "ep2_mid")
+    tr1.save_checkpoint(ck)
+    tr1.close()
+
+    cfg2, train2 = make()
+    tr2 = CachedDlrmTrainer(cfg2, train2)
+    tr2.load_checkpoint(ck)
+    tr2.train(max_steps=20, log_fn=lambda s: None)
+    assert tr2.global_step == 20
+    tr2.close()
+
+    for a, b in zip(tr2.controller.occupancy, occ_ref):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(np.asarray(tr2.cache), cache_ref,
+                               rtol=1e-6, atol=1e-7)
