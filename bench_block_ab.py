@@ -119,58 +119,67 @@ def main():
         uniq_b = jnp.asarray(np.pad(
             bu32, (0, p_rows - U_block), constant_values=CACHE_ROWS - 1))
 
+        # All large operands are explicit jit ARGUMENTS (scan xs), never
+        # closure captures: a captured concrete array lowers as an HLO
+        # constant, and on the tunneled backend the serialized constants
+        # blew the remote-compile body limit (HTTP 413) at this geometry.
+
         # ---- A: per-step segsum into u_bucket + per-step cache scatter ----
-        def step_a(cache, i):
-            seg = jnp.zeros((u_bucket, D), jnp.float32).at[ranks_a[i]].add(
-                grads[i])
+        def step_a(cache, x):
+            r, u, g = x
+            seg = jnp.zeros((u_bucket, D), jnp.float32).at[r].add(g)
             # mask padded bucket rows to the trash row (uniq_a padding)
-            cache = cache.at[uniq_a[i]].add(seg)
+            cache = cache.at[u].add(seg)
             return cache, jnp.float32(0)
 
         # ---- B: per-step segsum into pending + gather/add; 1 cache scatter --
-        def step_b(carry, i):
+        def step_b(carry, x):
             cache, pend = carry
-            pend = pend.at[ranks_b[i]].add(grads[i])
+            rb, ua, ublk, g = x
+            pend = pend.at[rb].add(g)
             # effective-weight read: gather the step's touched rows from the
             # cache AND the pending accumulator (w_eff = base - lr * pend)
-            eff = cache[uniq_a[i]] - 0.1 * pend[uniq_blk[i]]
+            eff = cache[ua] - 0.1 * pend[ublk]
             return (cache, pend), eff.sum()
 
         import functools
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def run_a(cache):
-            cache, _ = jax.lax.scan(step_a, cache, jnp.arange(STEPS))
+        def run_a(cache, ranks, uniq, gr):
+            cache, _ = jax.lax.scan(step_a, cache, (ranks, uniq, gr))
             return cache
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def run_b(cache, pend):
+        def run_b(cache, pend, rb, ua, ublk, gr, ub_rows):
             (cache, pend), s = jax.lax.scan(
-                step_b, (cache, pend), jnp.arange(STEPS))
-            cache = cache.at[uniq_b].add(pend)
+                step_b, (cache, pend), (rb, ua, ublk, gr))
+            cache = cache.at[ub_rows].add(pend)
             pend = jnp.zeros_like(pend)
             return cache, pend, s.sum()
 
         cache = jnp.zeros((CACHE_ROWS, D), jnp.float32)
-        cache = run_a(cache)
-        cache = run_a(cache)
+        cache = run_a(cache, ranks_a, uniq_a, grads)
+        cache = run_a(cache, ranks_a, uniq_a, grads)
         _ = float(cache[0, 0])
         t0 = time.perf_counter()
         REPS = 5
         for _ in range(REPS):
-            cache = run_a(cache)
+            cache = run_a(cache, ranks_a, uniq_a, grads)
         _ = float(cache[0, 0])
         a_ms = (time.perf_counter() - t0) / (REPS * STEPS) * 1e3
 
         del cache
         cache = jnp.zeros((CACHE_ROWS, D), jnp.float32)
         pend = jnp.zeros((p_rows, D), jnp.float32)
-        cache, pend, _ = run_b(cache, pend)
-        cache, pend, s = run_b(cache, pend)
+        cache, pend, _ = run_b(cache, pend, ranks_b, uniq_a, uniq_blk, grads,
+                               uniq_b)
+        cache, pend, s = run_b(cache, pend, ranks_b, uniq_a, uniq_blk, grads,
+                               uniq_b)
         _ = float(s)
         t0 = time.perf_counter()
         for _ in range(REPS):
-            cache, pend, s = run_b(cache, pend)
+            cache, pend, s = run_b(cache, pend, ranks_b, uniq_a, uniq_blk,
+                                   grads, uniq_b)
         _ = float(s)
         b_ms = (time.perf_counter() - t0) / (REPS * STEPS) * 1e3
         del cache, pend
