@@ -29,7 +29,13 @@ def main():
             continue
         r = json.loads(line)
         if r.get("result") is not None:
-            latest[r["harness"]] = r["result"]
+            # pass-2 records carry every JSON stdout line under "results";
+            # keep the full list so multi-line harnesses (block_ab's two
+            # streams, kernels' per-kernel rows) land whole in the artifact
+            payload = r.get("results", r["result"])
+            if isinstance(payload, list) and len(payload) == 1:
+                payload = payload[0]
+            latest[r["harness"]] = payload
     wrote = 0
     for harness, out in ARTIFACTS.items():
         if harness in latest:
