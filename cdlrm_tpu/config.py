@@ -255,8 +255,11 @@ class Config:
     #   removes the duplicate-chain cliff more cheaply). Retained as a
     #   verified-exact implementation only; finalize() warns when enabled.
     use_pallas_lookup: bool = False  # Pallas DMA gather for cache lookups
-    #   (~15% over XLA take at Terabyte shape; needs dim % 128 == 0 and
-    #   lookups-per-shard % 256 == 0 — auto-disabled otherwise)
+    #   (needs dim % 128 == 0 and lookups-per-shard % 256 == 0 —
+    #   auto-disabled otherwise). Honest chained-D2H timing measured it
+    #   1.9x SLOWER than XLA take at the headline shape (the earlier
+    #   "~15% faster" was a block_until_ready artifact — PERF.md round-4
+    #   chip window, finding-5 retraction); retained verified-exact.
     use_pallas_scatter: bool = False  # Pallas explicit-DMA row scatters for
     #   the dedup sparse update (ops/scatter.py): stream the unique-row
     #   grad scatter-add + aux staging as pipelined single-row DMAs instead
