@@ -123,6 +123,12 @@ def main():
         # decode, PERF.md round 3). The tunnel wall inflates (~2.3x wire
         # bytes); device_step_ms is the number that transfers.
         pack_wire=os.environ.get("BENCH_PACK", "1") == "1",
+        # BENCH_BLOCK=1 (requires BENCH_DEDUP=on BENCH_PACK=0): the
+        # block-coalesced sparse update — per-lookup grads into a sub-cliff
+        # pending buffer, ONE cache scatter per scan block (config.py
+        # block_coalesced_update; kernel A/B 0.69x at loguniform,
+        # BLOCK_AB_r04.json)
+        block_coalesced_update=os.environ.get("BENCH_BLOCK", "0") == "1",
         # BENCH_PSCATTER=1 (with BENCH_DEDUP=on): Pallas DMA row scatters
         # for the dedup sparse update + aux staging (ops/scatter.py)
         use_pallas_scatter=os.environ.get("BENCH_PSCATTER", "0") == "1",

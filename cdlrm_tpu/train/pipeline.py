@@ -136,8 +136,10 @@ class AssemblyPipeline(threading.Thread):
                     # before this thread probes the new window's batches),
                     # and the consumer picks the matching compiled step per
                     # block from the flag
-                    inputs, stats, dedup = tr._assemble(batch, b_loc)
-                    if not self._put(((epoch, j), batch, inputs, stats, dedup)):
+                    inputs, stats, dedup, binfo = tr._assemble(batch, b_loc)
+                    if not self._put(
+                        ((epoch, j), batch, inputs, stats, dedup, binfo)
+                    ):
                         return
                     j += 1
                 if replay:

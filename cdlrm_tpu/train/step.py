@@ -95,9 +95,11 @@ class StepConfig(NamedTuple):
     # this applies it to the coalesced unique form. Unpacked wires only.
     sorted_wire: bool = False
     # Pallas explicit-DMA row gather instead of XLA take for the cache
-    # lookup (ops/lookup.py): ~15% faster at Terabyte-class shape
-    # (bench_kernels.py: 41us vs 48us for 106k x 128-dim rows). Requires
-    # D % 128 == 0 and per-shard lookup count divisible by the block size.
+    # lookup (ops/lookup.py). Honest chained-D2H timing measured it 1.9x
+    # SLOWER than XLA take at the headline shape (PERF.md round-4 chip
+    # window — the earlier "~15% faster" was a block_until_ready artifact);
+    # retained verified-exact. Requires D % 128 == 0 and per-shard lookup
+    # count divisible by the block size.
     use_pallas_lookup: bool = False
     # Pallas explicit-DMA row scatters for the dedup sparse update
     # (ops/scatter.py): the unique-row grad scatter-add and the aux-staging
@@ -154,6 +156,27 @@ class StepConfig(NamedTuple):
     # PrEmbeddingBag order (EmbeddingBag -> Linear).
     md_proj: bool = False
     md_train_mask: Tuple[float, ...] = ()  # [T] 1.0 = trainable projection
+    # Block-coalesced sparse update (Config.block_coalesced_update; scan
+    # blocks with the unpacked dedup wire + SGD only): instead of one
+    # U-row scatter into the (above-cliff, PERF.md finding 11) cache per
+    # step, per-lookup gradients scatter into a SUB-CLIFF pending buffer
+    # in block-union row space (one duplicate-row scatter per step — no
+    # segment-sum, no per-step cache scatter) and the cache pays ONE
+    # U_block-row scatter per scan block. The forward reads the effective
+    # weight w_eff = cache[slot] - lr * pending[blk_rank], so semantics
+    # are SGD-exact up to float reassociation (c0 - lr*(g1+g2) vs
+    # ((c0 - lr*g1) - lr*g2); single-touch rows are bit-exact). Kernel
+    # A/B: 0.69x/0.84x per-step vs the dedup wire at loguniform/zipf(1.2)
+    # (BLOCK_AB_r04.json). Extra wire: per-step uniq_blk [ub] block ranks
+    # (pad/aux/trash -> pending trash row = last) + per-block blk_slots
+    # [p_bucket] (the sorted union, trash-padded) + blk_counts [1].
+    # Aux-region lanes are EXCLUDED (rank == pending trash => delta
+    # zeroed): a per-step-staged aux slot is reused across the block, so
+    # pending at that slot would merge gradients of DIFFERENT master rows;
+    # today's per-step path applies those updates to rows that are
+    # overwritten before ever being read, so dropping them is
+    # output-identical (DESIGN.md D1 miss semantics).
+    block_coalesce: bool = False
 
     @property
     def cdtype(self):
@@ -538,6 +561,21 @@ def make_cached_train_step(
         )
     if adagrad and cfg.hot_rows > 0:
         raise ValueError("optimizer='adagrad' is incompatible with the hot tier")
+    if cfg.block_coalesce:
+        # pending-sum exactness needs plain SGD (AdaGrad's accumulator is
+        # per-step), per-step unique lists in raw form (the block ranks are
+        # host-computed against the same layout), and a scan block to
+        # amortize the flush over
+        if block <= 1:
+            raise ValueError("block_coalesce requires a scan block (block > 1)")
+        if not cfg.dedup or cfg.wire_pack:
+            raise ValueError(
+                "block_coalesce requires the UNPACKED dedup wire"
+            )
+        if adagrad:
+            raise ValueError("block_coalesce requires optimizer='sgd'")
+        if cfg.hot_rows > 0:
+            raise ValueError("block_coalesce is incompatible with the hot tier")
 
     def make_loss_fn(x, ls_mask, targets, t_count, b_loc, d):
         def loss_fn(params, rows):
@@ -794,9 +832,146 @@ def make_cached_train_step(
                     loss_sum, correct)
         return params, cache, touched, loss_sum, correct
 
+    def body_coalesce(params, cache, touched, pend, x, inv_wire, ls_mask,
+                      uniq_wire, uniq_counts, uniq_blk, aux_slots, aux_rows,
+                      targets, lr, lr_embeds):
+        """One scan-block step of the block-coalesced update (StepConfig
+        docstring): reads w_eff = cache - lr * pending, routes per-lookup
+        gradients into the sub-cliff pending buffer with ONE duplicate-row
+        scatter, and leaves the cache untouched except aux staging — the
+        block-union flush happens once, after the scan."""
+        params = jax.tree_util.tree_map(lambda v: v[0], params)
+        x = _upcast_x(x, cdtype)
+        b_loc = targets.shape[0]
+        targets = targets.astype(jnp.float32)
+        t_count = inv_wire.shape[0]
+        d = cache.shape[-1]
+        p_trash = pend.shape[0] - 1  # host contract: last pending row
+
+        if cfg.use_pallas_scatter and _pallas_blk_ok(aux_slots.shape[0]):
+            from cdlrm_tpu.ops.scatter import scatter_set_rows
+
+            nv_aux = jnp.sum((aux_slots != geo.trash_row).astype(jnp.int32))
+            cache = scatter_set_rows(
+                cache, aux_slots, aux_rows.astype(jnp.float32), nv_aux,
+                interpret=cfg.pallas_interpret,
+            )
+        else:
+            cache = cache.at[aux_slots].set(
+                aux_rows.astype(jnp.float32),
+                indices_are_sorted=cfg.sorted_wire,
+            )
+        uniq_slots, ginv = _decode_dedup_raw(
+            inv_wire, uniq_wire, uniq_counts, cfg.sorted_wire
+        )
+        rows_u = jnp.take(
+            cache, uniq_slots, axis=0, indices_are_sorted=cfg.sorted_wire
+        )  # [Ub, D]
+        # effective weight: the block's not-yet-flushed updates live in
+        # pending (pad/aux/trash ranks read the pending trash row, which
+        # stays exactly zero — see the gradient mask below)
+        w_eff = rows_u - lr_embeds * jnp.take(pend, uniq_blk, axis=0)
+        # differentiate w.r.t. the EXPANDED rows: no take-transpose
+        # segment-sum, no per-step [Ub, D] intermediate — the per-lookup
+        # gradient goes straight into pending
+        rows_exp = jnp.take(w_eff, ginv, axis=0)
+        loss_fn_rows = make_loss_fn(x, ls_mask, targets, t_count, b_loc, d)
+        (loss, p), (dparams, drows) = jax.value_and_grad(
+            loss_fn_rows, argnums=(0, 1), has_aux=True
+        )(params, rows_exp)
+
+        blk_rank = jnp.take(uniq_blk, ginv)  # [N] per-lookup block ranks
+        # aux/trash/masked lanes carry rank p_trash: zero their deltas so
+        # the pending trash row stays exactly +0.0 and the flush's padded
+        # positions are -0.0 identity adds
+        d_eff = drows * (blk_rank != p_trash)[:, None].astype(drows.dtype)
+        pend = pend.at[blk_rank].add(d_eff)
+
+        if cfg.track_touched:
+            touched = touched.at[uniq_slots].set(
+                True, indices_are_sorted=cfg.sorted_wire
+            )
+            touched = touched.at[geo.trash_row].set(False)
+
+        params, loss_sum, correct, _ = finish(
+            params, dparams, p, loss, targets, lr, b_loc
+        )
+        return params, cache, touched, pend, loss_sum, correct
+
     lead = _spec_leading()
     # hot tier adds one per-window replicated input (hot_slots) before lr
     hot_specs = (P(),) if hot else ()
+    if cfg.block_coalesce:
+        # per-batch inputs (9): the dedup wire + uniq_blk; per-block inputs:
+        # blk_slots (sorted block union, trash-padded) + blk_counts
+        batch_specs = (
+            P(DP_AXIS),  # x
+            P(None, DP_AXIS),  # inv_wire
+            P(None, DP_AXIS),  # ls_mask
+            lead,  # uniq_wire
+            lead,  # uniq_counts
+            lead,  # uniq_blk
+            lead,  # aux_slots
+            lead,  # aux_rows
+            P(DP_AXIS),  # targets
+        )
+        n_in = len(batch_specs)
+
+        def scanned_coalesce(params, cache, touched, *rest):
+            lr, lr_embeds = rest[-2], rest[-1]
+            blk_slots, blk_counts = rest[-4], rest[-3]
+            flat = rest[:-4]
+            stacked = tuple(
+                jnp.stack([flat[j * n_in + i] for j in range(block)])
+                for i in range(n_in)
+            )
+            p_local = blk_slots.shape[0]
+            pend0 = jnp.zeros((p_local, cache.shape[-1]), jnp.float32)
+
+            def f(carry, xs):
+                p, c, t, pe = carry
+                p, c, t, pe, ls, corr = body_coalesce(
+                    p, c, t, pe, *xs, lr, lr_embeds
+                )
+                return (p, c, t, pe), (ls, corr)
+
+            (params, cache, touched, pend), (loss, corr) = jax.lax.scan(
+                f, (params, cache, touched, pend0), stacked
+            )
+            # block flush: ONE U_block-row scatter into the cache. Padded
+            # positions hold exactly +0.0 pending rows (the gradient mask
+            # keeps even the pending trash row clean), so after the -lr
+            # scale they add -0.0 — the float identity — and are SPREAD
+            # across distinct rows instead of forming one trash-row
+            # same-index chain (PERF.md finding 9).
+            if cfg.use_pallas_scatter and _pallas_blk_ok(p_local):
+                from cdlrm_tpu.ops.scatter import scatter_add_rows
+
+                # valid union rows are a sorted DISTINCT prefix; the kernel
+                # skips everything past blk_counts entirely
+                cache = scatter_add_rows(
+                    cache, blk_slots, -lr_embeds * pend, blk_counts[0],
+                    interpret=cfg.pallas_interpret,
+                )
+            else:
+                spread = (
+                    jnp.arange(p_local, dtype=jnp.int32) % cache.shape[0]
+                )
+                slots_eff = jnp.where(
+                    blk_slots == geo.trash_row, spread, blk_slots
+                )
+                cache = cache.at[slots_eff].add(-lr_embeds * pend)
+            return params, cache, touched, loss, corr
+
+        shardmapped = jax.shard_map(
+            scanned_coalesce,
+            mesh=mesh,
+            in_specs=(lead, lead, lead) + batch_specs * block
+            + (lead, lead) + (P(), P()),
+            out_specs=(lead, lead, lead) + (P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(shardmapped, donate_argnums=(1, 2))
     if block > 1:
         if cfg.dedup:
             # dedup wire: 8 per-batch inputs; shapes are block-stable

@@ -503,6 +503,15 @@ class CachedDlrmTrainer:
         # amortization; config.py). With dedup, per-window negotiated unique
         # buckets keep the wire shapes block-stable (_apply_window_stats).
         self._scan_block = max(1, cfg.scan_steps)
+        # block-coalesced sparse update (config.py block_coalesced_update):
+        # dedup-wire scan blocks route per-lookup grads into a pending
+        # buffer and flush the cache once per block (StepConfig doc)
+        self._block_coalesce = bool(cfg.block_coalesced_update)
+        if self._block_coalesce and self.multihost:
+            raise ValueError(
+                "block_coalesced_update is single-host only for now (the "
+                "block-union bucket is not negotiated across hosts)"
+            )
         self._step_cache: dict = {}  # (block size, dedup) -> compiled step
         self.eval_step = step_lib.make_cached_eval_step(
             self.mesh, self.geo,
@@ -592,7 +601,7 @@ class CachedDlrmTrainer:
 
         self._eval_bucket_log: "deque" = deque(maxlen=1024)
         # single-host monotone staging buckets (see _pack_aux)
-        self._bucket_run_max = {"train": 0, "eval": 0, "dedup": 0}
+        self._bucket_run_max = {"train": 0, "eval": 0, "dedup": 0, "blk": 0}
         self._row_exchange = (
             GlobalRowExchange(
                 self.master,
@@ -1072,6 +1081,13 @@ class CachedDlrmTrainer:
             y_local = y_local.astype(np.uint8)
         ib_glob = inv_wire.shape[1] * self.ndev // self.n_local
 
+        # block-coalesce: run_block needs the HOST-side unique lists to build
+        # the block union + per-step block ranks (uniq padded to the same ub
+        # the wire was staged with — the rank rows must align positionally)
+        blockinfo = None
+        if self._block_coalesce and not self._wire_pack:
+            blockinfo = (uniq_lists, count_lists, ub)
+
         if mask is None:
             mask_dev = self._dummy_mask(t_count, hi - lo, b_glob)
             staged = put_global_many(
@@ -1088,7 +1104,7 @@ class CachedDlrmTrainer:
                  (b_glob,) + y_local.shape[1:]),
             )
             return (staged[0], staged[1], mask_dev, staged[2], staged[3],
-                    staged[4], staged[5], staged[6]), stats, True
+                    staged[4], staged[5], staged[6]), stats, True, blockinfo
 
         mask_local = mask[:, lo:hi]
         mask_glob = (t_count, b_glob) + mask.shape[2:]
@@ -1106,7 +1122,7 @@ class CachedDlrmTrainer:
              (self.ndev * k, self.geo.dim),
              (b_glob,) + y_local.shape[1:]),
         )
-        return staged, stats, True
+        return staged, stats, True, blockinfo
 
     def _assemble(self, batch: Batch, b_loc: int):
         """Probe this process's DP shards and build (global) sharded device
@@ -1190,7 +1206,7 @@ class CachedDlrmTrainer:
             )
             inputs = (staged[0], staged[1], mask_dev, staged[2], staged[3],
                       staged[4])
-            return inputs, stats, False
+            return inputs, stats, False, None
 
         mask_local = mask[:, lo:hi]
         mask_glob = (t_count, b_glob) + mask.shape[2:]
@@ -1205,7 +1221,7 @@ class CachedDlrmTrainer:
              (self.ndev * k, self.geo.dim),
              (b_glob,) + y_local.shape[1:]),
         )
-        return inputs, stats, False
+        return inputs, stats, False, None
 
     def _wire_x(self, x_local: np.ndarray):
         if self.cfg.wire_x_fp8:
@@ -1411,25 +1427,92 @@ class CachedDlrmTrainer:
             self._stream_done = False
             self._pipeline_started = True
 
-    def _get_step(self, size: int, dedup: bool):
+    def _get_step(self, size: int, dedup: bool, coalesce: bool = False):
         """Compiled train step for ``size`` consecutive batches (size 1 =
         the plain single step; >1 = a scan block, train/step.py
         make_cached_train_step(block=size)) in the given wire format; cached
-        per (size, dedup, cold bucket) — blocks only take sizes in
+        per (size, dedup, cold bucket, coalesce) — blocks only take sizes in
         {scan_steps} plus cadence/window remainders and cold buckets are
         pow2, so the variant count stays small."""
         cold = self._cold_bucket_window if self._hot else 0
-        key = (size, dedup, cold)
+        key = (size, dedup, cold, coalesce)
         fn = self._step_cache.get(key)
         if fn is None:
             scfg = self.step_cfg_dedup if dedup else self.step_cfg
             if self._hot:
                 scfg = scfg._replace(hot_rows=self._hot, cold_bucket=cold)
+            if coalesce:
+                scfg = scfg._replace(block_coalesce=True)
             fn = step_lib.make_cached_train_step(
                 self.mesh, self.geo, scfg, self.pooled_width, block=size,
             )
             self._step_cache[key] = fn
         return fn
+
+    def _build_block_union(self, infos):
+        """Block-coalesce host pass (run at dispatch): per local replica,
+        union the block's unique CACHE slots (aux-region and trash slots
+        excluded — StepConfig.block_coalesce doc) and emit each step's
+        block-rank row aligned with its staged uniq wire. Returns staged
+        device arrays (per-step rank rows, the trash-padded sorted union,
+        per-replica counts). numpy np.unique + searchsorted — ~tens of ms
+        per block at bench geometry on one core; a production host overlaps
+        this in the assembly pipeline the way the probe already is."""
+        uniq0, counts0, ub = infos[0]
+        t_count = counts0[0].size
+        geo = self.geo
+        aux_base = np.array(
+            [geo.aux_base(t) for t in range(t_count)], np.int64
+        )
+        unions, p_need = [], 1
+        for k_loc in range(self.n_local):
+            vals = np.concatenate([info[0][k_loc] for info in infos])
+            tids = np.concatenate([
+                np.repeat(np.arange(t_count), info[1][k_loc])
+                for info in infos
+            ])
+            union = np.unique(vals[vals < aux_base[tids]])
+            unions.append(union)
+            # +1: the last pending row is the trash rank — keep it a pad
+            p_need = max(p_need, union.size + 1)
+        p_bucket = pow2_bucket(p_need, min_size=1024)
+        p_bucket = self._bucket_run_max["blk"] = max(
+            self._bucket_run_max["blk"], p_bucket
+        )
+        p_trash = p_bucket - 1
+        blk_slots = np.full((self.n_local, p_bucket), geo.trash_row, np.int32)
+        blk_counts = np.zeros(self.n_local, np.int32)
+        for k_loc, union in enumerate(unions):
+            blk_slots[k_loc, : union.size] = union
+            blk_counts[k_loc] = union.size
+        base = 0 if self.step_cfg_dedup.sorted_wire else 1
+        rank_rows = []
+        for uniq_lists, count_lists, ub_i in infos:
+            if ub_i != ub:
+                # blocks never cross windows and the bucket is negotiated
+                # per window, so a mismatch means the invariant broke
+                raise RuntimeError(
+                    f"dedup bucket changed within a scan block ({ub_i} vs "
+                    f"{ub})"
+                )
+            row = np.full((self.n_local, ub), p_trash, np.int32)
+            for k_loc in range(self.n_local):
+                u = uniq_lists[k_loc]
+                tid = np.repeat(np.arange(t_count), count_lists[k_loc])
+                keep = u < aux_base[tid]
+                r = np.full(u.size, p_trash, np.int64)
+                r[keep] = np.searchsorted(unions[k_loc], u[keep])
+                row[k_loc, base: base + u.size] = r
+            rank_rows.append(row)
+        sh = self._shardings
+        staged = put_global_many(
+            tuple(r.reshape(-1) for r in rank_rows)
+            + (blk_slots.reshape(-1), blk_counts),
+            (sh["lead"],) * (len(infos) + 2),
+            tuple((self.ndev * ub,) for _ in infos)
+            + ((self.ndev * p_bucket,), (self.ndev,)),
+        )
+        return staged[: len(infos)], staged[-2], staged[-1]
 
     def train(self, max_steps: Optional[int] = None, log_fn=print) -> TrainMetrics:
         """Main loop: consumes batches pre-probed by the AssemblyPipeline
@@ -1597,7 +1680,7 @@ class CachedDlrmTrainer:
             item carries the wire format it was assembled in (auto-dedup
             flips only at window boundaries, and blocks never cross one, so
             a block is format-homogeneous)."""
-            for _, _, _, st, _ in items:
+            for _, _, _, st, _, _ in items:
                 st.commit(self.metrics)
             dedup = items[0][4]
             if not all(it[4] == dedup for it in items):
@@ -1614,7 +1697,7 @@ class CachedDlrmTrainer:
                 (self.dense_acc, self.embed_acc) if self._adagrad else ()
             )
             if len(items) == 1:
-                cursor, _, inputs, _, _ = items[0]
+                cursor, _, inputs, _, _, _ = items[0]
                 out = self._get_step(1, dedup)(
                     self.params, self.cache, self.touched, *inputs,
                     *hot_extra, *opt_extra, self._lr, self._lr_emb,
@@ -1628,18 +1711,39 @@ class CachedDlrmTrainer:
                 pending.append((loss_sum, correct, b, None))
                 after_step(cursor)
             else:
-                fn = self._get_step(len(items), dedup)
-                flat = [a for _, _, inputs, _, _ in items for a in inputs]
-                out = fn(
-                    self.params, self.cache, self.touched, *flat,
-                    *hot_extra, *opt_extra, self._lr, self._lr_emb,
+                coalesce = (
+                    dedup and self._block_coalesce
+                    and all(it[5] is not None for it in items)
                 )
+                fn = self._get_step(len(items), dedup, coalesce)
+                if coalesce:
+                    ranks, blk_slots, blk_counts = self._build_block_union(
+                        [it[5] for it in items]
+                    )
+                    flat = []
+                    for i, (_, _, inputs, _, _, _) in enumerate(items):
+                        # uniq_blk rides right after uniq_counts (step input
+                        # order, train/step.py block_coalesce batch_specs)
+                        flat.extend(inputs[:5])
+                        flat.append(ranks[i])
+                        flat.extend(inputs[5:])
+                    out = fn(
+                        self.params, self.cache, self.touched, *flat,
+                        blk_slots, blk_counts, self._lr, self._lr_emb,
+                    )
+                else:
+                    flat = [a for _, _, inputs, _, _, _ in items
+                            for a in inputs]
+                    out = fn(
+                        self.params, self.cache, self.touched, *flat,
+                        *hot_extra, *opt_extra, self._lr, self._lr_emb,
+                    )
                 if self._adagrad:
                     (self.params, self.cache, self.touched, self.dense_acc,
                      self.embed_acc, loss_v, corr_v) = out
                 else:
                     self.params, self.cache, self.touched, loss_v, corr_v = out
-                for i, (cursor, _, _, _, _) in enumerate(items):
+                for i, (cursor, _, _, _, _, _) in enumerate(items):
                     pending.append((loss_v, corr_v, b, i))
                     after_step(cursor)
 

@@ -91,7 +91,7 @@ def test_multihot_cached_forward_matches_fulltable_oracle():
     w = tr.prefetcher.get_window()
     tr._apply_refill(w)
     batch = next(ds.batches())
-    (x, slots, mask, aux_s, aux_r, tgt), _, _ = tr._assemble(
+    (x, slots, mask, aux_s, aux_r, tgt), _, _, _ = tr._assemble(
         batch, cfg.local_batch_size
     )
     tr.cache, scores = tr.eval_step(
