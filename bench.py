@@ -219,7 +219,7 @@ def main():
 
     def device_step_ms(iters=30):
         b0 = next(ds.batches())
-        inputs, _, dd = trainer._assemble(b0, cfg.local_batch_size)
+        inputs, _, dd, _binfo = trainer._assemble(b0, cfg.local_batch_size)
         # per-step H2D payload accounting (the binding constraint on thin
         # host links — PERF.md finding 2): bytes of every staged input
         h2d_bytes["n"] = int(sum(getattr(a, "nbytes", 0) for a in inputs))

@@ -486,6 +486,22 @@ class Config:
                 "(PERF.md round 4); consider lr <= 0.1",
                 stacklevel=2,
             )
+        if self.sorted_dedup_wire:
+            import warnings
+
+            # Round-4 chip window (PERF.md): the sorted unpacked wire
+            # measured a clear on-chip LOSS — 15.36 ms device step vs
+            # 8.80 ms unsorted-unpacked at the headline geometry. The
+            # argsorted rank remap costs more than indices_are_sorted buys.
+            # Exact and pinned, so it stays available for A/Bs on other
+            # streams/hardware; quarantined like the hot tier.
+            warnings.warn(
+                "sorted_dedup_wire: the sorted wire measured SLOWER than "
+                "the unsorted unpacked wire on-chip (15.36 vs 8.80 ms "
+                "device step, PERF.md round-4 chip window); enable only "
+                "with an A/B measurement on your own stream",
+                stacklevel=2,
+            )
         if self.hot_tier_rows > 0:
             import warnings
 
