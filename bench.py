@@ -56,6 +56,8 @@ def main():
     except Exception as e:
         log(f"compilation cache not enabled: {e}")
 
+    import jax.numpy as jnp
+
     from cdlrm_tpu.config import Config
     from cdlrm_tpu.data.synthetic import Batch
     from cdlrm_tpu.train.trainer import CachedDlrmTrainer
@@ -123,12 +125,16 @@ def main():
         # decode, PERF.md round 3). The tunnel wall inflates (~2.3x wire
         # bytes); device_step_ms is the number that transfers.
         pack_wire=os.environ.get("BENCH_PACK", "1") == "1",
-        # BENCH_BLOCK=1 (requires BENCH_DEDUP=on BENCH_PACK=0): the
-        # block-coalesced sparse update — per-lookup grads into a sub-cliff
-        # pending buffer, ONE cache scatter per scan block (config.py
-        # block_coalesced_update; kernel A/B 0.69x at loguniform,
-        # BLOCK_AB_r04.json)
-        block_coalesced_update=os.environ.get("BENCH_BLOCK", "0") == "1",
+        # BENCH_BLOCK: the block-coalesced sparse update — per-lookup grads
+        # into a sub-cliff pending buffer, ONE cache scatter per scan block
+        # (config.py block_coalesced_update; kernel A/B 0.69x at loguniform,
+        # BLOCK_AB_r04.json). Default 'auto' = on exactly when legal (so
+        # BENCH_PACK=0 alone runs coalesced); BENCH_BLOCK=0 is the A/B
+        # control, BENCH_BLOCK=1 forces it (raises if illegal).
+        block_coalesced_update={"1": "on", "0": "off"}.get(
+            os.environ.get("BENCH_BLOCK", "auto"),
+            os.environ.get("BENCH_BLOCK", "auto"),
+        ),
         # BENCH_PSCATTER=1 (with BENCH_DEDUP=on): Pallas DMA row scatters
         # for the dedup sparse update + aux staging (ops/scatter.py)
         use_pallas_scatter=os.environ.get("BENCH_PSCATTER", "0") == "1",
@@ -252,6 +258,63 @@ def main():
 
     dstep_ms = device_step_ms()
 
+    def device_block_ms(iters=6):
+        """Per-step device time of the SCAN-BLOCK dispatch (the unit the
+        headline wall actually runs) with reused inputs — the number where
+        block coalescing shows up: the single-step fn above never coalesces
+        (the flush amortizes over a block). Returns (ms_per_step,
+        coalesced?, union_host_ms_per_block) or None when blocks are off
+        or the optimizer path needs per-step state (adagrad blocks are
+        timed by the headline wall instead)."""
+        k = trainer._scan_block
+        if k <= 1 or trainer._adagrad:
+            return None
+        gen = ds.batches()
+        items = []
+        for _ in range(k):
+            bi = next(gen)
+            inputs, _, ddb, binfo = trainer._assemble(bi, cfg.local_batch_size)
+            items.append((inputs, ddb, binfo))
+        ddb = items[0][1]
+        if not all(it[1] == ddb for it in items):
+            return None  # auto-dedup flipped mid-probe; skip the metric
+        coalesce = (
+            ddb and trainer._block_coalesce
+            and all(it[2] is not None for it in items)
+        )
+        fn = trainer._get_step(k, ddb, coalesce)
+        hot_extra = (trainer._hot_slots_dev,) if trainer._hot else ()
+        union_ms = 0.0
+        if coalesce:
+            tu = time.perf_counter()
+            ranks, blk_slots, blk_counts = trainer._build_block_union(
+                [it[2] for it in items]
+            )
+            union_ms = 1e3 * (time.perf_counter() - tu)
+            flat = []
+            for i, (inputs, _, _) in enumerate(items):
+                flat.extend(inputs[:5])
+                flat.append(ranks[i])
+                flat.extend(inputs[5:])
+            tail = (blk_slots, blk_counts)
+        else:
+            flat = [a for inputs, _, _ in items for a in inputs]
+            tail = hot_extra
+        p, c, t = trainer.params, trainer.cache, trainer.touched
+        out = fn(p, c, t, *flat, *tail, trainer._lr, trainer._lr_emb)
+        p, c, t, ls = out[0], out[1], out[2], out[-2]
+        _ = float(jnp.sum(ls))  # compile + sync (finding 7)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(p, c, t, *flat, *tail, trainer._lr, trainer._lr_emb)
+            p, c, t, ls = out[0], out[1], out[2], out[-2]
+        _ = float(jnp.sum(ls))
+        dt = 1e3 * (time.perf_counter() - t0) / (iters * k)
+        trainer.params, trainer.cache, trainer.touched = p, c, t
+        return dt, bool(coalesce), union_ms
+
+    blk = device_block_ms()
+
     # BENCH_SKIP_EXTRAS=1: A/B mode — headline + device_step only (the
     # hot-tier / wire A/Bs need many runs; eval + steady-state regimes are
     # invariant to those knobs)
@@ -265,6 +328,12 @@ def main():
             "value": round(1000.0 * batch / ms_per_iter, 1),
             "ms_per_iter": round(ms_per_iter, 2),
             "device_step_ms": round(dstep_ms, 2),
+            # scan-block dispatch per-step time (the coalesce A/B metric)
+            "block_step_ms_per_iter": (
+                None if blk is None else round(blk[0], 2)
+            ),
+            "block_coalesced": None if blk is None else blk[1],
+            "block_union_host_ms": None if blk is None else round(blk[2], 2),
             "hit_rate": round(w["hit_rate"], 4),
             "dedup_active": bool(w.get("dedup", False)),
             "batch": batch, "stream": stream,
@@ -366,6 +435,12 @@ def main():
         # H2D link is not the constraint (includes dispatch; excludes host
         # probe + staging, which overlap under the pipeline)
         "device_step_ms": round(dstep_ms, 2),
+        # scan-block dispatch per-step device time + whether the block ran
+        # coalesced (config.py block_coalesced_update; None when blocks
+        # are off) — the granularity the headline wall actually dispatches
+        "block_step_ms_per_iter": None if blk is None else round(blk[0], 2),
+        "block_coalesced": None if blk is None else blk[1],
+        "block_union_host_ms": None if blk is None else round(blk[2], 2),
         # forward-only serving throughput (the --inference-only path). On
         # this tunneled chip it is bound by miss-row H2D (the eval stream is
         # a fresh sample, so its tail misses the train-window cache and
@@ -400,6 +475,8 @@ def main():
             "stream": stream,
             "hot_tier_rows": cfg.hot_tier_rows,
             "pack_wire": cfg.pack_wire,
+            # finalize() resolved auto to a bool (config.py)
+            "block_coalesced": bool(cfg.block_coalesced_update),
         },
     }
     print(json.dumps(result))

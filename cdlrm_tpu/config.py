@@ -302,18 +302,21 @@ class Config:
     #   indices_are_sorted=True (PERF.md finding 8: host-sorting measured
     #   ~17% off the raw scatter form). Requires pack_wire=False; no-op on
     #   the non-dedup wire.
-    block_coalesced_update: bool = False  # scan-block pending-buffer sparse
-    #   update (train/step.py StepConfig.block_coalesce): per-lookup grads
-    #   scatter into a sub-cliff pending buffer in block-union row space and
-    #   the cache pays ONE union-row scatter per scan block instead of one
-    #   unique-row scatter per step. SGD-exact up to float reassociation.
-    #   Kernel A/B on v5e: 0.69x/0.84x per-step at loguniform/zipf(1.2)
-    #   (BLOCK_AB_r04.json). Requires scan_steps > 1, the unpacked dedup
-    #   wire (dedup_lookups != 'off', pack_wire=False), optimizer='sgd',
-    #   hot_tier_rows == 0; single-host only for now (the block-union
-    #   bucket is not yet negotiated across hosts). Blocks assembled in
-    #   the plain wire (auto-dedup off-windows) fall back to the per-step
-    #   update; size-1 remainder blocks always do.
+    block_coalesced_update: str = "auto"  # on | off | auto — scan-block
+    #   pending-buffer sparse update (train/step.py StepConfig.block_coalesce):
+    #   per-lookup grads scatter into a sub-cliff pending buffer in
+    #   block-union row space and the cache pays ONE union-row scatter per
+    #   scan block instead of one unique-row scatter per step. SGD-exact up
+    #   to float reassociation. Kernel A/B on v5e: 0.69x/0.84x per-step at
+    #   loguniform/zipf(1.2) (BLOCK_AB_r04.json). Legality: scan_steps > 1,
+    #   the unpacked dedup wire (dedup_lookups != 'off', pack_wire=False),
+    #   optimizer='sgd', hot_tier_rows == 0. 'auto' (default) enables it
+    #   exactly when legal; 'on' raises on an illegal combo. Multi-host: the
+    #   per-block union bucket is negotiated with one tiny allgather-max on
+    #   the main thread (deterministic collective order — blocks are pure
+    #   functions of shared state). Blocks assembled in the plain wire
+    #   (auto-dedup off-windows) fall back to the per-step update; size-1
+    #   remainder blocks always do. Bools accepted (True='on', False='off').
     dedup_lookups: str = "auto"  # on | off | auto — coalesce duplicate slots
     #   on the host and ship (rank wire + unique list) instead of per-lookup
     #   slots: the device sparse update shrinks from N to U scatter rows
@@ -377,28 +380,6 @@ class Config:
             # device idles while the rest of the block stages (measured
             # 17 -> 32 ms/it at depth 2, scan 10)
             self.pipeline_depth = self.scan_steps + 2
-        if self.block_coalesced_update:
-            if self.scan_steps <= 1:
-                raise ValueError(
-                    "block_coalesced_update requires scan_steps > 1 (the "
-                    "flush amortizes over a scan block)"
-                )
-            if self.dedup_lookups == "off" or self.pack_wire:
-                raise ValueError(
-                    "block_coalesced_update requires the unpacked dedup "
-                    "wire: dedup_lookups 'on'/'auto' and pack_wire=False"
-                )
-            if self.optimizer != "sgd":
-                raise ValueError(
-                    "block_coalesced_update requires optimizer='sgd' "
-                    "(pending-sum exactness breaks under per-step AdaGrad "
-                    "accumulators)"
-                )
-            if self.hot_tier_rows > 0:
-                raise ValueError(
-                    "block_coalesced_update is incompatible with "
-                    "hot_tier_rows"
-                )
         if self.refill_broadcast is True:  # legacy bool spelling
             self.refill_broadcast = "strict"
         elif self.refill_broadcast is False:
@@ -437,6 +418,55 @@ class Config:
                     "optimizer='adagrad' supports plain embeddings only "
                     "(no QR/MD compression)"
                 )
+        # block-coalesced sparse update: tri-state. 'auto' (default) turns
+        # it on exactly when the measured-GO preconditions hold and stays
+        # silently off otherwise (auto-dedup's capability-gate pattern);
+        # explicit 'on' raises on an illegal combination so a user who asked
+        # for it learns why they can't have it. Resolved to a plain bool
+        # here — everything downstream reads True/False.
+        if self.block_coalesced_update is True:  # legacy bool spelling
+            self.block_coalesced_update = "on"
+        elif self.block_coalesced_update is False:
+            self.block_coalesced_update = "off"
+        if self.block_coalesced_update not in ("on", "off", "auto"):
+            raise ValueError(
+                "block_coalesced_update must be on|off|auto, got "
+                f"{self.block_coalesced_update!r}"
+            )
+        _blk_legal = (
+            self.scan_steps > 1
+            and self.dedup_lookups != "off"
+            and not self.pack_wire
+            and self.optimizer == "sgd"
+            and self.hot_tier_rows == 0
+        )
+        if self.block_coalesced_update == "auto":
+            self.block_coalesced_update = _blk_legal
+        elif self.block_coalesced_update == "on":
+            if self.scan_steps <= 1:
+                raise ValueError(
+                    "block_coalesced_update requires scan_steps > 1 (the "
+                    "flush amortizes over a scan block)"
+                )
+            if self.dedup_lookups == "off" or self.pack_wire:
+                raise ValueError(
+                    "block_coalesced_update requires the unpacked dedup "
+                    "wire: dedup_lookups 'on'/'auto' and pack_wire=False"
+                )
+            if self.optimizer != "sgd":
+                raise ValueError(
+                    "block_coalesced_update requires optimizer='sgd' "
+                    "(pending-sum exactness breaks under per-step AdaGrad "
+                    "accumulators)"
+                )
+            if self.hot_tier_rows > 0:
+                raise ValueError(
+                    "block_coalesced_update is incompatible with "
+                    "hot_tier_rows"
+                )
+            self.block_coalesced_update = True
+        else:
+            self.block_coalesced_update = False
         if self.sorted_dedup_wire and self.pack_wire:
             raise ValueError(
                 "sorted_dedup_wire requires the unpacked wire: pass "

@@ -507,11 +507,6 @@ class CachedDlrmTrainer:
         # dedup-wire scan blocks route per-lookup grads into a pending
         # buffer and flush the cache once per block (StepConfig doc)
         self._block_coalesce = bool(cfg.block_coalesced_update)
-        if self._block_coalesce and self.multihost:
-            raise ValueError(
-                "block_coalesced_update is single-host only for now (the "
-                "block-union bucket is not negotiated across hosts)"
-            )
         self._step_cache: dict = {}  # (block size, dedup) -> compiled step
         self.eval_step = step_lib.make_cached_eval_step(
             self.mesh, self.geo,
@@ -1475,6 +1470,19 @@ class CachedDlrmTrainer:
             unions.append(union)
             # +1: the last pending row is the trash rank — keep it a pad
             p_need = max(p_need, union.size + 1)
+        if self.multihost:
+            # the pending buffer's bucket is a compiled GLOBAL shape, so
+            # every host must adopt the same one — one tiny allgather-max
+            # per scan block on the main thread. Collective-order safety:
+            # block boundaries and the coalesce decision are pure functions
+            # of host-identical state (config + window stats + stream), so
+            # every host issues this at the identical point in its sequence
+            # (the module invariant; parallel/multihost.py doc).
+            from jax.experimental import multihost_utils
+
+            p_need = int(np.max(multihost_utils.process_allgather(
+                np.asarray(p_need, np.int64)
+            )))
         p_bucket = pow2_bucket(p_need, min_size=1024)
         p_bucket = self._bucket_run_max["blk"] = max(
             self._bucket_run_max["blk"], p_bucket

@@ -44,6 +44,7 @@ def main():
     md = mode == "md"
     adagrad = mode == "adagrad"
     pscatter = mode == "pscatter"
+    blockco = mode == "blockco"
     steps = 16 if mode == "one_window" else (200 if soak else 24)
     lookahead = steps + 4 if mode == "one_window" else (6 if soak else 4)
     cfg = Config(
@@ -74,7 +75,7 @@ def main():
         # are pure functions of shared state, so every host runs identical
         # block sizes and the in-scan collectives stay aligned
         scan_steps=(
-            3 if mode in ("multi_window", "noprestage", "resume")
+            3 if mode in ("multi_window", "noprestage", "resume", "blockco")
             else (5 if mode == "soak" else 1)
         ),
         # noprestage: multi_window with the main-thread window prefetch
@@ -96,7 +97,13 @@ def main():
         hot_tier_rows=16 if soak else 0,
         # soak + pooled also run the UNPACKED wires (round-3 fast-host-link
         # mode): raw int32 ranks / plain int32 slots must stay host-symmetric
-        pack_wire=not (soak or pooled),
+        # blockco: the block-coalesced sparse update across hosts — the
+        # per-block union bucket is negotiated with one allgather-max on
+        # the main thread (trainer._build_block_union), so 2x2 must stay
+        # aligned with 1x4 and both must match the per-step trajectory up
+        # to float reassociation. Requires the unpacked dedup wire;
+        # block_coalesced_update='auto' (the default) resolves ON here.
+        pack_wire=not (soak or pooled or blockco),
         # pooled also runs the SORTED unpacked wire across hosts: the
         # argsort permutation is a pure function of the (host-identical)
         # probe metadata, so 2x2 must stay aligned with 1x4
@@ -113,7 +120,7 @@ def main():
         # compounds to ~1% by step 24 in BOTH orderings — numerically
         # expected, useless as a cross-topology pin)
         optimizer="adagrad" if adagrad else "sgd",
-        dedup_lookups="on" if (adagrad or pscatter) else "auto",
+        dedup_lookups="on" if (adagrad or pscatter or blockco) else "auto",
         adagrad_eps=1e-2,
         # pscatter: interpret-mode Pallas DMA scatters across hosts — the
         # unique-row scatter-add, aux staging, and refill-insert DMA sites
@@ -202,6 +209,12 @@ def main():
 
         try:
             m = trainer.train(max_steps=steps, log_fn=log)
+            if blockco:
+                # guard against a silent fallback: the coalesced step
+                # variant must actually have compiled and dispatched
+                assert any(k[3] for k in trainer._step_cache), (
+                    "blockco mode ran but no coalesced block dispatched"
+                )
             acc, auc = trainer.evaluate(log_fn=lambda s: None)
         finally:
             trainer.close()

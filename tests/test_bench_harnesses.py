@@ -94,6 +94,23 @@ def test_bench_cpu_smoke():
 
 
 @pytest.mark.slow
+def test_bench_cpu_smoke_block_coalesce_ab():
+    """The block-coalesce chip A/B harness end-to-end on CPU: with the
+    unpacked dedup wire, block_coalesced_update='auto' must resolve ON,
+    the scan-block metric must be emitted, and BENCH_BLOCK=0 must produce
+    the control arm — the exact pair chip_queue runs on the real chip."""
+    knobs = {"BENCH_CPU": "1", "BENCH_SKIP_EXTRAS": "1",
+             "BENCH_DEDUP": "on", "BENCH_PACK": "0"}
+    rec = _run(knobs, "bench.py", timeout=900)[-1]
+    assert rec["block_coalesced"] is True
+    assert rec["block_step_ms_per_iter"] > 0
+    assert rec["block_union_host_ms"] >= 0
+    rec0 = _run(dict(knobs, BENCH_BLOCK="0"), "bench.py", timeout=900)[-1]
+    assert rec0["block_coalesced"] is False
+    assert rec0["block_step_ms_per_iter"] > 0
+
+
+@pytest.mark.slow
 def test_kernels_cpu_smoke():
     """The chip queue's FIRST harness end-to-end (KERNELS_CPU: scaled
     shapes, Pallas in interpret mode): every kernel entry must carry a

@@ -164,6 +164,8 @@ def test_single_touch_rows_bit_exact():
 
 
 def test_config_guards():
+    # explicit 'on' (legacy bool True) raises on every illegal combo —
+    # the user asked for it and must learn why they can't have it
     with pytest.raises(ValueError, match="scan_steps"):
         _cfg(True, scan_steps=1)
     with pytest.raises(ValueError, match="unpacked dedup"):
@@ -174,3 +176,30 @@ def test_config_guards():
         _cfg(True, optimizer="adagrad", learning_rate=0.01, lr_embeds=0.01)
     with pytest.raises(ValueError, match="hot_tier"):
         _cfg(True, hot_tier_rows=64)
+    with pytest.raises(ValueError, match="on|off|auto"):
+        _cfg("sometimes")
+
+
+def test_config_auto_resolution():
+    """'auto' (the default) enables the coalesced update exactly when the
+    measured-GO preconditions hold and silently declines otherwise
+    (auto-dedup's capability-gate pattern); finalize() resolves the field
+    to a plain bool either way."""
+    # the _cfg base (scan 4, unpacked dedup wire, sgd, no hot tier) is the
+    # legal regime: auto resolves ON
+    assert _cfg("auto").block_coalesced_update is True
+    # the config DEFAULT is auto
+    assert _cfg(Config.block_coalesced_update).block_coalesced_update is True
+    # every illegal leg flips auto off without raising
+    assert _cfg("auto", scan_steps=1).block_coalesced_update is False
+    assert _cfg("auto", pack_wire=True).block_coalesced_update is False
+    assert _cfg("auto", dedup_lookups="off").block_coalesced_update is False
+    assert _cfg(
+        "auto", optimizer="adagrad", dedup_lookups="on",
+        learning_rate=0.01, lr_embeds=0.01,
+    ).block_coalesced_update is False
+    assert _cfg("auto", hot_tier_rows=64).block_coalesced_update is False
+    # explicit off (legacy bool False) stays off in the legal regime
+    assert _cfg(False).block_coalesced_update is False
+    # explicit on in the legal regime resolves True
+    assert _cfg("on").block_coalesced_update is True

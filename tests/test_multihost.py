@@ -311,6 +311,25 @@ def test_two_process_adagrad_matches_single(tmp_path):
     assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
 
 
+@pytest.mark.slow
+def test_two_process_block_coalesce_matches_single(tmp_path):
+    """block_coalesced_update across hosts (mh_worker 'blockco' mode: scan
+    blocks + unpacked dedup wire, auto-resolved ON): the per-block union
+    bucket is negotiated with one allgather-max on the main thread
+    (trainer._build_block_union), so the 2x2 cluster must (a) agree with
+    itself exactly, (b) match the single-process 1x4 trajectory, and (c)
+    match the per-step multi_window-style path up to float reassociation —
+    the worker asserts a coalesced block actually dispatched."""
+    single = _run_cluster(1, 4, 0, "blockco", tmp_path)[0]
+    duo = _run_cluster(2, 2, 12421, "blockco", tmp_path)
+    assert all(r["multihost"] for r in duo)
+    assert np.allclose(duo[0]["losses"], duo[1]["losses"], rtol=1e-5)
+    assert np.allclose(single["losses"], duo[0]["losses"], rtol=2e-3), (
+        single["losses"], duo[0]["losses"],
+    )
+    assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
+
+
 def test_sharded_md_masters_pad_and_partition(rng):
     """Row-sharded MD masters (cached-MD multi-host leg): compact [*, d_t]
     owned storage, zero-padded pipeline-facing gathers that agree with the
