@@ -41,6 +41,16 @@ _BLOCK_ROWS = 1024
 _NRD = 8
 _NWR = 8
 
+# rows per pallas_call: the scalar-prefetch ``slots`` operand lives in
+# SMEM (~1 MB on v5e), so a single call must not ship more than ~256 KB
+# of int32 slot ids — the round-4 chip window's refill-insert AOT failure
+# was exactly this (a 2M-slot call staging u8[8388608] into SMEM).
+# Larger row blocks are CHUNKED into a chain of aliased calls; 64k rows
+# per call matches the headline unique-scatter bucket (one call, the
+# measured 140 ns/row regime) and keeps every chunk's slot slice at
+# 256 KB.
+_MAX_CALL_ROWS = 65536
+
 
 def _scatter_add_kernel(slots_ref, nv_ref, delta_ref, cache_in, cache_out,
                         rbuf, wbuf, rsems, wsems):
@@ -157,12 +167,41 @@ def _check(cache, slots, delta):
     return blk, d, u
 
 
-def scatter_add_rows(cache, slots, delta, nvalid=None, interpret=False):
+def _chunks(u, blk, max_call_rows):
+    """Per-call row counts: one call when the slot slice fits SMEM, else
+    equal chunks of the largest divisor of ``u`` that is <= max_call_rows
+    and a multiple of ``blk`` (pow2 buckets always divide cleanly)."""
+    if u <= max_call_rows:
+        return u
+    c = max_call_rows - max_call_rows % blk
+    while c > blk and u % c:
+        c -= blk
+    return c
+
+
+def scatter_add_rows(cache, slots, delta, nvalid=None, interpret=False,
+                     max_call_rows=_MAX_CALL_ROWS):
     """cache[slots[i]] += delta[i] for i < nvalid; slots[:nvalid] MUST be
     distinct rows (the dedup-wire contract — duplicate slots race the RMW).
     Drop-in for ``cache.at[slots].add(delta)`` under that contract; returns
-    the updated cache (input aliased — donate it)."""
+    the updated cache (input aliased — donate it).
+
+    Row blocks beyond ``max_call_rows`` are chunked into a chain of
+    aliased calls (SMEM scalar-prefetch budget — see _MAX_CALL_ROWS);
+    ``nvalid`` distributes across chunks as a clamped prefix, so chunks
+    entirely past the valid prefix issue zero DMAs."""
     blk, d, u = _check(cache, slots, delta)
+    c = _chunks(u, blk, max_call_rows)
+    if c < u:
+        nv = u if nvalid is None else nvalid
+        for off in range(0, u, c):
+            cache = scatter_add_rows(
+                cache, jax.lax.slice(slots, (off,), (off + c,)),
+                jax.lax.slice(delta, (off, 0), (off + c, d)),
+                jnp.clip(nv - off, 0, c), interpret=interpret,
+                max_call_rows=max_call_rows,
+            )
+        return cache
     nv = jnp.full((1,), u if nvalid is None else nvalid, jnp.int32)
     return pl.pallas_call(
         _scatter_add_kernel,
@@ -190,11 +229,25 @@ def scatter_add_rows(cache, slots, delta, nvalid=None, interpret=False):
     )(slots, nv, delta, cache)
 
 
-def scatter_set_rows(cache, slots, rows, nvalid=None, interpret=False):
+def scatter_set_rows(cache, slots, rows, nvalid=None, interpret=False,
+                     max_call_rows=_MAX_CALL_ROWS):
     """cache[slots[i]] = rows[i] for i < nvalid; slots[:nvalid] MUST be
     distinct (duplicates would be last-writer-wins nondeterministic).
-    Drop-in for ``cache.at[slots].set(rows)`` under that contract."""
+    Drop-in for ``cache.at[slots].set(rows)`` under that contract.
+    Chunked past ``max_call_rows`` exactly like scatter_add_rows (the
+    refill-insert site ships multi-million-row blocks)."""
     blk, d, u = _check(cache, slots, rows)
+    c = _chunks(u, blk, max_call_rows)
+    if c < u:
+        nv = u if nvalid is None else nvalid
+        for off in range(0, u, c):
+            cache = scatter_set_rows(
+                cache, jax.lax.slice(slots, (off,), (off + c,)),
+                jax.lax.slice(rows, (off, 0), (off + c, d)),
+                jnp.clip(nv - off, 0, c), interpret=interpret,
+                max_call_rows=max_call_rows,
+            )
+        return cache
     nv = jnp.full((1,), u if nvalid is None else nvalid, jnp.int32)
     return pl.pallas_call(
         _scatter_set_kernel,

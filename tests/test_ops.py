@@ -108,6 +108,53 @@ def test_scatter_set_rows_matches_xla(rng):
     np.testing.assert_allclose(out, exp, rtol=1e-6)
 
 
+def test_scatter_add_rows_chunked_matches_single_call(rng):
+    """U > max_call_rows splits into a chain of aliased calls (the SMEM
+    scalar-prefetch budget fix — the round-4 refill-insert AOT failure at
+    2M slots): results must be identical to the unchunked kernel, with
+    nvalid distributed as a clamped prefix across chunks (including chunks
+    entirely past the valid prefix, which must issue zero writes)."""
+    R, D, U = 9000, 128, 8192
+    cache0 = rng.normal(size=(R, D)).astype(np.float32)
+    delta_np = rng.normal(size=(U, D)).astype(np.float32)
+    for nv in (U, 5000, 1500, 0):  # spans 4, 3, 1, 0 valid chunks at c=2048
+        slots_np = np.full(U, R - 1, np.int32)
+        slots_np[:nv] = rng.permutation(R - 1)[:nv].astype(np.int32)
+        out = np.asarray(scatter_add_rows(
+            jnp.asarray(cache0), jnp.asarray(slots_np),
+            jnp.asarray(delta_np), nv, interpret=True, max_call_rows=2048,
+        ))
+        exp = cache0.copy()
+        exp[slots_np[:nv]] += delta_np[:nv]
+        np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+
+def test_scatter_set_rows_chunked_matches_single_call(rng):
+    R, D, U, NV = 9000, 128, 8192, 3333
+    cache0 = rng.normal(size=(R, D)).astype(np.float32)
+    slots_np = np.full(U, R - 1, np.int32)
+    slots_np[:NV] = rng.permutation(R - 1)[:NV].astype(np.int32)
+    rows_np = rng.normal(size=(U, D)).astype(np.float32)
+    out = np.asarray(scatter_set_rows(
+        jnp.asarray(cache0), jnp.asarray(slots_np), jnp.asarray(rows_np),
+        NV, interpret=True, max_call_rows=2048,
+    ))
+    exp = cache0.copy()
+    exp[slots_np[:NV]] = rows_np[:NV]
+    np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+
+def test_scatter_chunk_sizes():
+    """_chunks picks the largest blk-multiple divisor <= the cap."""
+    from cdlrm_tpu.ops.scatter import _chunks
+
+    assert _chunks(65536, 1024, 65536) == 65536      # fits: one call
+    assert _chunks(2 * 1024 * 1024, 1024, 65536) == 65536   # pow2: cap
+    assert _chunks(98304, 1024, 65536) == 49152      # 3*32k: largest divisor
+    assert _chunks(3 * 1024, 1024, 2048) == 1024     # odd multiple: blk
+    assert _chunks(512, 512, 65536) == 512           # sub-block: one call
+
+
 def test_scatter_rejects_bad_shapes(rng):
     cache = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
     import pytest
