@@ -136,8 +136,11 @@ def main():
             os.environ.get("BENCH_BLOCK", "auto"),
         ),
         # BENCH_PSCATTER=1 (with BENCH_DEDUP=on): Pallas DMA row scatters
-        # for the dedup sparse update + aux staging (ops/scatter.py)
+        # for the dedup sparse update + aux staging (ops/scatter.py).
+        # BENCH_PALLAS_INTERPRET=1 lifts the TPU gate (interpret mode) so
+        # the pscatter harness has a CPU pre-flight (chip_preflight.py)
         use_pallas_scatter=os.environ.get("BENCH_PSCATTER", "0") == "1",
+        pallas_interpret=os.environ.get("BENCH_PALLAS_INTERPRET", "0") == "1",
         # BENCH_OPT=adagrad (with BENCH_DEDUP=on): row-wise AdaGrad — the
         # step-cost A/B of the cache-resident state ride-along
         optimizer=os.environ.get("BENCH_OPT", "sgd"),

@@ -11,10 +11,21 @@ import os
 import sys
 
 ARTIFACTS = {
-    "pressure": "PRESSURE_r04.json",
-    "serving_ab": "SERVING_r04.json",
-    "block_ab": "BLOCK_AB_r04.json",
-    "kernels": "KERNELS_r04.json",
+    # round-5 queue (chip_queue3.sh)
+    "pressure": "PRESSURE_r05.json",
+    "serving_ab": "SERVING_r05.json",
+    "ab_block_auto": "BLOCK_STEP_AB_r05.json",  # merged with ab_block_off below
+    "headline": "HEADLINE_r05.json",
+    "ss_prestage_off": "SS_PRESTAGE_OFF_r05.json",
+    "ab_pscatter": "PSCATTER_AB_r05.json",
+}
+
+# harness pairs merged into ONE artifact: {out: {arm_name: harness}}
+MERGED = {
+    "BLOCK_STEP_AB_r05.json": {
+        "coalesced": "ab_block_auto",
+        "per_step": "ab_block_off",
+    },
 }
 
 
@@ -37,8 +48,16 @@ def main():
                 payload = payload[0]
             latest[r["harness"]] = payload
     wrote = 0
+    for out, arms in MERGED.items():
+        if all(h in latest for h in arms.values()):
+            with open(out, "w") as f:
+                json.dump({a: latest[h] for a, h in arms.items()}, f,
+                          indent=1)
+                f.write("\n")
+            print(f"wrote {out}")
+            wrote += 1
     for harness, out in ARTIFACTS.items():
-        if harness in latest:
+        if harness in latest and out not in MERGED:
             with open(out, "w") as f:
                 json.dump(latest[harness], f, indent=1)
                 f.write("\n")
