@@ -1462,10 +1462,11 @@ class CachedDlrmTrainer:
         flatnonzero is the sorted union, and a reusable slot->rank map
         replaces the per-step searchsorted. Identical output to the
         original np.unique+searchsorted form (np.unique's output is sorted
-        ascending, exactly flatnonzero's order) — measured 128 ms/block ->
-        ~an order less at bench geometry on one core; a production host
-        additionally overlaps this in the assembly pipeline the way the
-        probe already is."""
+        ascending, exactly flatnonzero's order) — measured 128 -> 38 ms
+        per 10-step block at headline geometry on this 1-core host
+        (chipqueue/ab_block_auto2.log); a production host additionally
+        overlaps this in the assembly pipeline the way the probe already
+        is."""
         _, counts0, ub = infos[0]
         t_count = counts0[0].size
         geo = self.geo

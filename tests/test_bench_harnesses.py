@@ -111,6 +111,22 @@ def test_bench_cpu_smoke_block_coalesce_ab():
 
 
 @pytest.mark.slow
+def test_step_breakdown_cpu_smoke():
+    """The step-breakdown harness (VERDICT r4 item 8) end-to-end on tiny
+    CPU shapes: every component row carries a timing and the summary
+    carries the accounted sums."""
+    out = _run({"BREAKDOWN_CPU": "1"}, "bench_step_breakdown.py",
+               timeout=600)
+    rec = out[-1]
+    assert rec["metric"] == "step_breakdown"
+    for c in ("gather_uniq", "expand_take", "pend_scatter",
+              "cache_scatter", "flush_scatter", "dense_fwdbwd"):
+        assert rec["components"][c] > 0, c
+    assert rec["sum_components_coalesced_ms"] > 0
+    assert rec["sum_components_perstep_ms"] > 0
+
+
+@pytest.mark.slow
 def test_kernels_cpu_smoke():
     """The chip queue's FIRST harness end-to-end (KERNELS_CPU: scaled
     shapes, Pallas in interpret mode): every kernel entry must carry a
