@@ -155,6 +155,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cdlrm_unique_gather_f32.argtypes = [
             _PI64, _I64, _I64, _PF32, _I64, _PI64, _PF32,
         ]
+        lib.cdlrm_block_union.restype = _I64
+        lib.cdlrm_block_union.argtypes = [
+            _PI64, _I64, _PU8, _I64, _PI32, _PI64,
+        ]
+        lib.cdlrm_block_ranks.restype = None
+        lib.cdlrm_block_ranks.argtypes = [
+            _PI64, _PI64, _I64, _PI32, ctypes.c_int32, _I64, _I64, _PI32,
+        ]
+        lib.cdlrm_block_union_reset.restype = None
+        lib.cdlrm_block_union_reset.argtypes = [_PI64, _I64, _PI32]
         lib.cdlrm_num_threads.restype = ctypes.c_int
         lib.cdlrm_set_num_threads.argtypes = [ctypes.c_int]
         _LIB = lib
@@ -525,3 +535,61 @@ def unique_gather_f32(
         _p(table, _PF32), d, _p(out_idx, _PI64), _p(out_rows, _PF32),
     )
     return out_idx[:m].copy(), out_rows[:m].copy()
+
+
+def block_union(
+    uniq_cat: np.ndarray, real_mask: np.ndarray, rank_map: np.ndarray
+) -> np.ndarray:
+    """Block-coalesce phase 1 (trainer._build_block_union): sorted union
+    of the block's unique slot lists, real-row-masked (aux/trash excluded),
+    with ``rank_map[slot] = rank`` set for every union slot. ``rank_map``
+    must be all -1 on entry (int32 [n_rows]); call :func:`block_union_reset`
+    with the returned union to restore it. Bit-identical to the numpy
+    bitmap form (present-mark + AND + flatnonzero) — pinned in
+    tests/test_native.py."""
+    lib = _load()
+    assert lib is not None
+    uniq_cat = np.ascontiguousarray(uniq_cat.reshape(-1), dtype=np.int64)
+    n_rows = rank_map.size
+    _check_bounds(uniq_cat, n_rows)
+    assert real_mask.dtype == np.uint8 and real_mask.size == n_rows
+    assert rank_map.dtype == np.int32
+    out = np.empty(uniq_cat.size, dtype=np.int64)
+    m = lib.cdlrm_block_union(
+        _p(uniq_cat, _PI64), uniq_cat.size, _p(real_mask, _PU8), n_rows,
+        _p(rank_map, _PI32), _p(out, _PI64),
+    )
+    if m < 0:  # allocation failure: caller falls back to numpy
+        raise MemoryError("cdlrm_block_union bitmap allocation failed")
+    return out[:m].copy()
+
+
+def block_ranks(
+    uniq_cat: np.ndarray, step_off: np.ndarray, rank_map: np.ndarray,
+    p_trash: int, ub: int, base: int,
+) -> np.ndarray:
+    """Block-coalesce phase 2: per-step rank rows [n_steps, ub] aligned
+    with the staged uniq wire (position base+j of step s = the block rank
+    of that step's j-th unique slot; aux/trash and padding = p_trash)."""
+    lib = _load()
+    assert lib is not None
+    uniq_cat = np.ascontiguousarray(uniq_cat.reshape(-1), dtype=np.int64)
+    step_off = np.ascontiguousarray(step_off, dtype=np.int64)
+    n_steps = step_off.size - 1
+    rows = np.empty((n_steps, ub), dtype=np.int32)
+    lib.cdlrm_block_ranks(
+        _p(uniq_cat, _PI64), _p(step_off, _PI64), n_steps,
+        _p(rank_map, _PI32), int(p_trash), int(ub), int(base),
+        _p(rows, _PI32),
+    )
+    return rows
+
+
+def block_union_reset(union_slots: np.ndarray, rank_map: np.ndarray) -> None:
+    """Restore ``rank_map`` to all -1 (touches only the union's entries)."""
+    lib = _load()
+    assert lib is not None
+    union_slots = np.ascontiguousarray(union_slots, dtype=np.int64)
+    lib.cdlrm_block_union_reset(
+        _p(union_slots, _PI64), union_slots.size, _p(rank_map, _PI32)
+    )

@@ -598,8 +598,10 @@ class CachedDlrmTrainer:
         # single-host monotone staging buckets (see _pack_aux)
         self._bucket_run_max = {"train": 0, "eval": 0, "dedup": 0, "blk": 0}
         # block-coalesce host-pass scratch (built lazily on first block):
-        # static real-row mask + reusable slot->rank map (_build_block_union)
+        # static real-row mask + per-replica slot->rank maps
+        # (_build_block_union)
         self._blk_real_mask = None
+        self._blk_real_mask_u8 = None
         self._blk_rank_map = None
         self._row_exchange = (
             GlobalRowExchange(
@@ -1459,14 +1461,16 @@ class CachedDlrmTrainer:
         Implementation is a BITMAP over the flat per-replica slot space —
         O(N + R) with tiny constants, no sorts: mark the block's slots
         present, AND with the static real-row mask (aux/trash excluded),
-        flatnonzero is the sorted union, and a reusable slot->rank map
-        replaces the per-step searchsorted. Identical output to the
-        original np.unique+searchsorted form (np.unique's output is sorted
-        ascending, exactly flatnonzero's order) — measured 128 -> 38 ms
-        per 10-step block at headline geometry on this 1-core host
-        (chipqueue/ab_block_auto2.log); a production host additionally
-        overlaps this in the assembly pipeline the way the probe already
-        is."""
+        the sorted union falls out of the bitmap scan, and a reusable
+        slot->rank map replaces the per-step searchsorted. Identical
+        output to the original np.unique+searchsorted form (np.unique's
+        output is sorted ascending, exactly the bitmap-scan order) —
+        measured 128 -> 38 ms per 10-step block at headline geometry on
+        this 1-core host for the numpy form (chipqueue/ab_block_auto2.log);
+        the native kernel (csrc cdlrm_block_union/_ranks, bit-identical,
+        pinned in tests/test_native.py) cuts the remainder. A production
+        host additionally overlaps this in the assembly pipeline the way
+        the probe already is."""
         _, counts0, ub = infos[0]
         t_count = counts0[0].size
         geo = self.geo
@@ -1475,16 +1479,36 @@ class CachedDlrmTrainer:
             for t in range(t_count):
                 real[int(geo.table_offsets[t]): int(geo.aux_base(t))] = True
             self._blk_real_mask = real
-            # slot -> block rank, lazily reset per block (union entries
+            self._blk_real_mask_u8 = real.astype(np.uint8)
+            # slot -> block rank, PER REPLICA (phase 1 primes every
+            # replica's map before phase 2 consumes them — one shared map
+            # would cross-clobber), lazily reset per block (union entries
             # only); -1 = not in this block's union -> trash rank
-            self._blk_rank_map = np.full(geo.total_rows, -1, np.int32)
-        unions, p_need = [], 1
+            self._blk_rank_map = [
+                np.full(geo.total_rows, -1, np.int32)
+                for _ in range(self.n_local)
+            ]
+        use_native = native.available()
+        cats, offs, unions, p_need = [], [], [], 1
         for k_loc in range(self.n_local):
-            vals = np.concatenate([info[0][k_loc] for info in infos])
-            present = np.zeros(geo.total_rows, bool)
-            present[vals] = True
-            present &= self._blk_real_mask
-            union = np.flatnonzero(present)
+            cat = np.concatenate([info[0][k_loc] for info in infos])
+            off = np.zeros(len(infos) + 1, np.int64)
+            np.cumsum(
+                [info[0][k_loc].size for info in infos], out=off[1:]
+            )
+            rmap = self._blk_rank_map[k_loc]
+            if use_native:
+                union = native.block_union(
+                    cat, self._blk_real_mask_u8, rmap
+                )
+            else:
+                present = np.zeros(geo.total_rows, bool)
+                present[cat] = True
+                present &= self._blk_real_mask
+                union = np.flatnonzero(present)
+                rmap[union] = np.arange(union.size, dtype=np.int32)
+            cats.append(cat)
+            offs.append(off)
             unions.append(union)
             # +1: the last pending row is the trash rank — keep it a pad
             p_need = max(p_need, union.size + 1)
@@ -1521,9 +1545,14 @@ class CachedDlrmTrainer:
                     f"{ub})"
                 )
         rows = np.full((len(infos), self.n_local, ub), p_trash, np.int32)
-        rmap = self._blk_rank_map
         for k_loc, union in enumerate(unions):
-            rmap[union] = np.arange(union.size, dtype=np.int32)
+            rmap = self._blk_rank_map[k_loc]
+            if use_native:
+                rows[:, k_loc] = native.block_ranks(
+                    cats[k_loc], offs[k_loc], rmap, p_trash, ub, base
+                )
+                native.block_union_reset(union, rmap)
+                continue
             for i, (uniq_lists, _, _) in enumerate(infos):
                 u = uniq_lists[k_loc]
                 r = rmap[u]

@@ -705,4 +705,67 @@ int64_t cdlrm_unique_gather_f32(const int64_t* in, int64_t n, int64_t n_rows,
   return m;
 }
 
+// ---------------------------------------------------------------------------
+// 4. block-coalesce union + rank rows (trainer._build_block_union)
+// ---------------------------------------------------------------------------
+
+// Phase 1 of the block-coalesce host pass: mark the block's slots in a
+// bitmap, masked by the static real-row bool mask (aux/trash rows = 0);
+// emit the SORTED union and set rank_map[slot] = rank for every union
+// slot. rank_map MUST be all -1 on entry (the caller lazily resets it
+// with cdlrm_block_union_reset — O(union) not O(n_rows)). Returns the
+// union count, or -1 on allocation failure (caller falls back to numpy).
+int64_t cdlrm_block_union(const int64_t* uniq_cat, int64_t total_n,
+                          const uint8_t* real_mask, int64_t n_rows,
+                          int32_t* rank_map, int64_t* union_out) {
+  const int64_t words = (n_rows + 63) >> 6;
+  uint64_t* bits = (uint64_t*)calloc((size_t)words, sizeof(uint64_t));
+  if (!bits) return -1;
+  for (int64_t i = 0; i < total_n; ++i) {
+    const int64_t v = uniq_cat[i];
+    if (real_mask[v]) bits[v >> 6] |= 1ULL << (v & 63);
+  }
+  int64_t m = 0;
+  for (int64_t w = 0; w < words; ++w) {
+    uint64_t x = bits[w];
+    const int64_t base = w << 6;
+    while (x) {
+      const int b = __builtin_ctzll(x);
+      const int64_t slot = base + b;
+      union_out[m] = slot;
+      rank_map[slot] = (int32_t)m;
+      ++m;
+      x &= x - 1;
+    }
+  }
+  free(bits);
+  return m;
+}
+
+// Phase 2: per-step rank rows, aligned with the staged uniq wire.
+// rows_out is [n_steps * ub] int32; step s's positions [base, base+len_s)
+// carry rank_map[u] (p_trash when the slot is not in the union — aux or
+// trash), every other position p_trash. step_off is [n_steps + 1].
+void cdlrm_block_ranks(const int64_t* uniq_cat, const int64_t* step_off,
+                       int64_t n_steps, const int32_t* rank_map,
+                       int32_t p_trash, int64_t ub, int64_t base,
+                       int32_t* rows_out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < n_steps; ++s) {
+    int32_t* row = rows_out + s * ub;
+    for (int64_t j = 0; j < ub; ++j) row[j] = p_trash;
+    const int64_t lo = step_off[s], hi = step_off[s + 1];
+    for (int64_t j = lo; j < hi; ++j) {
+      const int32_t r = rank_map[uniq_cat[j]];
+      row[base + (j - lo)] = r < 0 ? p_trash : r;
+    }
+  }
+}
+
+// Lazy rank-map reset: only the union's entries were touched.
+void cdlrm_block_union_reset(const int64_t* union_slots, int64_t m,
+                             int32_t* rank_map) {
+  for (int64_t i = 0; i < m; ++i) rank_map[union_slots[i]] = -1;
+}
+
 }  // extern "C"

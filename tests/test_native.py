@@ -357,3 +357,47 @@ def test_masked_lanes_exempt_from_range_check(rng, slot_map):
         for name in ("aux_slots", "hit_counts"):
             assert np.array_equal(getattr(got, name), getattr(want, name))
             assert np.array_equal(getattr(got, name), getattr(clean, name))
+
+
+def test_block_union_ranks_match_numpy(rng):
+    """csrc cdlrm_block_union/_ranks/_reset vs the numpy bitmap
+    formulation in trainer._build_block_union: sorted union, per-step
+    rank rows (aux/trash -> p_trash), and the lazy map reset must be
+    bit-identical — the two paths are interchangeable per
+    CLAUDE.md's native==fallback invariant."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    n_rows = 5000
+    real = np.ones(n_rows, bool)
+    real[4000:] = False          # "aux/trash" tail
+    real_u8 = real.astype(np.uint8)
+    n_steps, ub, p_trash, base = 4, 256, 1023, 1
+    step_lists = [
+        np.unique(rng.integers(0, n_rows, rng.integers(10, 200)))
+        .astype(np.int64)
+        for _ in range(n_steps)
+    ]
+    cat = np.concatenate(step_lists)
+    off = np.zeros(n_steps + 1, np.int64)
+    np.cumsum([s.size for s in step_lists], out=off[1:])
+
+    # numpy formulation (the trainer's fallback path)
+    present = np.zeros(n_rows, bool)
+    present[cat] = True
+    present &= real
+    union_np = np.flatnonzero(present)
+    rmap_np = np.full(n_rows, -1, np.int32)
+    rmap_np[union_np] = np.arange(union_np.size, dtype=np.int32)
+    rows_np = np.full((n_steps, ub), p_trash, np.int32)
+    for i, u in enumerate(step_lists):
+        r = rmap_np[u]
+        rows_np[i, base: base + u.size] = np.where(r < 0, p_trash, r)
+
+    # native
+    rmap = np.full(n_rows, -1, np.int32)
+    union = native.block_union(cat, real_u8, rmap)
+    np.testing.assert_array_equal(union, union_np)
+    rows = native.block_ranks(cat, off, rmap, p_trash, ub, base)
+    np.testing.assert_array_equal(rows, rows_np)
+    native.block_union_reset(union, rmap)
+    assert (rmap == -1).all()
