@@ -99,10 +99,17 @@ def main():
     log(f"allocating: cache {R}x{D} f32 "
         f"({R * D * 4 / 1e9:.2f} GB), pending {P}x{D}")
     cache = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    # padding beyond nvalid is spread over DISTINCT rows (the block
+    # flush's `spread` trick; the per-step path trash-pads). MEASURED
+    # CONTROL: both pad styles time identically here — trash-chain 11.44
+    # vs spread 11.34 ms for the 64k cache scatter (chipqueue/
+    # step_breakdown.log vs step_breakdown2.log) — so at loguniform
+    # duplication the pad style is NOT a factor and the isolated-vs-fused
+    # gap is XLA overlap, not padding. Spread kept as the safer default.
     uniq = jnp.asarray(
         np.concatenate([
             rng.choice(R - 1, NV, replace=False),
-            np.full(UB - NV, R - 1),
+            np.arange(UB - NV, dtype=np.int64) % (R - 1),
         ]).astype(np.int32)
     )
     inv = jnp.asarray(rng.integers(0, NV, N).astype(np.int32))
@@ -112,7 +119,7 @@ def main():
     blk_slots = jnp.asarray(
         np.concatenate([
             np.sort(rng.choice(R - 1, PV, replace=False)),
-            np.full(P - PV, R - 1),
+            np.arange(P - PV, dtype=np.int64) % (R - 1),  # spread pad
         ]).astype(np.int32)
     )
     pend_full = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))

@@ -433,36 +433,33 @@ class Config:
                 "block_coalesced_update must be on|off|auto, got "
                 f"{self.block_coalesced_update!r}"
             )
-        _blk_legal = (
-            self.scan_steps > 1
-            and self.dedup_lookups != "off"
-            and not self.pack_wire
-            and self.optimizer == "sgd"
-            and self.hot_tier_rows == 0
-        )
+        # ONE legality list drives both modes ('auto' silently declines on
+        # the first unmet condition; 'on' raises it) — two hand-kept copies
+        # would drift and let auto enable an illegal combination
+        _blk_illegal = []
+        if self.scan_steps <= 1:
+            _blk_illegal.append(
+                "requires scan_steps > 1 (the flush amortizes over a "
+                "scan block)"
+            )
+        if self.dedup_lookups == "off" or self.pack_wire:
+            _blk_illegal.append(
+                "requires the unpacked dedup wire: dedup_lookups "
+                "'on'/'auto' and pack_wire=False"
+            )
+        if self.optimizer != "sgd":
+            _blk_illegal.append(
+                "requires optimizer='sgd' (pending-sum exactness breaks "
+                "under per-step AdaGrad accumulators)"
+            )
+        if self.hot_tier_rows > 0:
+            _blk_illegal.append("is incompatible with hot_tier_rows")
         if self.block_coalesced_update == "auto":
-            self.block_coalesced_update = _blk_legal
+            self.block_coalesced_update = not _blk_illegal
         elif self.block_coalesced_update == "on":
-            if self.scan_steps <= 1:
+            if _blk_illegal:
                 raise ValueError(
-                    "block_coalesced_update requires scan_steps > 1 (the "
-                    "flush amortizes over a scan block)"
-                )
-            if self.dedup_lookups == "off" or self.pack_wire:
-                raise ValueError(
-                    "block_coalesced_update requires the unpacked dedup "
-                    "wire: dedup_lookups 'on'/'auto' and pack_wire=False"
-                )
-            if self.optimizer != "sgd":
-                raise ValueError(
-                    "block_coalesced_update requires optimizer='sgd' "
-                    "(pending-sum exactness breaks under per-step AdaGrad "
-                    "accumulators)"
-                )
-            if self.hot_tier_rows > 0:
-                raise ValueError(
-                    "block_coalesced_update is incompatible with "
-                    "hot_tier_rows"
+                    "block_coalesced_update " + "; ".join(_blk_illegal)
                 )
             self.block_coalesced_update = True
         else:

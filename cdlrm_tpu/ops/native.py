@@ -159,7 +159,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cdlrm_block_union.argtypes = [
             _PI64, _I64, _PU8, _I64, _PI32, _PI64,
         ]
-        lib.cdlrm_block_ranks.restype = None
+        lib.cdlrm_block_ranks.restype = _I64
         lib.cdlrm_block_ranks.argtypes = [
             _PI64, _PI64, _I64, _PI32, ctypes.c_int32, _I64, _I64, _PI32,
         ]
@@ -577,11 +577,18 @@ def block_ranks(
     step_off = np.ascontiguousarray(step_off, dtype=np.int64)
     n_steps = step_off.size - 1
     rows = np.empty((n_steps, ub), dtype=np.int32)
-    lib.cdlrm_block_ranks(
+    rc = lib.cdlrm_block_ranks(
         _p(uniq_cat, _PI64), _p(step_off, _PI64), n_steps,
         _p(rank_map, _PI32), int(p_trash), int(ub), int(base),
         _p(rows, _PI32),
     )
+    if rc != 0:
+        # same failure class as the numpy fallback's shape-mismatch
+        # assignment — never write out of the row (heap) bounds silently
+        raise ValueError(
+            f"block_ranks: a step's unique list exceeds ub-base "
+            f"({ub}-{base})"
+        )
     return rows
 
 

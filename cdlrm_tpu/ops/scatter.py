@@ -173,6 +173,11 @@ def _chunks(u, blk, max_call_rows):
     and a multiple of ``blk`` (pow2 buckets always divide cleanly)."""
     if u <= max_call_rows:
         return u
+    if max_call_rows < blk:
+        raise ValueError(
+            f"max_call_rows {max_call_rows} must be >= the kernel row "
+            f"block {blk} when chunking (u={u})"
+        )
     c = max_call_rows - max_call_rows % blk
     while c > blk and u % c:
         c -= blk

@@ -1488,54 +1488,6 @@ class CachedDlrmTrainer:
                 np.full(geo.total_rows, -1, np.int32)
                 for _ in range(self.n_local)
             ]
-        use_native = native.available()
-        cats, offs, unions, p_need = [], [], [], 1
-        for k_loc in range(self.n_local):
-            cat = np.concatenate([info[0][k_loc] for info in infos])
-            off = np.zeros(len(infos) + 1, np.int64)
-            np.cumsum(
-                [info[0][k_loc].size for info in infos], out=off[1:]
-            )
-            rmap = self._blk_rank_map[k_loc]
-            if use_native:
-                union = native.block_union(
-                    cat, self._blk_real_mask_u8, rmap
-                )
-            else:
-                present = np.zeros(geo.total_rows, bool)
-                present[cat] = True
-                present &= self._blk_real_mask
-                union = np.flatnonzero(present)
-                rmap[union] = np.arange(union.size, dtype=np.int32)
-            cats.append(cat)
-            offs.append(off)
-            unions.append(union)
-            # +1: the last pending row is the trash rank — keep it a pad
-            p_need = max(p_need, union.size + 1)
-        if self.multihost:
-            # the pending buffer's bucket is a compiled GLOBAL shape, so
-            # every host must adopt the same one — one tiny allgather-max
-            # per scan block on the main thread. Collective-order safety:
-            # block boundaries and the coalesce decision are pure functions
-            # of host-identical state (config + window stats + stream), so
-            # every host issues this at the identical point in its sequence
-            # (the module invariant; parallel/multihost.py doc).
-            from jax.experimental import multihost_utils
-
-            p_need = int(np.max(multihost_utils.process_allgather(
-                np.asarray(p_need, np.int64)
-            )))
-        p_bucket = pow2_bucket(p_need, min_size=1024)
-        p_bucket = self._bucket_run_max["blk"] = max(
-            self._bucket_run_max["blk"], p_bucket
-        )
-        p_trash = p_bucket - 1
-        blk_slots = np.full((self.n_local, p_bucket), geo.trash_row, np.int32)
-        blk_counts = np.zeros(self.n_local, np.int32)
-        for k_loc, union in enumerate(unions):
-            blk_slots[k_loc, : union.size] = union
-            blk_counts[k_loc] = union.size
-        base = 0 if self.step_cfg_dedup.sorted_wire else 1
         for _, _, ub_i in infos:
             if ub_i != ub:
                 # blocks never cross windows and the bucket is negotiated
@@ -1544,24 +1496,89 @@ class CachedDlrmTrainer:
                     f"dedup bucket changed within a scan block ({ub_i} vs "
                     f"{ub})"
                 )
-        rows = np.full((len(infos), self.n_local, ub), p_trash, np.int32)
-        for k_loc, union in enumerate(unions):
-            rmap = self._blk_rank_map[k_loc]
-            if use_native:
-                rows[:, k_loc] = native.block_ranks(
-                    cats[k_loc], offs[k_loc], rmap, p_trash, ub, base
+        use_native = native.available()
+        cats, offs, unions, p_need = [], [], [], 1
+        # primed rank maps are reset in the finally below — NOT inline in
+        # phase 2 — so an exception anywhere past priming (allgather
+        # failure, staging error) can never leave stale slot->rank entries
+        # to poison the next block's rows (the maps' all--1 precondition)
+        primed: List[Tuple[np.ndarray, np.ndarray]] = []
+        try:
+            for k_loc in range(self.n_local):
+                cat = np.concatenate([info[0][k_loc] for info in infos])
+                off = np.zeros(len(infos) + 1, np.int64)
+                np.cumsum(
+                    [info[0][k_loc].size for info in infos], out=off[1:]
                 )
-                native.block_union_reset(union, rmap)
-                continue
-            for i, (uniq_lists, _, _) in enumerate(infos):
-                u = uniq_lists[k_loc]
-                r = rmap[u]
-                # aux/trash slots are never in the union: their -1 maps to
-                # the trash rank (identical to the old aux_base filter)
-                rows[i, k_loc, base: base + u.size] = np.where(
-                    r < 0, p_trash, r
-                )
-            rmap[union] = -1  # lazy reset: union entries only
+                rmap = self._blk_rank_map[k_loc]
+                union = None
+                if use_native:
+                    try:
+                        union = native.block_union(
+                            cat, self._blk_real_mask_u8, rmap
+                        )
+                    except MemoryError:
+                        union = None  # bitmap calloc failed: numpy fallback
+                if union is None:
+                    present = np.zeros(geo.total_rows, bool)
+                    present[cat] = True
+                    present &= self._blk_real_mask
+                    union = np.flatnonzero(present)
+                    rmap[union] = np.arange(union.size, dtype=np.int32)
+                primed.append((rmap, union))
+                cats.append(cat)
+                offs.append(off)
+                unions.append(union)
+                # +1: the last pending row is the trash rank — keep a pad
+                p_need = max(p_need, union.size + 1)
+            if self.multihost:
+                # the pending buffer's bucket is a compiled GLOBAL shape,
+                # so every host must adopt the same one — one tiny
+                # allgather-max per scan block on the main thread.
+                # Collective-order safety: block boundaries and the
+                # coalesce decision are pure functions of host-identical
+                # state (config + window stats + stream), so every host
+                # issues this at the identical point in its sequence (the
+                # module invariant; parallel/multihost.py doc).
+                from jax.experimental import multihost_utils
+
+                p_need = int(np.max(multihost_utils.process_allgather(
+                    np.asarray(p_need, np.int64)
+                )))
+            p_bucket = pow2_bucket(p_need, min_size=1024)
+            p_bucket = self._bucket_run_max["blk"] = max(
+                self._bucket_run_max["blk"], p_bucket
+            )
+            p_trash = p_bucket - 1
+            blk_slots = np.full(
+                (self.n_local, p_bucket), geo.trash_row, np.int32
+            )
+            blk_counts = np.zeros(self.n_local, np.int32)
+            for k_loc, union in enumerate(unions):
+                blk_slots[k_loc, : union.size] = union
+                blk_counts[k_loc] = union.size
+            base = 0 if self.step_cfg_dedup.sorted_wire else 1
+            rows = np.full(
+                (len(infos), self.n_local, ub), p_trash, np.int32
+            )
+            for k_loc, union in enumerate(unions):
+                rmap = self._blk_rank_map[k_loc]
+                if use_native:
+                    rows[:, k_loc] = native.block_ranks(
+                        cats[k_loc], offs[k_loc], rmap, p_trash, ub, base
+                    )
+                    continue
+                for i, (uniq_lists, _, _) in enumerate(infos):
+                    u = uniq_lists[k_loc]
+                    r = rmap[u]
+                    # aux/trash slots are never in the union: their -1
+                    # maps to the trash rank (the old aux_base filter)
+                    rows[i, k_loc, base: base + u.size] = np.where(
+                        r < 0, p_trash, r
+                    )
+        finally:
+            for rmap, union in primed:
+                rmap[union] = -1  # lazy reset: union entries only
         rank_rows = list(rows)
         sh = self._shardings
         staged = put_global_many(

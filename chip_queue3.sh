@@ -139,8 +139,13 @@ EOF
 pass1() {
     run ab_block_auto   3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PACK=0 python bench.py
     run ab_block_off    3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PACK=0 BENCH_BLOCK=0 python bench.py
-    if pscatter_aot; then
+    # consult the CPU pre-flight BEFORE spending the AOT canary's chip
+    # minutes: a harness run() would skip anyway must not burn the window
+    if { [ "${SKIP_PREFLIGHT:-0}" = "1" ] || ok ab_pscatter; } && pscatter_aot; then
         run ab_pscatter 3600  BENCH_SKIP_EXTRAS=1 BENCH_DEDUP=on BENCH_PSCATTER=1 python bench.py
+    elif [ "${SKIP_PREFLIGHT:-0}" != "1" ] && ! ok ab_pscatter; then
+        echo "[queue3] !!! ab_pscatter SKIPPED: its CPU smoke failed pre-flight (AOT canary not spent)" >&2
+        printf '{"harness": "ab_pscatter", "attempt": 1, "result": null, "skipped": "preflight"}\n' >>"$RESULTS"
     fi
     run headline        7200  python bench.py
     run ss_prestage_off 7200  BENCH_PRESTAGE=0 python bench.py

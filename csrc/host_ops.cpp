@@ -746,10 +746,16 @@ int64_t cdlrm_block_union(const int64_t* uniq_cat, int64_t total_n,
 // rows_out is [n_steps * ub] int32; step s's positions [base, base+len_s)
 // carry rank_map[u] (p_trash when the slot is not in the union — aux or
 // trash), every other position p_trash. step_off is [n_steps + 1].
-void cdlrm_block_ranks(const int64_t* uniq_cat, const int64_t* step_off,
-                       int64_t n_steps, const int32_t* rank_map,
-                       int32_t p_trash, int64_t ub, int64_t base,
-                       int32_t* rows_out) {
+// Returns 0, or -1 WITHOUT writing anything when any step's list exceeds
+// ub - base — the numpy fallback fails loudly there (shape-mismatch
+// assignment), and silent out-of-row writes would corrupt the heap; the
+// wrapper turns -1 into the same ValueError class.
+int64_t cdlrm_block_ranks(const int64_t* uniq_cat, const int64_t* step_off,
+                          int64_t n_steps, const int32_t* rank_map,
+                          int32_t p_trash, int64_t ub, int64_t base,
+                          int32_t* rows_out) {
+  for (int64_t s = 0; s < n_steps; ++s)
+    if (step_off[s + 1] - step_off[s] > ub - base) return -1;
 #pragma omp parallel for schedule(static)
   for (int64_t s = 0; s < n_steps; ++s) {
     int32_t* row = rows_out + s * ub;
@@ -760,6 +766,7 @@ void cdlrm_block_ranks(const int64_t* uniq_cat, const int64_t* step_off,
       row[base + (j - lo)] = r < 0 ? p_trash : r;
     }
   }
+  return 0;
 }
 
 // Lazy rank-map reset: only the union's entries were touched.

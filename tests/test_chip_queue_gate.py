@@ -111,3 +111,17 @@ def test_every_queued_harness_has_a_smoke():
         raise AssertionError("default --only list not found in chip_queue3.sh")
     missing = [n for n in names if n not in chip_preflight.SMOKES]
     assert not missing, f"queued harnesses with no CPU smoke: {missing}"
+    # the queue's actual pass1 run-list must ALSO be covered by the
+    # --only list: a queued harness absent from the pre-flight list gets
+    # NO verdict row and ok() fails safe — it would be silently skipped
+    # on the chip with CI green (the drift the gate exists to catch)
+    import re
+
+    queued = set(re.findall(r"^\s*run (\w+)\s", script, re.M))
+    queued |= set(re.findall(r"&& pscatter_aot.*\n\s*run (\w+)\s", script))
+    queued.discard("fake")  # doc examples
+    uncovered = [n for n in sorted(queued) if n not in names]
+    assert not uncovered, (
+        f"pass1 runs harnesses missing from the pre-flight --only list "
+        f"(they would always be skipped): {uncovered}"
+    )
