@@ -328,6 +328,14 @@ def test_two_process_block_coalesce_matches_single(tmp_path):
         single["losses"], duo[0]["losses"],
     )
     assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
+    # 4 hosts x 1 device: every host holds exactly one replica, so the
+    # negotiated bucket is a pure cross-host max — the sharpest test of
+    # the allgather-max (any local-only bucket choice diverges here)
+    quad = _run_cluster(4, 1, 12423, "blockco", tmp_path)
+    assert np.allclose(quad[0]["losses"], quad[3]["losses"], rtol=1e-5)
+    assert np.allclose(single["losses"], quad[0]["losses"], rtol=2e-3), (
+        single["losses"], quad[0]["losses"],
+    )
 
 
 def test_sharded_md_masters_pad_and_partition(rng):
