@@ -75,6 +75,9 @@ class InsertPlan:
     """Flattened refill plan produced by the insert/evict policy.
 
     insert_slots: [K] int32 global rows to overwrite with insert_rows [K, D].
+    insert_tables / insert_ids: [K] owning table + original embedding id of
+        each insert (consumers: the master-resident AdaGrad state gather,
+        Config.adagrad_master_state).
     evict_slots: [E] int32 global rows whose CURRENT device values must be
         gathered (before the insert scatter!) and written back to the master.
     evict_tables: [E] int32 owning table of each eviction.
@@ -86,6 +89,8 @@ class InsertPlan:
     evict_slots: np.ndarray
     evict_tables: np.ndarray
     evict_idxs: np.ndarray
+    insert_tables: np.ndarray = None
+    insert_ids: np.ndarray = None
 
 
 @dataclass
@@ -169,6 +174,8 @@ def build_insert_plan(
         evict_slots=spec.evict_slots,
         evict_tables=spec.evict_tables,
         evict_idxs=spec.evict_idxs,
+        insert_tables=spec.insert_tables,
+        insert_ids=spec.insert_ids,
     )
 
 

@@ -215,6 +215,62 @@ class MasterTables:
                 self._dirty.replace(t, ids)
 
 
+class AccumulatorStore:
+    """Host-resident per-table row-wise AdaGrad accumulators
+    (Config.adagrad_master_state): one f32 scalar per embedding row,
+    initialized 0 (torch.optim.Adagrad initial_accumulator_value).
+
+    The cached trainer's row-wise state is cache-resident by default and
+    DROPPED at eviction / reset at insert (the documented approximation).
+    With the master-state flag, evicted ids' accumulators write back here
+    (with their rows, same eviction thread) and inserted ids RESUME from
+    here — closing the measured thrash gap (PERF.md round 5: AdaGrad's
+    pressure gap was ~8x SGD's at 3% capacity because state was lost).
+    No reference counterpart (the reference trains SGD only,
+    main_no_ddp.py:374-376). Memory: 4 bytes/row (26 MB at the bench
+    geometry; ~2% of the f32 masters at any geometry).
+
+    Writeback is always OVERWRITE (state restore, not a merge) — even
+    under --average-on-writeback, which averages VALUES of concurrent
+    divergent replicas; accumulators are replica-identical by the psum'd
+    update so there is nothing to average."""
+
+    def __init__(self, ln_emb: Sequence[int]):
+        self.accs: List[np.ndarray] = [
+            np.zeros(int(n), np.float32) for n in ln_emb
+        ]
+
+    def gather(self, tables: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+        """Per-id accumulator values for a flattened (table, id) list."""
+        out = np.empty(idxs.size, np.float32)
+        for t in np.unique(tables):
+            sel = tables == t
+            out[sel] = self.accs[int(t)][idxs[sel]]
+        return out
+
+    def writeback(self, t: int, idxs: np.ndarray, vals: np.ndarray) -> None:
+        if idxs.size:
+            self.accs[int(t)][idxs] = vals
+
+    # ---- checkpointing (rides the trainer checkpoint when the flag is on;
+    # nonzero rows == ids ever evicted, so a dense save is wasteful at
+    # Terabyte geometry — save the nonzero support) ----
+    def payload(self) -> dict:
+        out = {}
+        for t, a in enumerate(self.accs):
+            nz = np.flatnonzero(a)
+            out[f"acc_ids_{t}"] = nz
+            out[f"acc_vals_{t}"] = a[nz]
+        return out
+
+    def load_payload(self, data) -> None:
+        for t, a in enumerate(self.accs):
+            a[:] = 0.0
+            ids = data.get(f"acc_ids_{t}")
+            if ids is not None and np.asarray(ids).size:
+                a[np.asarray(ids)] = np.asarray(data[f"acc_vals_{t}"])
+
+
 class MDMasterTables:
     """Mixed-dimension master tables for the CACHED path (beyond-parity:
     the reference's cached path crashes with MD — its prefetcher reads

@@ -124,6 +124,7 @@ class EvictionManager(threading.Thread):
         average_on_writeback: bool = False,
         timeout: float = 300.0,
         pin_core: Optional[int] = None,
+        acc_store=None,
     ):
         super().__init__(daemon=True, name="eviction-manager")
         self.master = master
@@ -131,6 +132,10 @@ class EvictionManager(threading.Thread):
         self.average = average_on_writeback
         self.timeout = timeout
         self.pin_core = pin_core
+        # Config.adagrad_master_state: evicted ids' row-wise accumulators
+        # ride the same fifo item and write back here (cache/master.py
+        # AccumulatorStore) — always overwrite (state restore, not a merge)
+        self.acc_store = acc_store
         self.rows_written = 0
 
     def run(self) -> None:
@@ -151,14 +156,22 @@ class EvictionManager(threading.Thread):
             self._apply(item)
 
     def _apply(self, item) -> None:
-        tables, idxs, rows = item
+        accs = None
+        if len(item) == 4:
+            tables, idxs, rows, accs = item
+        else:
+            tables, idxs, rows = item
         if callable(rows):
             rows = rows()
+        if callable(accs):
+            accs = accs()
         for t in np.unique(tables):
             sel = tables == t
             self.rows_written += self.master.writeback(
                 int(t), idxs[sel], rows[sel], self.average
             )
+            if accs is not None and self.acc_store is not None:
+                self.acc_store.writeback(int(t), idxs[sel], accs[sel])
 
     def _drain_on_caller(self) -> None:
         try:

@@ -116,6 +116,17 @@ class Config:
     #   approximation). Requires dedup_lookups='on' (row-wise state needs
     #   coalesced slots); incompatible with the hot tier and QR/MD tricks.
     adagrad_eps: float = 1e-10  # torch.optim.Adagrad default eps
+    adagrad_master_state: bool = False  # the row-wise accumulator
+    #   ROUND-TRIPS through a host-resident AccumulatorStore instead of the
+    #   default drop-at-evict / reset-at-insert approximation: evicted ids'
+    #   accumulators write back with their rows (same eviction thread,
+    #   always overwrite — state restore, not a merge) and inserted ids
+    #   RESUME their state (gathered at refill staging, the master-row
+    #   eventual-consistency envelope). Closes the measured thrash gap
+    #   (PERF.md round 5: AdaGrad's 3%-capacity AUC gap was ~8x SGD's with
+    #   cache-resident-only state). +4 bytes host RAM per embedding row;
+    #   accumulator support rides the checkpoint. Single-host only for now
+    #   (the acc store is not yet row-sharded with the masters).
     print_precision: int = 5
     numpy_rand_seed: int = 123
     lookahead: int = 2
@@ -418,6 +429,10 @@ class Config:
                     "optimizer='adagrad' supports plain embeddings only "
                     "(no QR/MD compression)"
                 )
+        if self.adagrad_master_state and self.optimizer != "adagrad":
+            raise ValueError(
+                "adagrad_master_state requires optimizer='adagrad'"
+            )
         # block-coalesced sparse update: tri-state. 'auto' (default) turns
         # it on exactly when the measured-GO preconditions hold and stays
         # silently off otherwise (auto-dedup's capability-gate pattern);

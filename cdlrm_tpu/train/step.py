@@ -125,6 +125,12 @@ class StepConfig(NamedTuple):
     # Config.finalize.
     optimizer: str = "sgd"
     adagrad_eps: float = 1e-10  # torch.optim.Adagrad default
+    # Config.adagrad_master_state: the row-wise accumulator ROUND-TRIPS
+    # through host-resident per-table stores instead of the default
+    # drop-at-evict / reset-at-insert approximation: the refill step
+    # additionally gathers evicted slots' accumulator values (written back
+    # with the rows) and scatters host-gathered values for inserted ids.
+    adagrad_master_state: bool = False
     # ship refill insert rows / per-step miss rows / evicted rows as bf16
     # (halves the dominant refill H2D+D2H traffic). LOSSY: freshly staged
     # rows are bf16-rounded once (trained deltas stay f32 in the cache).
@@ -1193,14 +1199,27 @@ def make_refill_step(
     if mode not in ("strict", "delta", "off"):
         raise ValueError(f"unsupported refill_broadcast mode: {mode!r}")
     adagrad = cfg.optimizer == "adagrad"
+    master_state = adagrad and cfg.adagrad_master_state
 
-    def body(cache, insert_slots, insert_rows, evict_slots, accum=None):
+    def body(cache, insert_slots, insert_rows, evict_slots, accum=None,
+             insert_acc=None):
         evicted = jnp.take(cache, evict_slots, axis=0)
+        ev_acc = None
+        if master_state:
+            # evicted slots' accumulator values leave WITH the rows (same
+            # pre-insert gather point, same replica-0 broadcast) so the
+            # host store stays a consistent (value, state) pair per id
+            ev_acc = jnp.take(accum, evict_slots)
         if mode in ("strict", "delta"):
             idx = jax.lax.axis_index(DP_AXIS)
             evicted = jax.lax.psum(
                 jnp.where(idx == 0, evicted, jnp.zeros_like(evicted)), DP_AXIS
             )
+            if master_state:
+                ev_acc = jax.lax.psum(
+                    jnp.where(idx == 0, ev_acc, jnp.zeros_like(ev_acc)),
+                    DP_AXIS,
+                )
         if cfg.wire_rows_bf16:
             evicted = evicted.astype(jnp.bfloat16)  # halve the D2H writeback
         if (cfg.use_pallas_scatter and trash_row is not None
@@ -1220,7 +1239,11 @@ def make_refill_step(
             cache = cache.at[insert_slots].set(
                 insert_rows.astype(jnp.float32)
             )
-        if adagrad:
+        if master_state:
+            # the inserted id's accumulator RESUMES from the host store
+            # (gathered alongside the row values) instead of restarting
+            accum = accum.at[insert_slots].set(insert_acc)
+        elif adagrad:
             # an inserted slot holds a FRESH id: its row-wise AdaGrad state
             # restarts (the evicted id's state is dropped — documented
             # cache-resident-state semantic, StepConfig.optimizer)
@@ -1234,11 +1257,22 @@ def make_refill_step(
                     jnp.where(idx == 0, accum, jnp.zeros_like(accum)),
                     DP_AXIS,
                 )
+        if master_state:
+            return cache, accum, evicted, ev_acc
         if adagrad:
             return cache, accum, evicted
         return cache, evicted
 
     lead = _spec_leading()
+    if master_state:
+        shardmapped = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(lead, P(), P(), P(), lead, P()),
+            out_specs=(lead, lead, lead, lead),
+            check_vma=False,
+        )
+        return jax.jit(shardmapped, donate_argnums=(0, 4))
     if adagrad:
         shardmapped = jax.shard_map(
             body,

@@ -389,6 +389,20 @@ class CachedDlrmTrainer:
             )
         else:
             self.embed_acc = self.dense_acc = None
+        # Config.adagrad_master_state: host-resident accumulator store —
+        # evicted ids' row-wise state writes back with their rows; inserted
+        # ids resume it (cache/master.py AccumulatorStore doc)
+        self._acc_master = None
+        if self._adagrad and cfg.adagrad_master_state:
+            if self.multihost:
+                raise ValueError(
+                    "adagrad_master_state is single-host only for now "
+                    "(the accumulator store is not yet row-sharded with "
+                    "the masters)"
+                )
+            from cdlrm_tpu.cache.master import AccumulatorStore
+
+            self._acc_master = AccumulatorStore(cfg.ln_emb)
 
         # wire packing: bit-packed local slot ids at the smallest width that
         # addresses every table's cache block (train/step.py pack_slots)
@@ -487,6 +501,7 @@ class CachedDlrmTrainer:
             md_train_mask=self._md_mask,
             optimizer=cfg.optimizer,
             adagrad_eps=cfg.adagrad_eps,
+            adagrad_master_state=bool(cfg.adagrad_master_state),
         )
         self._row_wire_dtype = (
             jnp.bfloat16 if cfg.wire_rows_bf16 else np.float32
@@ -570,6 +585,7 @@ class CachedDlrmTrainer:
             average_on_writeback=cfg.average_on_writeback,
             timeout=cfg.eviction_fifo_timeout,
             pin_core=cfg.main_start_core + 2 if cfg.pin_cores else None,
+            acc_store=self._acc_master,
         )
         # built in _start_pipeline: its stream cursor depends on a possible
         # load_checkpoint between construction and the first train() call
@@ -719,13 +735,20 @@ class CachedDlrmTrainer:
         """The refill step's padded device operands for an insert plan —
         the ONE place the pad/astype/H2D triple lives (both the boundary
         path and the _WindowStager stage from here, so staged and unstaged
-        refills cannot drift)."""
-        return (
+        refills cannot drift). With adagrad_master_state the inserted ids'
+        accumulator values are gathered HERE (boundary or prestage time —
+        the master-row eventual-consistency envelope; config.py doc) and
+        ride as a fourth operand."""
+        ops = (
             jnp.asarray(pad_to_bucket(plan.insert_slots, self.geo.trash_row)),
             jnp.asarray(pad_to_bucket(plan.insert_rows, 0.0).astype(
                 self._row_wire_dtype, copy=False)),
             jnp.asarray(pad_to_bucket(plan.evict_slots, 0)),
         )
+        if self._acc_master is not None:
+            acc = self._acc_master.gather(plan.insert_tables, plan.insert_ids)
+            ops += (jnp.asarray(pad_to_bucket(acc, 0.0)),)
+        return ops
 
     def _prefetch_next_window(self) -> None:
         """Multi-host refill prestage (config.refill_prestage): run the NEXT
@@ -776,7 +799,7 @@ class CachedDlrmTrainer:
             # prestaged by the _WindowStager: plan already joined and the
             # padded device transfers already in flight — only the
             # occupancy replay remains for the critical path
-            plan, (d_ins_slots, d_ins_rows, d_ev_slots) = staged
+            plan, d_inputs = staged
             self.controller.apply_plan_spec(window.plan_spec)
         else:
             if window.plan_spec is not None:
@@ -788,20 +811,25 @@ class CachedDlrmTrainer:
                 self.controller.apply_plan_spec(window.plan_spec)
             else:
                 plan = self.controller.plan_insert(window.uniques, rows)
-            d_ins_slots, d_ins_rows, d_ev_slots = (
-                self._refill_device_inputs(plan))
+            d_inputs = self._refill_device_inputs(plan)
         # occupancy is final for this window — adopt its negotiated staging
         # buckets (multihost: host-symmetric shapes; scan: batches stacked
         # in one block must share shapes)
         self._apply_window_stats(window)
-        if self._adagrad:
+        ev_acc = None
+        if self._acc_master is not None:
+            # master-state adagrad: (…, insert_acc) rides last; the step
+            # returns the evicted accumulator values with the rows
+            (self.cache, self.embed_acc, evicted, ev_acc) = self.refill_step(
+                self.cache, *d_inputs[:3], self.embed_acc, d_inputs[3],
+            )
+        elif self._adagrad:
             self.cache, self.embed_acc, evicted = self.refill_step(
-                self.cache, d_ins_slots, d_ins_rows, d_ev_slots,
-                self.embed_acc,
+                self.cache, *d_inputs, self.embed_acc,
             )
         else:
             self.cache, evicted = self.refill_step(
-                self.cache, d_ins_slots, d_ins_rows, d_ev_slots,
+                self.cache, *d_inputs,
             )
         n_evict = plan.evict_slots.shape[0]
         if n_evict:
@@ -820,7 +848,23 @@ class CachedDlrmTrainer:
             def _fetch(shard=shard, n=n_evict):
                 return np.asarray(shard)[:n].astype(np.float32)
 
-            self.eviction_fifo.put((plan.evict_tables, plan.evict_idxs, _fetch))
+            if ev_acc is not None:
+                acc_shard = ev_acc.addressable_shards[0].data
+                try:
+                    acc_shard.copy_to_host_async()
+                except AttributeError:
+                    pass
+
+                def _fetch_acc(shard=acc_shard, n=n_evict):
+                    return np.asarray(shard)[:n].astype(np.float32)
+
+                self.eviction_fifo.put(
+                    (plan.evict_tables, plan.evict_idxs, _fetch, _fetch_acc)
+                )
+            else:
+                self.eviction_fifo.put(
+                    (plan.evict_tables, plan.evict_idxs, _fetch)
+                )
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
 
@@ -2117,6 +2161,11 @@ class CachedDlrmTrainer:
             _npy(f"embed_acc{tag}.npy", np.concatenate(
                 [np.asarray(s.data)
                  for s in self.embed_acc.addressable_shards]))
+        if self._acc_master is not None:
+            # master-resident accumulator support (nonzero rows == ids ever
+            # evicted; the eviction flush above made it consistent). Copies
+            # taken at snapshot time — payload() fancy-indexes.
+            _npz("acc_store.npz", self._acc_master.payload())
         master_file = os.path.join(
             path,
             f"master.h{jax.process_index()}.npz" if self.multihost
@@ -2273,6 +2322,16 @@ class CachedDlrmTrainer:
                 jax.tree_util.tree_unflatten(acc_treedef, acc_leaves),
                 self.mesh,
             )
+        if self._acc_master is not None:
+            store_path = os.path.join(path, "acc_store.npz")
+            if not os.path.exists(store_path):
+                raise ValueError(
+                    f"adagrad_master_state set but {path!r} carries no "
+                    "accumulator store (saved without the flag?); resume "
+                    "with the matching setting"
+                )
+            with np.load(store_path) as data:
+                self._acc_master.load_payload(data)
         with np.load(os.path.join(path, "occupancy.npz")) as data:
             self.controller.load_state_dict(dict(data))
         if self.multihost:
