@@ -127,8 +127,14 @@ def _cfg(**kw):
         # (cache_manager.py:48-64 averaging arm) — A/B-able under thrash
         average_on_writeback=os.environ.get("PRESSURE_AVG_WB", "0") == "1",
         # PRESSURE_OPT=adagrad: cache-resident row-wise AdaGrad instead of
-        # sparse SGD (torchrec semantics; config.optimizer doc)
+        # sparse SGD (torchrec semantics; config.optimizer doc);
+        # PRESSURE_ADAGRAD_MASTER=1 additionally round-trips the row-wise
+        # state through the host AccumulatorStore (adagrad_master_state —
+        # the round-5 fix for the measured state-loss thrash gap)
         optimizer=os.environ.get("PRESSURE_OPT", "sgd"),
+        adagrad_master_state=(
+            os.environ.get("PRESSURE_ADAGRAD_MASTER", "0") == "1"
+        ),
         dedup_lookups=(
             "on" if os.environ.get("PRESSURE_OPT") == "adagrad" else "auto"
         ),
