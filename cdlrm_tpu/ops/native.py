@@ -30,6 +30,7 @@ _PI64 = ctypes.POINTER(ctypes.c_int64)
 _PI32 = ctypes.POINTER(ctypes.c_int32)
 _PF32 = ctypes.POINTER(ctypes.c_float)
 _PU8 = ctypes.POINTER(ctypes.c_uint8)
+_PU64 = ctypes.POINTER(ctypes.c_uint64)
 _PPI32 = ctypes.POINTER(_PI32)
 
 
@@ -155,16 +156,19 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cdlrm_unique_gather_f32.argtypes = [
             _PI64, _I64, _I64, _PF32, _I64, _PI64, _PF32,
         ]
+        lib.cdlrm_mask_bits.restype = None
+        lib.cdlrm_mask_bits.argtypes = [_PU8, _I64, _PU64]
         lib.cdlrm_block_union.restype = _I64
         lib.cdlrm_block_union.argtypes = [
-            _PI64, _I64, _PU8, _I64, _PI32, _PI64,
+            _PI32, _I64, _PU64, _I64, _PI32, _PI32,
         ]
         lib.cdlrm_block_ranks.restype = _I64
         lib.cdlrm_block_ranks.argtypes = [
-            _PI64, _PI64, _I64, _PI32, ctypes.c_int32, _I64, _I64, _PI32,
+            _PI32, _PI64, _I64, _PI32, _I64, ctypes.c_int32, _I64, _I64,
+            _I64, _PI32,
         ]
         lib.cdlrm_block_union_reset.restype = None
-        lib.cdlrm_block_union_reset.argtypes = [_PI64, _I64, _PI32]
+        lib.cdlrm_block_union_reset.argtypes = [_PI32, _I64, _PI32]
         lib.cdlrm_num_threads.restype = ctypes.c_int
         lib.cdlrm_set_num_threads.argtypes = [ctypes.c_int]
         _LIB = lib
@@ -537,66 +541,92 @@ def unique_gather_f32(
     return out_idx[:m].copy(), out_rows[:m].copy()
 
 
-def block_union(
-    uniq_cat: np.ndarray, real_mask: np.ndarray, rank_map: np.ndarray
-) -> np.ndarray:
-    """Block-coalesce phase 1 (trainer._build_block_union): sorted union
-    of the block's unique slot lists, real-row-masked (aux/trash excluded),
-    with ``rank_map[slot] = rank`` set for every union slot. ``rank_map``
-    must be all -1 on entry (int32 [n_rows]); call :func:`block_union_reset`
-    with the returned union to restore it. Bit-identical to the numpy
-    bitmap form (present-mark + AND + flatnonzero) — pinned in
-    tests/test_native.py."""
+def mask_bits(mask: np.ndarray) -> np.ndarray:
+    """Byte mask -> LSB-first uint64 bitmap (csrc cdlrm_mask_bits). Built
+    ONCE per run for the static real-row mask; :func:`block_union` then
+    ANDs whole words instead of paying a random byte read per marked
+    slot."""
     lib = _load()
     assert lib is not None
-    uniq_cat = np.ascontiguousarray(uniq_cat.reshape(-1), dtype=np.int64)
-    n_rows = rank_map.size
-    _check_bounds(uniq_cat, n_rows)
-    assert real_mask.dtype == np.uint8 and real_mask.size == n_rows
-    assert rank_map.dtype == np.int32
-    out = np.empty(uniq_cat.size, dtype=np.int64)
+    mask = np.ascontiguousarray(mask.reshape(-1), dtype=np.uint8)
+    bits = np.empty((mask.size + 63) >> 6, dtype=np.uint64)
+    lib.cdlrm_mask_bits(_p(mask, _PU8), mask.size, _p(bits, _PU64))
+    return bits
+
+
+def block_union(
+    uniq_cat: np.ndarray, real_bits: np.ndarray, n_rows: int,
+    rank_map: np.ndarray,
+) -> np.ndarray:
+    """Block-coalesce phase 1 (trainer._build_block_union): sorted union
+    of the block's unique slot lists, real-row-masked (aux/trash excluded;
+    ``real_bits`` from :func:`mask_bits` over [n_rows]), with
+    ``rank_map[slot] = rank`` set for every union slot. ``rank_map`` must
+    be all -1 on entry (int32 [n_rows]); call :func:`block_union_reset`
+    with the returned union to restore it. Takes the int32 wire dtype
+    directly (no widening copy) with bounds checked in-kernel.
+    Bit-identical to the numpy bitmap form (present-mark + AND +
+    flatnonzero) — pinned in tests/test_native.py."""
+    lib = _load()
+    assert lib is not None
+    uniq_cat = np.ascontiguousarray(uniq_cat.reshape(-1), dtype=np.int32)
+    assert real_bits.dtype == np.uint64 and real_bits.size >= (n_rows + 63) >> 6
+    assert rank_map.dtype == np.int32 and rank_map.size == n_rows
+    out = np.empty(uniq_cat.size, dtype=np.int32)
     m = lib.cdlrm_block_union(
-        _p(uniq_cat, _PI64), uniq_cat.size, _p(real_mask, _PU8), n_rows,
-        _p(rank_map, _PI32), _p(out, _PI64),
+        _p(uniq_cat, _PI32), uniq_cat.size, _p(real_bits, _PU64), n_rows,
+        _p(rank_map, _PI32), _p(out, _PI32),
     )
-    if m < 0:  # allocation failure: caller falls back to numpy
+    if m == -1:  # allocation failure: caller falls back to numpy
         raise MemoryError("cdlrm_block_union bitmap allocation failed")
-    return out[:m].copy()
+    if m == -2:
+        raise ValueError("block_union: slot out of [0, n_rows)")
+    return out[:m]
 
 
 def block_ranks(
     uniq_cat: np.ndarray, step_off: np.ndarray, rank_map: np.ndarray,
-    p_trash: int, ub: int, base: int,
+    p_trash: int, ub: int, base: int, out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Block-coalesce phase 2: per-step rank rows [n_steps, ub] aligned
     with the staged uniq wire (position base+j of step s = the block rank
-    of that step's j-th unique slot; aux/trash and padding = p_trash)."""
+    of that step's j-th unique slot; aux/trash and padding = p_trash).
+    ``out`` (optional) is written IN PLACE: any int32 [n_steps, ub] view
+    whose inner dim is contiguous — the trainer hands a [:, k, :] slice of
+    its [n_steps, n_local, ub] staging array, skipping the copy the
+    fresh-array form pays."""
     lib = _load()
     assert lib is not None
-    uniq_cat = np.ascontiguousarray(uniq_cat.reshape(-1), dtype=np.int64)
+    uniq_cat = np.ascontiguousarray(uniq_cat.reshape(-1), dtype=np.int32)
     step_off = np.ascontiguousarray(step_off, dtype=np.int64)
     n_steps = step_off.size - 1
-    rows = np.empty((n_steps, ub), dtype=np.int32)
+    if out is None:
+        out = np.empty((n_steps, ub), dtype=np.int32)
+    assert out.dtype == np.int32 and out.shape == (n_steps, ub)
+    assert out.strides[1] == 4, "inner dim must be contiguous"
     rc = lib.cdlrm_block_ranks(
-        _p(uniq_cat, _PI64), _p(step_off, _PI64), n_steps,
-        _p(rank_map, _PI32), int(p_trash), int(ub), int(base),
-        _p(rows, _PI32),
+        _p(uniq_cat, _PI32), _p(step_off, _PI64), n_steps,
+        _p(rank_map, _PI32), rank_map.size, int(p_trash), int(ub),
+        int(base), out.strides[0] // 4,
+        ctypes.cast(out.ctypes.data, _PI32),
     )
-    if rc != 0:
+    if rc == -1:
         # same failure class as the numpy fallback's shape-mismatch
         # assignment — never write out of the row (heap) bounds silently
         raise ValueError(
             f"block_ranks: a step's unique list exceeds ub-base "
             f"({ub}-{base})"
         )
-    return rows
+    if rc == -2:
+        raise ValueError("block_ranks: slot out of [0, n_rows)")
+    return out
 
 
 def block_union_reset(union_slots: np.ndarray, rank_map: np.ndarray) -> None:
     """Restore ``rank_map`` to all -1 (touches only the union's entries)."""
     lib = _load()
     assert lib is not None
-    union_slots = np.ascontiguousarray(union_slots, dtype=np.int64)
+    union_slots = np.ascontiguousarray(union_slots, dtype=np.int32)
     lib.cdlrm_block_union_reset(
-        _p(union_slots, _PI64), union_slots.size, _p(rank_map, _PI32)
+        _p(union_slots, _PI32), union_slots.size, _p(rank_map, _PI32)
     )

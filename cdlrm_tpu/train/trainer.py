@@ -617,7 +617,7 @@ class CachedDlrmTrainer:
         # static real-row mask + per-replica slot->rank maps
         # (_build_block_union)
         self._blk_real_mask = None
-        self._blk_real_mask_u8 = None
+        self._blk_real_bits = None
         self._blk_rank_map = None
         self._row_exchange = (
             GlobalRowExchange(
@@ -1510,11 +1510,15 @@ class CachedDlrmTrainer:
         output to the original np.unique+searchsorted form (np.unique's
         output is sorted ascending, exactly the bitmap-scan order) —
         measured 128 -> 38 ms per 10-step block at headline geometry on
-        this 1-core host for the numpy form (chipqueue/ab_block_auto2.log);
-        the native kernel (csrc cdlrm_block_union/_ranks, bit-identical,
-        pinned in tests/test_native.py) cuts the remainder. A production
-        host additionally overlaps this in the assembly pipeline the way
-        the probe already is."""
+        this 1-core host for the numpy form (chipqueue/ab_block_auto2.log).
+        The native kernel (csrc cdlrm_block_union/_ranks, bit-identical,
+        pinned in tests/test_native.py) takes the int32 wire dtype
+        directly, ANDs a once-built word bitmap of the static real mask
+        instead of a byte read per marked slot, and writes rank rows
+        in place into the replica-strided staging array: 7.5 ms/block
+        (0.75 ms/step) at the same geometry (PERF.md round 5 cont.). A
+        production host additionally overlaps this in the assembly
+        pipeline the way the probe already is."""
         _, counts0, ub = infos[0]
         t_count = counts0[0].size
         geo = self.geo
@@ -1523,7 +1527,13 @@ class CachedDlrmTrainer:
             for t in range(t_count):
                 real[int(geo.table_offsets[t]): int(geo.aux_base(t))] = True
             self._blk_real_mask = real
-            self._blk_real_mask_u8 = real.astype(np.uint8)
+            if native.available():
+                # one-time LSB-first word bitmap of the static mask: the
+                # per-block native union ANDs words instead of paying a
+                # random byte read per marked slot
+                self._blk_real_bits = native.mask_bits(
+                    real.astype(np.uint8)
+                )
             # slot -> block rank, PER REPLICA (phase 1 primes every
             # replica's map before phase 2 consumes them — one shared map
             # would cross-clobber), lazily reset per block (union entries
@@ -1559,7 +1569,7 @@ class CachedDlrmTrainer:
                 if use_native:
                     try:
                         union = native.block_union(
-                            cat, self._blk_real_mask_u8, rmap
+                            cat, self._blk_real_bits, geo.total_rows, rmap
                         )
                     except MemoryError:
                         union = None  # bitmap calloc failed: numpy fallback
@@ -1602,14 +1612,22 @@ class CachedDlrmTrainer:
                 blk_slots[k_loc, : union.size] = union
                 blk_counts[k_loc] = union.size
             base = 0 if self.step_cfg_dedup.sorted_wire else 1
-            rows = np.full(
-                (len(infos), self.n_local, ub), p_trash, np.int32
+            # native block_ranks fills every position itself (empty is
+            # enough); the numpy form writes only each step's rank span
+            # and needs the p_trash pre-fill
+            shape = (len(infos), self.n_local, ub)
+            rows = (
+                np.empty(shape, np.int32) if use_native
+                else np.full(shape, p_trash, np.int32)
             )
             for k_loc, union in enumerate(unions):
                 rmap = self._blk_rank_map[k_loc]
                 if use_native:
-                    rows[:, k_loc] = native.block_ranks(
-                        cats[k_loc], offs[k_loc], rmap, p_trash, ub, base
+                    # in-place into the [K, n_local, ub] staging array's
+                    # replica slice — no intermediate array + strided copy
+                    native.block_ranks(
+                        cats[k_loc], offs[k_loc], rmap, p_trash, ub, base,
+                        out=rows[:, k_loc],
                     )
                     continue
                 for i, (uniq_lists, _, _) in enumerate(infos):

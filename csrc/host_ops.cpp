@@ -709,29 +709,52 @@ int64_t cdlrm_unique_gather_f32(const int64_t* in, int64_t n, int64_t n_rows,
 // 4. block-coalesce union + rank rows (trainer._build_block_union)
 // ---------------------------------------------------------------------------
 
+// One-time helper: byte mask -> LSB-first uint64 bitmap (word w, bit b =
+// mask[w*64 + b]; tail bits of the last word = 0). The trainer builds this
+// once per run for the STATIC real-row mask, so the per-block union pass
+// ANDs whole words instead of paying one random byte read per marked slot
+// (the round-5 profile put those reads at ~40% of phase 1).
+void cdlrm_mask_bits(const uint8_t* mask, int64_t n, uint64_t* bits_out) {
+  const int64_t words = (n + 63) >> 6;
+  for (int64_t w = 0; w < words; ++w) {
+    uint64_t x = 0;
+    const int64_t base = w << 6;
+    const int64_t hi = (base + 64 <= n) ? 64 : n - base;
+    for (int64_t b = 0; b < hi; ++b)
+      x |= (uint64_t)(mask[base + b] != 0) << b;
+    bits_out[w] = x;
+  }
+}
+
 // Phase 1 of the block-coalesce host pass: mark the block's slots in a
-// bitmap, masked by the static real-row bool mask (aux/trash rows = 0);
-// emit the SORTED union and set rank_map[slot] = rank for every union
-// slot. rank_map MUST be all -1 on entry (the caller lazily resets it
-// with cdlrm_block_union_reset — O(union) not O(n_rows)). Returns the
-// union count, or -1 on allocation failure (caller falls back to numpy).
-int64_t cdlrm_block_union(const int64_t* uniq_cat, int64_t total_n,
-                          const uint8_t* real_mask, int64_t n_rows,
-                          int32_t* rank_map, int64_t* union_out) {
+// scratch bitmap, AND word-wise with the static real-row bitmap (aux/trash
+// rows = 0; cdlrm_mask_bits), and emit the SORTED union, setting
+// rank_map[slot] = rank for every union slot. rank_map MUST be all -1 on
+// entry (the caller lazily resets it with cdlrm_block_union_reset —
+// O(union) not O(n_rows)). Slots arrive int32 — the wire dtype — so the
+// caller skips the int64 widening copy the first-generation ABI forced,
+// and bounds are checked inline (no separate python-side min/max pass).
+// Returns the union count, -1 on allocation failure (caller falls back to
+// numpy), -2 on an out-of-range slot (nothing written to union_out that
+// the caller may read: the scan never runs).
+int64_t cdlrm_block_union(const int32_t* uniq_cat, int64_t total_n,
+                          const uint64_t* real_bits, int64_t n_rows,
+                          int32_t* rank_map, int32_t* union_out) {
   const int64_t words = (n_rows + 63) >> 6;
   uint64_t* bits = (uint64_t*)calloc((size_t)words, sizeof(uint64_t));
   if (!bits) return -1;
   for (int64_t i = 0; i < total_n; ++i) {
-    const int64_t v = uniq_cat[i];
-    if (real_mask[v]) bits[v >> 6] |= 1ULL << (v & 63);
+    const uint32_t v = (uint32_t)uniq_cat[i];  // negatives wrap high: caught
+    if ((uint64_t)v >= (uint64_t)n_rows) { free(bits); return -2; }
+    bits[v >> 6] |= 1ULL << (v & 63);
   }
   int64_t m = 0;
   for (int64_t w = 0; w < words; ++w) {
-    uint64_t x = bits[w];
+    uint64_t x = bits[w] & real_bits[w];
     const int64_t base = w << 6;
     while (x) {
       const int b = __builtin_ctzll(x);
-      const int64_t slot = base + b;
+      const int32_t slot = (int32_t)(base + b);
       union_out[m] = slot;
       rank_map[slot] = (int32_t)m;
       ++m;
@@ -742,35 +765,43 @@ int64_t cdlrm_block_union(const int64_t* uniq_cat, int64_t total_n,
   return m;
 }
 
-// Phase 2: per-step rank rows, aligned with the staged uniq wire.
-// rows_out is [n_steps * ub] int32; step s's positions [base, base+len_s)
-// carry rank_map[u] (p_trash when the slot is not in the union — aux or
-// trash), every other position p_trash. step_off is [n_steps + 1].
-// Returns 0, or -1 WITHOUT writing anything when any step's list exceeds
-// ub - base — the numpy fallback fails loudly there (shape-mismatch
-// assignment), and silent out-of-row writes would corrupt the heap; the
-// wrapper turns -1 into the same ValueError class.
-int64_t cdlrm_block_ranks(const int64_t* uniq_cat, const int64_t* step_off,
+// Phase 2: per-step rank rows, aligned with the staged uniq wire, written
+// DIRECTLY into the caller's destination — row s starts at
+// rows_out + s*row_stride (int32 elements; inner dim contiguous), so the
+// trainer hands a strided view of its [n_steps, n_local, ub] staging array
+// and skips the intermediate-array copy. Step s's positions
+// [base, base+len_s) carry rank_map[u] (p_trash when the slot is not in
+// the union — aux or trash), every other position p_trash. step_off is
+// [n_steps + 1]. Returns 0; -1 WITHOUT writing anything when any step's
+// list exceeds ub - base — the numpy fallback fails loudly there
+// (shape-mismatch assignment), and silent out-of-row writes would corrupt
+// the heap; -2 on an out-of-range slot (rows may be partially written —
+// the caller raises and discards the block either way).
+int64_t cdlrm_block_ranks(const int32_t* uniq_cat, const int64_t* step_off,
                           int64_t n_steps, const int32_t* rank_map,
-                          int32_t p_trash, int64_t ub, int64_t base,
+                          int64_t n_rows, int32_t p_trash, int64_t ub,
+                          int64_t base, int64_t row_stride,
                           int32_t* rows_out) {
   for (int64_t s = 0; s < n_steps; ++s)
     if (step_off[s + 1] - step_off[s] > ub - base) return -1;
+  int bad = 0;  // benign write race: any thread only ever sets it to 1
 #pragma omp parallel for schedule(static)
   for (int64_t s = 0; s < n_steps; ++s) {
-    int32_t* row = rows_out + s * ub;
+    int32_t* row = rows_out + s * row_stride;
     for (int64_t j = 0; j < ub; ++j) row[j] = p_trash;
     const int64_t lo = step_off[s], hi = step_off[s + 1];
     for (int64_t j = lo; j < hi; ++j) {
-      const int32_t r = rank_map[uniq_cat[j]];
+      const uint32_t v = (uint32_t)uniq_cat[j];
+      if ((uint64_t)v >= (uint64_t)n_rows) { bad = 1; break; }
+      const int32_t r = rank_map[v];
       row[base + (j - lo)] = r < 0 ? p_trash : r;
     }
   }
-  return 0;
+  return bad ? -2 : 0;
 }
 
 // Lazy rank-map reset: only the union's entries were touched.
-void cdlrm_block_union_reset(const int64_t* union_slots, int64_t m,
+void cdlrm_block_union_reset(const int32_t* union_slots, int64_t m,
                              int32_t* rank_map) {
   for (int64_t i = 0; i < m; ++i) rank_map[union_slots[i]] = -1;
 }

@@ -370,11 +370,16 @@ def test_block_union_ranks_match_numpy(rng):
     n_rows = 5000
     real = np.ones(n_rows, bool)
     real[4000:] = False          # "aux/trash" tail
-    real_u8 = real.astype(np.uint8)
+    real_bits = native.mask_bits(real.astype(np.uint8))
+    # pin the word layout itself against a pure-numpy packbits derivation
+    want_bits = np.packbits(
+        np.pad(real, (0, (-n_rows) % 64)), bitorder="little"
+    ).view(np.uint64)
+    np.testing.assert_array_equal(real_bits, want_bits)
     n_steps, ub, p_trash, base = 4, 256, 1023, 1
     step_lists = [
         np.unique(rng.integers(0, n_rows, rng.integers(10, 200)))
-        .astype(np.int64)
+        .astype(np.int32)
         for _ in range(n_steps)
     ]
     cat = np.concatenate(step_lists)
@@ -395,9 +400,21 @@ def test_block_union_ranks_match_numpy(rng):
 
     # native
     rmap = np.full(n_rows, -1, np.int32)
-    union = native.block_union(cat, real_u8, rmap)
+    union = native.block_union(cat, real_bits, n_rows, rmap)
     np.testing.assert_array_equal(union, union_np)
     rows = native.block_ranks(cat, off, rmap, p_trash, ub, base)
     np.testing.assert_array_equal(rows, rows_np)
+    # in-place strided form (the trainer's call shape: a [:, k, :] slice
+    # of the [n_steps, n_local, ub] staging array)
+    staged = np.zeros((n_steps, 3, ub), np.int32)
+    native.block_ranks(cat, off, rmap, p_trash, ub, base, out=staged[:, 1])
+    np.testing.assert_array_equal(staged[:, 1], rows_np)
+    assert not staged[:, 0].any() and not staged[:, 2].any()
     native.block_union_reset(union, rmap)
+    assert (rmap == -1).all()
+    # out-of-range slots must raise, not scribble
+    bad = cat.copy()
+    bad[0] = n_rows
+    with pytest.raises(ValueError):
+        native.block_union(bad, real_bits, n_rows, rmap)
     assert (rmap == -1).all()
