@@ -569,6 +569,12 @@ def block_union(
     flatnonzero) — pinned in tests/test_native.py."""
     lib = _load()
     assert lib is not None
+    if uniq_cat.dtype != np.int32:
+        # a wider dtype must be range-checked BEFORE the narrowing cast:
+        # casting e.g. 2**32+5 first would wrap to an in-range 5 and pass
+        # the kernel's uint32 bound check silently (the trainer's wire is
+        # int32; this guards any future caller)
+        _check_bounds(uniq_cat.reshape(-1), n_rows)
     uniq_cat = np.ascontiguousarray(uniq_cat.reshape(-1), dtype=np.int32)
     assert real_bits.dtype == np.uint64 and real_bits.size >= (n_rows + 63) >> 6
     assert rank_map.dtype == np.int32 and rank_map.size == n_rows
@@ -597,6 +603,9 @@ def block_ranks(
     fresh-array form pays."""
     lib = _load()
     assert lib is not None
+    if uniq_cat.dtype != np.int32:
+        # see block_union: range-check wider dtypes before narrowing
+        _check_bounds(uniq_cat.reshape(-1), rank_map.size)
     uniq_cat = np.ascontiguousarray(uniq_cat.reshape(-1), dtype=np.int32)
     step_off = np.ascontiguousarray(step_off, dtype=np.int64)
     n_steps = step_off.size - 1

@@ -746,6 +746,24 @@ class CachedDlrmTrainer:
             jnp.asarray(pad_to_bucket(plan.evict_slots, 0)),
         )
         if self._acc_master is not None:
+            # exactness fence: the resume values must include every
+            # accumulator writeback enqueued by EARLIER boundaries — the
+            # eviction thread applies them asynchronously, and an id
+            # evicted at boundary w can be reinserted at w+1 (exactly the
+            # thrash regime the flag targets). Row VALUES deliberately
+            # keep the reference's eventually-consistent envelope, but
+            # the accumulator is a STATE restore whose exactness is the
+            # feature's contract (tests/test_adagrad_master_state.py);
+            # without the fence a racing gather silently reads the stale
+            # (often 0.0 = drop-at-evict) value. The fifo is normally
+            # drained long before the next boundary, so the steady cost
+            # is one empty-queue barrier round-trip; when evictions ARE
+            # in flight (back-to-back refills, prestage hoist) we wait —
+            # the price of the contract. The fence also quiesces the
+            # writer, so the unlocked numpy gather below reads stable
+            # arrays.
+            if self.eviction_manager is not None:
+                self.eviction_manager.flush()
             acc = self._acc_master.gather(plan.insert_tables, plan.insert_ids)
             ops += (jnp.asarray(pad_to_bucket(acc, 0.0)),)
         return ops
@@ -846,25 +864,22 @@ class CachedDlrmTrainer:
                 pass
 
             def _fetch(shard=shard, n=n_evict):
-                return np.asarray(shard)[:n].astype(np.float32)
+                return np.asarray(shard)[:n].astype(np.float32, copy=False)
 
+            item = (plan.evict_tables, plan.evict_idxs, _fetch)
             if ev_acc is not None:
+                # 4th element = the evicted accumulators, same deferred-
+                # fetch protocol (EvictionManager._apply len-4 dispatch)
                 acc_shard = ev_acc.addressable_shards[0].data
                 try:
                     acc_shard.copy_to_host_async()
                 except AttributeError:
                     pass
-
-                def _fetch_acc(shard=acc_shard, n=n_evict):
-                    return np.asarray(shard)[:n].astype(np.float32)
-
-                self.eviction_fifo.put(
-                    (plan.evict_tables, plan.evict_idxs, _fetch, _fetch_acc)
+                item += (
+                    lambda shard=acc_shard, n=n_evict:
+                        np.asarray(shard)[:n].astype(np.float32, copy=False),
                 )
-            else:
-                self.eviction_fifo.put(
-                    (plan.evict_tables, plan.evict_idxs, _fetch)
-                )
+            self.eviction_fifo.put(item)
         self.metrics.caching_overhead_s += time.perf_counter() - t0
         self.metrics.refills += 1
 

@@ -310,6 +310,66 @@ def test_master_state_checkpoint_roundtrip(tmp_path):
         tr2.close()
 
 
+def test_refill_inputs_fence_waits_for_inflight_writeback():
+    """_refill_device_inputs flushes the eviction fifo BEFORE gathering
+    resume accumulators: an id evicted at boundary w and reinserted at
+    w+1 (the thrash regime) must resume its written-back state even when
+    the eviction thread is still draining — without the fence the gather
+    silently reads the stale 0.0 (= drop-at-evict) value."""
+    import time
+
+    from cdlrm_tpu.cache.host_cache import InsertPlan
+
+    cfg = Config(
+        arch_sparse_feature_size=8, arch_mlp_bot="13-16-8",
+        arch_mlp_top="8-1", mini_batch_size=BATCH, world_size=1,
+        cache_size=16, num_ways=4, loss_function="bce", lookahead=WINDOW,
+        table_agg_freq=10_000, print_freq=1 << 20, optimizer="adagrad",
+        dedup_lookups="on", adagrad_master_state=True, batch_fifo_size=1,
+        refill_prestage=False, round_targets=True,
+    )
+    cfg.finalize(ln_emb=LN)
+    tr = CachedDlrmTrainer(cfg, _CycleStream(8), mesh=make_dp_mesh(1))
+    try:
+        # slow the eviction thread so the writeback is genuinely in
+        # flight when the gather runs
+        real_apply = tr.eviction_manager._apply
+
+        def slow_apply(item):
+            time.sleep(0.3)
+            real_apply(item)
+
+        tr.eviction_manager._apply = slow_apply
+        d = cfg.arch_sparse_feature_size
+        tr.eviction_fifo.put((
+            np.array([0], np.int32), np.array([7], np.int64),
+            lambda: np.full((1, d), 2.0, np.float32),
+            lambda: np.array([3.25], np.float32),
+        ))
+        plan = InsertPlan(
+            insert_slots=np.array([5], np.int32),
+            insert_rows=np.zeros((1, d), np.float32),
+            evict_slots=np.zeros(0, np.int32),
+            evict_tables=np.zeros(0, np.int32),
+            evict_idxs=np.zeros(0, np.int64),
+            insert_tables=np.array([0], np.int32),
+            insert_ids=np.array([7], np.int64),
+        )
+        ops = tr._refill_device_inputs(plan)
+        acc_op = np.asarray(ops[3])
+        assert acc_op[0] == np.float32(3.25), (
+            f"fence did not wait for the in-flight writeback: resumed "
+            f"acc {acc_op[0]} (stale), wanted 3.25"
+        )
+        # the row writeback from the same item is durable too
+        np.testing.assert_array_equal(
+            tr.master.tables[0][7], np.full(d, 2.0, np.float32)
+        )
+    finally:
+        tr.eviction_manager._apply = real_apply
+        tr.close()
+
+
 def test_config_guard():
     cfg = Config(
         arch_sparse_feature_size=8, arch_mlp_bot="13-16-8",

@@ -418,3 +418,15 @@ def test_block_union_ranks_match_numpy(rng):
     with pytest.raises(ValueError):
         native.block_union(bad, real_bits, n_rows, rmap)
     assert (rmap == -1).all()
+    # int64 input: accepted when in range (range-checked BEFORE the
+    # narrowing cast — a wrap like 2**32+5 -> 5 must not pass silently)
+    u64 = native.block_union(cat.astype(np.int64), real_bits, n_rows, rmap)
+    np.testing.assert_array_equal(u64, union_np)
+    native.block_union_reset(u64, rmap)
+    wide = cat.astype(np.int64)
+    wide[0] = 2**32 + 5
+    with pytest.raises(IndexError):
+        native.block_union(wide, real_bits, n_rows, rmap)
+    with pytest.raises(IndexError):
+        native.block_ranks(wide, off, rmap, p_trash, ub, base)
+    assert (rmap == -1).all()
