@@ -294,11 +294,12 @@ def main():
                 [it[2] for it in items]
             )
             union_ms = 1e3 * (time.perf_counter() - tu)
-            flat = []
-            for i, (inputs, _, _) in enumerate(items):
-                flat.extend(inputs[:5])
-                flat.append(ranks[i])
-                flat.extend(inputs[5:])
+            # the rank-row interleave lives in ONE place (trainer method)
+            # so the step's batch_specs order cannot drift between the
+            # train loop and this probe
+            flat = trainer.interleave_block_inputs(
+                [inputs for inputs, _, _ in items], ranks
+            )
             tail = (blk_slots, blk_counts)
         else:
             flat = [a for inputs, _, _ in items for a in inputs]
@@ -396,6 +397,11 @@ def main():
         # the BENCH_PRESTAGE A/B lives HERE — the headline's timed region
         # has no refills, so the knob must reach this regime's config
         refill_prestage=cfg.refill_prestage,
+        # BENCH_BLOCK must pin this regime too: since the default went to
+        # 'auto', an unforwarded knob would silently resolve ON here
+        # (scan>1 + unpacked dedup + sgd), making the BENCH_BLOCK=0
+        # control arm's steady-state section coalesced like the treatment
+        block_coalesced_update=cfg.block_coalesced_update,
     )
     cfg_ss.finalize(ln_emb=ln_emb)
     log(f"steady-state regime: lookahead={ss_lookahead}, {ss_steps} steps")

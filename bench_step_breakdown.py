@@ -6,7 +6,7 @@ at the exact headline shapes (26x250k tables, dim 128, batch 4096 ->
 N=106,496 lookups, U_step 64k bucket, flat cache 3,538,944 x 128 f32
 = 1.7 GB, block-union pending buffer 524,288 x 128 = 268 MB sub-cliff),
 then compares the sum against the measured end-to-end block step
-(BLOCK_STEP_AB_r05.json: 6.81 ms/step coalesced, 8.58 per-step dedup).
+(BLOCK_STEP_AB_V2_r05.json: 6.87 ms/step coalesced, 8.67 per-step dedup).
 Components:
 
   gather_uniq    cache[uniq] 64k rows from the 1.7 GB cache (XLA take)

@@ -1509,6 +1509,21 @@ class CachedDlrmTrainer:
             self._step_cache[key] = fn
         return fn
 
+    @staticmethod
+    def interleave_block_inputs(inputs_list, ranks) -> list:
+        """Coalesced scan-block input order: each step's dedup inputs with
+        its block-rank row spliced at position 5 — right after uniq_counts,
+        the step's batch_specs order (train/step.py block_coalesce). The
+        ONE place this interleave lives: run_block and bench.py's
+        device_block_ms probe both dispatch through it, so a batch_specs
+        reorder cannot drift them apart."""
+        flat = []
+        for i, inputs in enumerate(inputs_list):
+            flat.extend(inputs[:5])
+            flat.append(ranks[i])
+            flat.extend(inputs[5:])
+        return flat
+
     def _build_block_union(self, infos):
         """Block-coalesce host pass (run at dispatch): per local replica,
         union the block's unique CACHE slots (aux-region and trash slots
@@ -1654,8 +1669,12 @@ class CachedDlrmTrainer:
                         r < 0, p_trash, r
                     )
         finally:
+            # lazy reset: union entries only (the maps' all--1 precondition)
             for rmap, union in primed:
-                rmap[union] = -1  # lazy reset: union entries only
+                if use_native:
+                    native.block_union_reset(union, rmap)
+                else:
+                    rmap[union] = -1
         rank_rows = list(rows)
         sh = self._shardings
         staged = put_global_many(
@@ -1873,13 +1892,9 @@ class CachedDlrmTrainer:
                     ranks, blk_slots, blk_counts = self._build_block_union(
                         [it[5] for it in items]
                     )
-                    flat = []
-                    for i, (_, _, inputs, _, _, _) in enumerate(items):
-                        # uniq_blk rides right after uniq_counts (step input
-                        # order, train/step.py block_coalesce batch_specs)
-                        flat.extend(inputs[:5])
-                        flat.append(ranks[i])
-                        flat.extend(inputs[5:])
+                    flat = self.interleave_block_inputs(
+                        [it[2] for it in items], ranks
+                    )
                     out = fn(
                         self.params, self.cache, self.touched, *flat,
                         blk_slots, blk_counts, self._lr, self._lr_emb,

@@ -78,8 +78,12 @@ run() {
     echo "[queue3] >>> $name (attempt $attempt): $* ($(date -u +%H:%M:%S))" >&2
     local t0=$SECONDS
     if timeout "$tmo" env "$@" >"$OUT/$name.out" 2>"$OUT/$name.log"; then
-        echo "[queue3] <<< $name ok in $((SECONDS - t0))s" >&2
-        python - "$OUT/$name.out" "$name" "$attempt" <<'EOF' >>"$RESULTS"
+        # rc=0 with NO JSON line is a failure too (harness regressed to
+        # log-only output, or stdout got lost on the tunnel): record it
+        # loudly and queue the retry — a silent bad_output record would
+        # burn the window with no artifact and no signal, the exact
+        # failure class the pre-flight exists to prevent
+        if python - "$OUT/$name.out" "$name" "$attempt" <<'EOF' >>"$RESULTS"
 import json, sys
 lines = []
 for raw in open(sys.argv[1]):
@@ -98,7 +102,15 @@ else:
     rec["result"] = None
     rec["bad_output"] = True
 print(json.dumps(rec))
+sys.exit(0 if lines else 3)
 EOF
+        then
+            echo "[queue3] <<< $name ok in $((SECONDS - t0))s" >&2
+        else
+            echo "[queue3] !!! $name exited 0 but printed NO JSON line" \
+                 "(see $OUT/$name.out) — queued for retry" >&2
+            FAILED+=("$name $tmo $*")
+        fi
     else
         echo "[queue3] <<< $name FAILED/timeout after $((SECONDS - t0))s (see $OUT/$name.log)" >&2
         printf '{"harness": "%s", "attempt": %s, "result": null, "error": true}\n' \

@@ -11,10 +11,10 @@ import os
 import sys
 
 ARTIFACTS = {
-    # round-5 queue (chip_queue3.sh)
+    # round-5 queue (chip_queue3.sh); the block A/B is MERGED-only (both
+    # arms below) — a single-arm row here would never fire
     "pressure": "PRESSURE_r05.json",
     "serving_ab": "SERVING_r05.json",
-    "ab_block_auto": "BLOCK_STEP_AB_r05.json",  # merged with ab_block_off below
     "headline": "HEADLINE_r05.json",
     "ss_prestage_off": "SS_PRESTAGE_OFF_r05.json",
     "ab_pscatter": "PSCATTER_AB_r05.json",
@@ -49,13 +49,23 @@ def main():
             latest[r["harness"]] = payload
     wrote = 0
     for out, arms in MERGED.items():
-        if all(h in latest for h in arms.values()):
+        have = {a: h for a, h in arms.items() if h in latest}
+        if len(have) == len(arms):
             with open(out, "w") as f:
                 json.dump({a: latest[h] for a, h in arms.items()}, f,
                           indent=1)
                 f.write("\n")
             print(f"wrote {out}")
             wrote += 1
+        elif have:
+            # one arm landed, one didn't: say so LOUDLY — the successful
+            # measurement would otherwise vanish from every artifact
+            missing = sorted(set(arms.values()) - set(have.values()))
+            print(
+                f"!!! {out} NOT written: arm(s) {missing} missing from "
+                f"{path} (have {sorted(have.values())}) — rerun the "
+                f"missing harness or extract by hand", file=sys.stderr,
+            )
     for harness, out in ARTIFACTS.items():
         if harness in latest and out not in MERGED:
             with open(out, "w") as f:
