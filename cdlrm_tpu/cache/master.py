@@ -18,7 +18,7 @@ algorithm already tolerates. We keep the same model and document it.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -233,42 +233,109 @@ class AccumulatorStore:
     Writeback is always OVERWRITE (state restore, not a merge) — even
     under --average-on-writeback, which averages VALUES of concurrent
     divergent replicas; accumulators are replica-identical by the psum'd
-    update so there is nothing to average."""
+    update so there is nothing to average.
 
-    def __init__(self, ln_emb: Sequence[int]):
+    Multi-host (``owned_ranges`` set, mirroring ShardedMasterTables): each
+    host stores COMPACT per-table slices of its owned contiguous row range
+    only; writebacks mask to the owned range (evicted accs are
+    replica-0-broadcast so the owner performs the identical write), and
+    resume values for un-owned rows travel on the window exchange
+    (parallel/multihost.py exchange_window_rows accs lane) — this store is
+    never read for rows the host does not own."""
+
+    def __init__(
+        self,
+        ln_emb: Sequence[int],
+        owned_ranges: Optional[Sequence[Tuple[int, int]]] = None,
+    ):
+        self.owned_ranges = (
+            [(int(lo), int(hi)) for lo, hi in owned_ranges]
+            if owned_ranges is not None
+            else [(0, int(n)) for n in ln_emb]
+        )
+        self.sharded = owned_ranges is not None
         self.accs: List[np.ndarray] = [
-            np.zeros(int(n), np.float32) for n in ln_emb
+            np.zeros(hi - lo, np.float32) for lo, hi in self.owned_ranges
         ]
 
     def gather(self, tables: np.ndarray, idxs: np.ndarray) -> np.ndarray:
-        """Per-id accumulator values for a flattened (table, id) list."""
+        """Per-id accumulator values for a flattened (table, id) list.
+        OWNED rows only — a sharded store raises on un-owned ids (the
+        multihost resume path must join from the window exchange, never
+        from here)."""
         out = np.empty(idxs.size, np.float32)
         for t in np.unique(tables):
             sel = tables == t
-            out[sel] = self.accs[int(t)][idxs[sel]]
+            lo, hi = self.owned_ranges[int(t)]
+            ids = idxs[sel]
+            if self.sharded and ids.size and (
+                int(ids.min()) < lo or int(ids.max()) >= hi
+            ):
+                raise IndexError(
+                    f"AccumulatorStore.gather: table {int(t)} ids outside "
+                    f"owned range [{lo}, {hi}) — un-owned resume values "
+                    "come from the window exchange"
+                )
+            out[sel] = self.accs[int(t)][ids - lo]
         return out
 
+    def gather_owned_slice(self, t: int, sorted_ids: np.ndarray) -> np.ndarray:
+        """Acc values for the owned slice of a SORTED id array — the
+        window-exchange packing order (ShardedMasterTables.gather's mirror
+        for the accs lane)."""
+        lo, hi = self.owned_ranges[int(t)]
+        a, b = np.searchsorted(sorted_ids, [lo, hi])
+        return self.accs[int(t)][np.asarray(sorted_ids[a:b], np.int64) - lo]
+
     def writeback(self, t: int, idxs: np.ndarray, vals: np.ndarray) -> None:
-        if idxs.size:
-            self.accs[int(t)][idxs] = vals
+        if idxs.size == 0:
+            return
+        lo, hi = self.owned_ranges[int(t)]
+        if self.sharded:
+            own = (idxs >= lo) & (idxs < hi)
+            if not own.any():
+                return
+            idxs, vals = idxs[own], vals[own]
+        self.accs[int(t)][idxs - lo] = vals
 
     # ---- checkpointing (rides the trainer checkpoint when the flag is on;
     # nonzero rows == ids ever evicted, so a dense save is wasteful at
-    # Terabyte geometry — save the nonzero support) ----
+    # Terabyte geometry — save the nonzero support). Ids are GLOBAL; a
+    # sharded store stamps its shard identity and refuses a mismatched
+    # load (same contract as ShardedMasterTables._check_shard_identity). ----
     def payload(self) -> dict:
-        out = {}
+        out = {
+            "acc_owned_lo": np.asarray(
+                [lo for lo, _ in self.owned_ranges], np.int64
+            ),
+            "acc_owned_hi": np.asarray(
+                [hi for _, hi in self.owned_ranges], np.int64
+            ),
+        }
         for t, a in enumerate(self.accs):
             nz = np.flatnonzero(a)
-            out[f"acc_ids_{t}"] = nz
+            out[f"acc_ids_{t}"] = nz + self.owned_ranges[t][0]
             out[f"acc_vals_{t}"] = a[nz]
         return out
 
     def load_payload(self, data) -> None:
+        lo_s = data.get("acc_owned_lo")
+        if lo_s is not None:
+            want_lo = [lo for lo, _ in self.owned_ranges]
+            want_hi = [hi for _, hi in self.owned_ranges]
+            if (list(np.asarray(lo_s)) != want_lo
+                    or list(np.asarray(data["acc_owned_hi"])) != want_hi):
+                raise ValueError(
+                    "AccumulatorStore checkpoint was written by a different "
+                    "shard topology; load each host's own acc_store file"
+                )
         for t, a in enumerate(self.accs):
             a[:] = 0.0
             ids = data.get(f"acc_ids_{t}")
             if ids is not None and np.asarray(ids).size:
-                a[np.asarray(ids)] = np.asarray(data[f"acc_vals_{t}"])
+                a[np.asarray(ids) - self.owned_ranges[t][0]] = np.asarray(
+                    data[f"acc_vals_{t}"]
+                )
 
 
 class MDMasterTables:

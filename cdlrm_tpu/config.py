@@ -121,12 +121,17 @@ class Config:
     #   default drop-at-evict / reset-at-insert approximation: evicted ids'
     #   accumulators write back with their rows (same eviction thread,
     #   always overwrite — state restore, not a merge) and inserted ids
-    #   RESUME their state (gathered at refill staging, the master-row
-    #   eventual-consistency envelope). Closes the measured thrash gap
-    #   (PERF.md round 5: AdaGrad's 3%-capacity AUC gap was ~8x SGD's with
-    #   cache-resident-only state). +4 bytes host RAM per embedding row;
-    #   accumulator support rides the checkpoint. Single-host only for now
-    #   (the acc store is not yet row-sharded with the masters).
+    #   RESUME their state, gathered at refill staging behind an
+    #   eviction-fifo fence (exact restore — trainer._refill_device_inputs;
+    #   row VALUES keep the reference's eventual-consistency envelope).
+    #   Closes the measured thrash gap (PERF.md round 5: AdaGrad's
+    #   3%-capacity AUC gap was ~8x SGD's with cache-resident-only state).
+    #   +4 bytes host RAM per owned embedding row; accumulator support
+    #   rides the checkpoint. Multi-host: the store is row-sharded with
+    #   the masters — writebacks mask to owned rows and resume values ride
+    #   the window exchange as one extra f32 column
+    #   (parallel/multihost.py exchange_window_rows; 2x2-vs-1x4 trajectory
+    #   pinned in tests/test_multihost.py).
     print_precision: int = 5
     numpy_rand_seed: int = 123
     lookahead: int = 2

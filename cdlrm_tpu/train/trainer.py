@@ -393,16 +393,21 @@ class CachedDlrmTrainer:
         # evicted ids' row-wise state writes back with their rows; inserted
         # ids resume it (cache/master.py AccumulatorStore doc)
         self._acc_master = None
+        # multihost: the assembled full-window accumulator values, set at
+        # each window exchange (_exchange_window) and joined at insert
+        # staging (_refill_device_inputs) — the sharded store itself only
+        # ever serves the host's OWNED rows
+        self._mh_window_accs = None
         if self._adagrad and cfg.adagrad_master_state:
-            if self.multihost:
-                raise ValueError(
-                    "adagrad_master_state is single-host only for now "
-                    "(the accumulator store is not yet row-sharded with "
-                    "the masters)"
-                )
             from cdlrm_tpu.cache.master import AccumulatorStore
 
-            self._acc_master = AccumulatorStore(cfg.ln_emb)
+            # multihost: row-sharded with the masters (compact owned
+            # slices; writebacks mask to owned, resume values for un-owned
+            # rows ride the window exchange — cache/master.py doc)
+            self._acc_master = AccumulatorStore(
+                cfg.ln_emb,
+                owned_ranges=self.master.ranges if self.multihost else None,
+            )
 
         # wire packing: bit-packed local slot ids at the smallest width that
         # addresses every table's cache block (train/step.py pack_slots)
@@ -746,27 +751,86 @@ class CachedDlrmTrainer:
             jnp.asarray(pad_to_bucket(plan.evict_slots, 0)),
         )
         if self._acc_master is not None:
-            # exactness fence: the resume values must include every
-            # accumulator writeback enqueued by EARLIER boundaries — the
-            # eviction thread applies them asynchronously, and an id
-            # evicted at boundary w can be reinserted at w+1 (exactly the
-            # thrash regime the flag targets). Row VALUES deliberately
-            # keep the reference's eventually-consistent envelope, but
-            # the accumulator is a STATE restore whose exactness is the
-            # feature's contract (tests/test_adagrad_master_state.py);
-            # without the fence a racing gather silently reads the stale
-            # (often 0.0 = drop-at-evict) value. The fifo is normally
-            # drained long before the next boundary, so the steady cost
-            # is one empty-queue barrier round-trip; when evictions ARE
-            # in flight (back-to-back refills, prestage hoist) we wait —
-            # the price of the contract. The fence also quiesces the
-            # writer, so the unlocked numpy gather below reads stable
-            # arrays.
-            if self.eviction_manager is not None:
-                self.eviction_manager.flush()
-            acc = self._acc_master.gather(plan.insert_tables, plan.insert_ids)
+            if self.multihost:
+                # un-owned resume values arrived on the window exchange
+                # (one extra f32 column on the row allgather); the fence
+                # ran host-locally before each host contributed its owned
+                # slice (_exchange_window)
+                acc = self._join_window_accs(
+                    plan.insert_tables, plan.insert_ids
+                )
+            else:
+                # exactness fence: the resume values must include every
+                # accumulator writeback enqueued by EARLIER boundaries —
+                # the eviction thread applies them asynchronously, and an
+                # id evicted at boundary w can be reinserted at w+1
+                # (exactly the thrash regime the flag targets). Row VALUES
+                # deliberately keep the reference's eventually-consistent
+                # envelope, but the accumulator is a STATE restore whose
+                # exactness is the feature's contract
+                # (tests/test_adagrad_master_state.py); without the fence
+                # a racing gather silently reads the stale (often 0.0 =
+                # drop-at-evict) value. The fifo is normally drained long
+                # before the next boundary, so the steady cost is one
+                # empty-queue barrier round-trip; when evictions ARE in
+                # flight (back-to-back refills, prestage hoist) we wait —
+                # the price of the contract. The fence also quiesces the
+                # writer, so the unlocked numpy gather below reads stable
+                # arrays.
+                if self.eviction_manager is not None:
+                    self.eviction_manager.flush()
+                acc = self._acc_master.gather(
+                    plan.insert_tables, plan.insert_ids
+                )
             ops += (jnp.asarray(pad_to_bucket(acc, 0.0)),)
         return ops
+
+    def _exchange_window(self, window_uniques, owned_rows):
+        """Multihost window-row exchange; with adagrad_master_state each
+        host's OWNED accumulator slices ride the same allgather as one
+        extra f32 column (parallel/multihost.py exchange_window_rows),
+        after the host-local eviction fence — the multihost form of the
+        single-host exactness fence in _refill_device_inputs. The
+        assembled full-window accs are kept for the insert-staging join
+        (_join_window_accs)."""
+        if self._acc_master is None:
+            return exchange_window_rows(
+                self.master, window_uniques, owned_rows
+            )
+        if self.eviction_manager is not None:
+            self.eviction_manager.flush()
+        owned_accs = [
+            self._acc_master.gather_owned_slice(t, window_uniques[t])
+            for t in range(len(window_uniques))
+        ]
+        rows, accs = exchange_window_rows(
+            self.master, window_uniques, owned_rows, owned_accs
+        )
+        self._mh_window_accs = (window_uniques, accs)
+        return rows
+
+    def _join_window_accs(self, tables: np.ndarray, ids: np.ndarray):
+        """Resume accumulators for an insert list, joined from the current
+        window's exchanged accs (inserted ids are window uniques by
+        construction — plan_insert selects from them)."""
+        uniques, accs = self._mh_window_accs
+        out = np.empty(ids.size, np.float32)
+        for t in np.unique(tables):
+            sel = tables == t
+            u = uniques[int(t)]
+            want = ids[sel]
+            pos = np.searchsorted(u, want)
+            if want.size and (
+                (pos >= u.size).any()
+                or (u[np.minimum(pos, u.size - 1)] != want).any()
+            ):
+                raise KeyError(
+                    f"table {int(t)}: inserted ids not in the exchanged "
+                    "window (insert plans must come from the current "
+                    "window's uniques)"
+                )
+            out[sel] = accs[int(t)][pos]
+        return out
 
     def _prefetch_next_window(self) -> None:
         """Multi-host refill prestage (config.refill_prestage): run the NEXT
@@ -791,7 +855,7 @@ class CachedDlrmTrainer:
         if window is None:
             self._mh_pending = (None, None, None)
             return
-        rows = exchange_window_rows(self.master, window.uniques, window.rows)
+        rows = self._exchange_window(window.uniques, window.rows)
         staged = None
         if window.plan_spec is not None:
             plan = build_insert_plan(window.plan_spec, rows, self.geo.dim)
@@ -811,7 +875,7 @@ class CachedDlrmTrainer:
             if rows_exchanged is not None:
                 rows = rows_exchanged
             else:
-                rows = exchange_window_rows(self.master, window.uniques, rows)
+                rows = self._exchange_window(window.uniques, rows)
             self._window_store = WindowRowStore(window.uniques, rows)
         if staged is not None:
             # prestaged by the _WindowStager: plan already joined and the
@@ -2212,8 +2276,9 @@ class CachedDlrmTrainer:
         if self._acc_master is not None:
             # master-resident accumulator support (nonzero rows == ids ever
             # evicted; the eviction flush above made it consistent). Copies
-            # taken at snapshot time — payload() fancy-indexes.
-            _npz("acc_store.npz", self._acc_master.payload())
+            # taken at snapshot time — payload() fancy-indexes. Multihost:
+            # per-host owned support, tagged like cache/touched.
+            _npz(f"acc_store{tag}.npz", self._acc_master.payload())
         master_file = os.path.join(
             path,
             f"master.h{jax.process_index()}.npz" if self.multihost
@@ -2371,7 +2436,10 @@ class CachedDlrmTrainer:
                 self.mesh,
             )
         if self._acc_master is not None:
-            store_path = os.path.join(path, "acc_store.npz")
+            store_tag = (
+                f".h{jax.process_index()}" if self.multihost else ""
+            )
+            store_path = os.path.join(path, f"acc_store{store_tag}.npz")
             if not os.path.exists(store_path):
                 raise ValueError(
                     f"adagrad_master_state set but {path!r} carries no "

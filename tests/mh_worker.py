@@ -42,7 +42,12 @@ def main():
     pooled = mode == "pooled"
     soak = mode == "soak"
     md = mode == "md"
-    adagrad = mode == "adagrad"
+    # adagrad_master: adagrad + the master-resident accumulator store,
+    # row-sharded with the masters — evicted state writes back host-locally
+    # to owned rows and resume values ride the window exchange's accs lane
+    # (parallel/multihost.py), so 2x2 must stay aligned with the 1x4 run
+    # whose store is unsharded and gathered directly
+    adagrad = mode in ("adagrad", "adagrad_master")
     pscatter = mode == "pscatter"
     blockco = mode == "blockco"
     steps = 16 if mode == "one_window" else (200 if soak else 24)
@@ -120,6 +125,7 @@ def main():
         # compounds to ~1% by step 24 in BOTH orderings — numerically
         # expected, useless as a cross-topology pin)
         optimizer="adagrad" if adagrad else "sgd",
+        adagrad_master_state=mode == "adagrad_master",
         dedup_lookups="on" if (adagrad or pscatter or blockco) else "auto",
         adagrad_eps=1e-2,
         # pscatter: interpret-mode Pallas DMA scatters across hosts — the
@@ -245,6 +251,13 @@ def main():
         # buckets must be identical across hosts (compiled global shapes);
         # the parent asserts cross-process equality
         "eval_buckets": [list(kv) for kv in trainer._eval_bucket_log],
+        # adagrad_master: per-host owned-support population — the parent
+        # asserts state actually round-tripped (> 0 somewhere)
+        "acc_store_nonzero": (
+            None if trainer._acc_master is None else
+            int(sum(int(np.count_nonzero(a))
+                    for a in trainer._acc_master.accs))
+        ),
     }
     with open(outfile, "w") as f:
         json.dump(result, f)

@@ -312,6 +312,30 @@ def test_two_process_adagrad_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_adagrad_master_state_matches_single(tmp_path):
+    """adagrad_master_state across hosts (mh_worker 'adagrad_master'
+    mode): the accumulator store is row-sharded with the masters —
+    evicted state writes back host-locally to OWNED rows only, and resume
+    values for un-owned rows ride the window exchange's extra f32 column
+    (parallel/multihost.py exchange_window_rows accs lane). The 2x2
+    cluster must agree with itself exactly and match the single-process
+    1x4 run, whose unsharded store is gathered directly — any
+    owned-range masking bug or mis-packed accs column diverges here."""
+    single = _run_cluster(1, 4, 0, "adagrad_master", tmp_path)[0]
+    duo = _run_cluster(2, 2, 12427, "adagrad_master", tmp_path)
+    assert all(r["multihost"] for r in duo)
+    assert np.allclose(duo[0]["losses"], duo[1]["losses"], rtol=1e-5)
+    assert np.allclose(single["losses"], duo[0]["losses"], rtol=2e-3), (
+        single["losses"], duo[0]["losses"],
+    )
+    assert single["acc"] == pytest.approx(duo[0]["acc"], abs=1e-6)
+    # state actually round-tripped: the single store and the union of the
+    # sharded stores are populated (evictions happened on this geometry)
+    assert single["acc_store_nonzero"] > 0
+    assert sum(r["acc_store_nonzero"] for r in duo) > 0
+
+
+@pytest.mark.slow
 def test_two_process_block_coalesce_matches_single(tmp_path):
     """block_coalesced_update across hosts (mh_worker 'blockco' mode: scan
     blocks + unpacked dedup wire, auto-resolved ON): the per-block union
