@@ -368,12 +368,22 @@ def exchange_window_rows(
             n = int(bounds[t][h + 1] - bounds[t][h])
             parts.append(gathered[h, cursors[h] : cursors[h] + n])
             cursors[h] += n
-        whole = (
-            np.concatenate(parts) if parts else np.zeros((0, width), np.float32)
-        )
-        full.append(np.ascontiguousarray(whole[:, :dim]))
         if owned_accs is not None:
-            full_accs.append(np.ascontiguousarray(whole[:, dim]))
+            # slice the column split BEFORE concatenating: one contiguous
+            # copy per output instead of concat + a second full-row copy
+            full.append(
+                np.concatenate([p[:, :dim] for p in parts]) if parts
+                else np.zeros((0, dim), np.float32)
+            )
+            full_accs.append(
+                np.concatenate([p[:, dim] for p in parts]) if parts
+                else np.zeros(0, np.float32)
+            )
+        else:
+            full.append(
+                np.concatenate(parts) if parts
+                else np.zeros((0, dim), np.float32)
+            )
     if owned_accs is not None:
         return full, full_accs
     return full

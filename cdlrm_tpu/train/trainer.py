@@ -182,7 +182,16 @@ class _WindowStager(threading.Thread):
                     plan = build_insert_plan(
                         window.plan_spec, window.rows, tr.geo.dim
                     )
-                    staged = (plan, tr._refill_device_inputs(plan))
+                    # stage_acc=False: the resume-accumulator gather must
+                    # run on the MAIN thread at the boundary — this thread
+                    # races _apply_refill(w), whose eviction writebacks are
+                    # enqueued at its END, so a fence here could flush an
+                    # empty fifo and read a stale accumulator for an id
+                    # evicted at w and reinserted at w+1
+                    # (_complete_staged_acc finishes the operand there)
+                    staged = (
+                        plan, tr._refill_device_inputs(plan, stage_acc=False)
+                    )
                 while not self._stop_event.is_set():
                     try:
                         self.out.put((window, staged), timeout=0.1)
@@ -736,21 +745,24 @@ class CachedDlrmTrainer:
                 yield batch.ls_i
 
     # ------------------------------------------------------------------ refill
-    def _refill_device_inputs(self, plan: InsertPlan):
+    def _refill_device_inputs(self, plan: InsertPlan, stage_acc: bool = True):
         """The refill step's padded device operands for an insert plan —
         the ONE place the pad/astype/H2D triple lives (both the boundary
         path and the _WindowStager stage from here, so staged and unstaged
         refills cannot drift). With adagrad_master_state the inserted ids'
-        accumulator values are gathered HERE (boundary or prestage time —
-        the master-row eventual-consistency envelope; config.py doc) and
-        ride as a fourth operand."""
+        accumulator values ride as a fourth operand; ``stage_acc=False``
+        (the _WindowStager thread, which runs concurrently with the
+        PREVIOUS boundary's _apply_refill and so can fence before its
+        evictions are even enqueued) defers that gather to the main
+        thread at the boundary — _complete_staged_acc — where the fence
+        is meaningful."""
         ops = (
             jnp.asarray(pad_to_bucket(plan.insert_slots, self.geo.trash_row)),
             jnp.asarray(pad_to_bucket(plan.insert_rows, 0.0).astype(
                 self._row_wire_dtype, copy=False)),
             jnp.asarray(pad_to_bucket(plan.evict_slots, 0)),
         )
-        if self._acc_master is not None:
+        if self._acc_master is not None and stage_acc:
             if self.multihost:
                 # un-owned resume values arrived on the window exchange
                 # (one extra f32 column on the row allgather); the fence
@@ -806,31 +818,37 @@ class CachedDlrmTrainer:
         rows, accs = exchange_window_rows(
             self.master, window_uniques, owned_rows, owned_accs
         )
-        self._mh_window_accs = (window_uniques, accs)
+        # WindowRowStore's sorted join + membership guard works on the 1-D
+        # accs exactly as on the 2-D rows — one implementation of the
+        # searchsorted validation, not two
+        self._mh_window_accs = WindowRowStore(window_uniques, accs)
         return rows
 
     def _join_window_accs(self, tables: np.ndarray, ids: np.ndarray):
         """Resume accumulators for an insert list, joined from the current
         window's exchanged accs (inserted ids are window uniques by
         construction — plan_insert selects from them)."""
-        uniques, accs = self._mh_window_accs
         out = np.empty(ids.size, np.float32)
         for t in np.unique(tables):
             sel = tables == t
-            u = uniques[int(t)]
-            want = ids[sel]
-            pos = np.searchsorted(u, want)
-            if want.size and (
-                (pos >= u.size).any()
-                or (u[np.minimum(pos, u.size - 1)] != want).any()
-            ):
-                raise KeyError(
-                    f"table {int(t)}: inserted ids not in the exchanged "
-                    "window (insert plans must come from the current "
-                    "window's uniques)"
-                )
-            out[sel] = accs[int(t)][pos]
+            out[sel] = self._mh_window_accs.gather(int(t), ids[sel])
         return out
+
+    def _complete_staged_acc(self, plan: InsertPlan, d_inputs):
+        """Finish a _WindowStager-staged operand tuple on the MAIN thread:
+        gather the resume accumulators behind the eviction fence and append
+        the fourth operand (see _refill_device_inputs stage_acc doc — the
+        stager thread races the previous boundary's eviction enqueue, so
+        only a boundary-time fence guarantees the writebacks it must wait
+        for are even visible). No-op without adagrad_master_state or when
+        the operand already rides (multihost hoist stages on the main
+        thread post-exchange)."""
+        if self._acc_master is None or len(d_inputs) == 4:
+            return d_inputs
+        if self.eviction_manager is not None:
+            self.eviction_manager.flush()
+        acc = self._acc_master.gather(plan.insert_tables, plan.insert_ids)
+        return tuple(d_inputs) + (jnp.asarray(pad_to_bucket(acc, 0.0)),)
 
     def _prefetch_next_window(self) -> None:
         """Multi-host refill prestage (config.refill_prestage): run the NEXT
@@ -880,8 +898,11 @@ class CachedDlrmTrainer:
         if staged is not None:
             # prestaged by the _WindowStager: plan already joined and the
             # padded device transfers already in flight — only the
-            # occupancy replay remains for the critical path
+            # occupancy replay (and, under adagrad_master_state, the
+            # boundary-fenced resume-accumulator gather) remains for the
+            # critical path
             plan, d_inputs = staged
+            d_inputs = self._complete_staged_acc(plan, d_inputs)
             self.controller.apply_plan_spec(window.plan_spec)
         else:
             if window.plan_spec is not None:

@@ -370,6 +370,66 @@ def test_refill_inputs_fence_waits_for_inflight_writeback():
         tr.close()
 
 
+def test_stager_defers_acc_gather_to_boundary_fence():
+    """The _WindowStager thread races the previous boundary's eviction
+    ENQUEUE (it stages window w+1 while _apply_refill(w) is still
+    running), so a fence on that thread could flush an empty fifo and
+    read a stale accumulator. The stager therefore stages only the 3
+    row operands (stage_acc=False) and the boundary completes the tuple
+    behind a main-thread fence (_complete_staged_acc) — pinned here with
+    an in-flight slow writeback, like the direct-fence test above."""
+    import time
+
+    from cdlrm_tpu.cache.host_cache import InsertPlan
+
+    cfg = Config(
+        arch_sparse_feature_size=8, arch_mlp_bot="13-16-8",
+        arch_mlp_top="8-1", mini_batch_size=BATCH, world_size=1,
+        cache_size=16, num_ways=4, loss_function="bce", lookahead=WINDOW,
+        table_agg_freq=10_000, print_freq=1 << 20, optimizer="adagrad",
+        dedup_lookups="on", adagrad_master_state=True, batch_fifo_size=1,
+        refill_prestage=True, round_targets=True,
+    )
+    cfg.finalize(ln_emb=LN)
+    tr = CachedDlrmTrainer(cfg, _CycleStream(8), mesh=make_dp_mesh(1))
+    try:
+        d = cfg.arch_sparse_feature_size
+        plan = InsertPlan(
+            insert_slots=np.array([5], np.int32),
+            insert_rows=np.zeros((1, d), np.float32),
+            evict_slots=np.zeros(0, np.int32),
+            evict_tables=np.zeros(0, np.int32),
+            evict_idxs=np.zeros(0, np.int64),
+            insert_tables=np.array([0], np.int32),
+            insert_ids=np.array([7], np.int64),
+        )
+        # what the stager stages: NO acc operand
+        staged = tr._refill_device_inputs(plan, stage_acc=False)
+        assert len(staged) == 3
+        # slow in-flight writeback, enqueued AFTER staging (the race the
+        # boundary-time completion exists for)
+        real_apply = tr.eviction_manager._apply
+
+        def slow_apply(item):
+            time.sleep(0.3)
+            real_apply(item)
+
+        tr.eviction_manager._apply = slow_apply
+        tr.eviction_fifo.put((
+            np.array([0], np.int32), np.array([7], np.int64),
+            lambda: np.full((1, d), 2.0, np.float32),
+            lambda: np.array([4.5], np.float32),
+        ))
+        done = tr._complete_staged_acc(plan, staged)
+        assert len(done) == 4
+        assert np.asarray(done[3])[0] == np.float32(4.5), (
+            "boundary completion did not wait for the in-flight writeback"
+        )
+    finally:
+        tr.eviction_manager._apply = real_apply
+        tr.close()
+
+
 def test_config_guard():
     cfg = Config(
         arch_sparse_feature_size=8, arch_mlp_bot="13-16-8",
